@@ -1,0 +1,73 @@
+"""Deterministic geotagging.
+
+The input table (BASELINE.json input_hint) carries NO lon/lat — the engine
+derives a stable, reproducible position from the row id (FIXTURES.md §1
+"Geo note"). Two generators:
+
+  * ``geotag_ints`` — Knuth multiplicative hashing over an int64 id with
+    explicit mod-2^32 arithmetic. Deliberately simple enough to express in
+    ANSI SQL, so the DuckDB oracle can reproduce it exactly
+    (__ray_entry__.oracle_sql uses the same formula).
+  * ``geotag_strings`` — FNV-1a 64 over the id bytes (for string
+    image_ids), then the same mapping.
+
+lon ∈ [-180, 180), lat ∈ (-85.0511, 85.0511) — Web-Mercator-valid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .tilemath import MERCATOR_LAT_MAX
+
+_M32 = np.uint64(0xFFFFFFFF)
+_KNUTH = np.uint64(2654435761)
+_LAT_MUL = np.uint64(2246822519)
+_LAT_ADD = np.uint64(3266489917)
+
+# SQL fragments mirroring geotag_ints — kept adjacent to the numpy code so
+# they can't drift. {id} is the integer id column expression.
+SQL_LON = "((({id} * 2654435761) % 4294967296) / 4294967296.0 * 360.0 - 180.0)"
+SQL_LAT = (
+    "((({id} * 2246822519 + 3266489917) % 4294967296) / 4294967296.0 "
+    f"* {2 * MERCATOR_LAT_MAX!r} - {MERCATOR_LAT_MAX!r})"
+)
+
+
+def geotag_ints(ids) -> tuple[np.ndarray, np.ndarray]:
+    """int64 ids → (lon, lat), exactly reproducible in SQL."""
+    u = np.asarray(ids).astype(np.uint64)
+    hlon = (u * _KNUTH) & _M32
+    hlat = (u * _LAT_MUL + _LAT_ADD) & _M32
+    lon = hlon.astype(np.float64) / 4294967296.0 * 360.0 - 180.0
+    lat = hlat.astype(np.float64) / 4294967296.0 * (2 * MERCATOR_LAT_MAX) - MERCATOR_LAT_MAX
+    return lon, lat
+
+
+def fnv1a64_strings(ids) -> np.ndarray:
+    """Vectorized FNV-1a 64 over variable-length ASCII/UTF-8 ids: pad to a
+    byte matrix, fold per byte column (loop over max length, each step
+    whole-array)."""
+    arr = [s.encode() if isinstance(s, str) else bytes(s) for s in ids]
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    maxlen = max(len(b) for b in arr)
+    mat = np.zeros((n, maxlen), dtype=np.uint8)
+    lens = np.empty(n, dtype=np.int64)
+    for i, b in enumerate(arr):
+        mat[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i] = len(b)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for col in range(maxlen):
+        active = lens > col
+        hv = h[active]
+        hv = (hv ^ mat[active, col].astype(np.uint64)) * prime
+        h[active] = hv
+    return h
+
+
+def geotag_strings(ids) -> tuple[np.ndarray, np.ndarray]:
+    """string ids → (lon, lat) via FNV-1a 64 then the int mapping."""
+    return geotag_ints(fnv1a64_strings(ids).astype(np.int64))

@@ -93,20 +93,29 @@ def fmt_float_serde(x: float) -> str:
         return "null"  # serde_json cannot represent these; unreachable in practice
     r = repr(float(x))
     if "e" in r or "E" in r:
-        return _expand_positional_ryu(float(x))
+        return _normalize_ryu_exponent(r)
     return r
 
 
 def _expand_positional(x: float) -> str:
-    s = f"{x:.17f}".rstrip("0").rstrip(".")
+    """Exact positional expansion of the shortest round-trip digits —
+    Rust Display never uses exponent notation, so 5e-324 renders as a
+    ~324-digit decimal. Decimal(repr(x)) keeps exactly the shortest
+    digits; 'f' formatting expands positionally without precision loss."""
+    from decimal import Decimal
+
+    s = format(Decimal(repr(x)), "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
     return s if s not in ("", "-") else "0"
 
 
-def _expand_positional_ryu(x: float) -> str:
-    s = f"{x:.17f}".rstrip("0")
-    if s.endswith("."):
-        s += "0"
-    return s
+def _normalize_ryu_exponent(r: str) -> str:
+    """ryu prints 'e16'/'e-5'; Python repr prints 'e+16'/'e-05'."""
+    mant, _, exp = r.partition("e")
+    neg = exp.startswith("-")
+    exp = exp.lstrip("+-").lstrip("0") or "0"
+    return f"{mant}e{'-' if neg else ''}{exp}"
 
 
 def vfloat_from_f64(x: float) -> Value:

@@ -1,0 +1,84 @@
+"""The flagship pipeline — the Ray-Data re-expression of the reference's
+`run` lifecycle (/root/reference/src/lib.rs:39-99 + processing.rs:18-129):
+
+    read images table
+      → map_batches(geotag)                  (stateless, vectorized)
+      → map_batches(cell_encode)             (stateless: hex/S2/prefix)
+      → map_batches(tile_assign)             (stateless: z/x/y, tile_id, quadkey)
+      → map_batches(FilterJoinStage, actor pool)
+                                             (broadcast spatial join + expr filter)
+      → either: salted two-phase per-tile aggregate (headline metric)
+         or:    groupby(tile_id).map_groups(encode_tile_group) tile blobs
+      → sort(tile_id) → range-partitioned parquet + lineage
+
+Everything before the sink is a streaming, backpressured Dataset plan —
+no driver-side materialization; the only all-to-all exchange is the
+per-tile grouping (SURVEY §2.6 A1), which operates on pre-reduced
+partials for the aggregate path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import ray.data as rd
+
+from ..config import EngineConfig
+from ..stages.filter_join import FilterJoinStage
+from ..stages.geospatial import (
+    cell_encode_batch,
+    geotag_batch,
+    pyramid_assign_batch,
+    tile_assign_batch,
+)
+from ..stages.tile_encode import encode_tile_group, tile_counts_two_phase
+
+
+def assign_stage(ds: rd.Dataset, cfg: EngineConfig, pyramid: bool = False) -> rd.Dataset:
+    ds = ds.map_batches(lambda b: geotag_batch(b, cfg), batch_format="pyarrow",
+                        batch_size=cfg.batch_size)
+    ds = ds.map_batches(lambda b: cell_encode_batch(b, cfg), batch_format="pyarrow",
+                        batch_size=cfg.batch_size)
+    assign = pyramid_assign_batch if pyramid else tile_assign_batch
+    return ds.map_batches(lambda b: assign(b, cfg), batch_format="pyarrow",
+                          batch_size=cfg.batch_size)
+
+
+def filter_stage(ds: rd.Dataset, cfg: EngineConfig, filter_geojson) -> rd.Dataset:
+    """Actor-pool spatial join: filters compiled once per actor."""
+    return ds.map_batches(
+        FilterJoinStage,
+        fn_constructor_kwargs={"filter_geojson": filter_geojson, "cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.filter_concurrency,
+        num_cpus=1,
+    )
+
+
+def wrangle(ds: rd.Dataset, cfg: Optional[EngineConfig] = None,
+            filter_geojson=None, pyramid: bool = False) -> rd.Dataset:
+    """Assignment + spatial join, row-level output (still streaming)."""
+    cfg = cfg or EngineConfig()
+    ds = assign_stage(ds, cfg, pyramid=pyramid)
+    if filter_geojson is not None:
+        ds = filter_stage(ds, cfg, filter_geojson)
+    return ds
+
+def wrangle_counts(ds: rd.Dataset, cfg: Optional[EngineConfig] = None,
+                   filter_geojson=None, pyramid: bool = False) -> rd.Dataset:
+    """Headline: per-tile image counts via the salted two-phase aggregate
+    (map-side combine → small shuffle)."""
+    cfg = cfg or EngineConfig()
+    return tile_counts_two_phase(wrangle(ds, cfg, filter_geojson, pyramid))
+
+
+def wrangle_tiles(ds: rd.Dataset, cfg: Optional[EngineConfig] = None,
+                  filter_geojson=None, pyramid: bool = False) -> rd.Dataset:
+    """Full tile-blob encode: groupby(tile_id) → per-tile gzip manifest,
+    ordered by ascending tile_id (the reference's output order)."""
+    cfg = cfg or EngineConfig()
+    rows = wrangle(ds, cfg, filter_geojson, pyramid)
+    tiles = rows.groupby("tile_id").map_groups(
+        lambda g: encode_tile_group(g, cfg), batch_format="pandas")
+    return tiles.sort("tile_id")

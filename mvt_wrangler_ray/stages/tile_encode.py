@@ -1,0 +1,134 @@
+"""Tile grouping / encoding — the engine's one required shuffle — plus
+salted two-phase aggregates for skewed keys.
+
+Reference semantics: tile reassembly and pool re-encoding
+(transform.rs:89-201, A1/M12/O3 in SURVEY §2), gzip of the encoded tile
+(processing.rs:131-155), deterministic output order by ascending tile_id
+(processing.rs:38).
+
+Canonicalization note (SURVEY §2.8): the reference's tag iteration order
+is HashMap order — nondeterministic. We canonicalize: rows within a tile
+sort by the id column, tag keys sort lexicographically. Fixture
+comparisons are set-based, so both engines agree.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import EngineConfig
+
+
+def encode_tile_group(group: pd.DataFrame, cfg: EngineConfig = EngineConfig(),
+                      compress: bool = True) -> pd.DataFrame:
+    """``groupby(tile_id).map_groups(encode_tile_group)``: one output row
+    per tile — (tile_id, z, x, y, quadkey, n_features, blob). The blob is
+    a gzip-compressed JSON manifest of the tile's surviving rows and
+    non-null tags (the graft analogue of MVT re-encode M13 + gzip S7),
+    with first-seen key/value pools like the reference's layer dicts
+    (M12) so pool indices round-trip."""
+    g = group.sort_values(cfg.id_col, kind="stable")
+    tag_cols = [c for c in cfg.tag_cols if c in g.columns]
+    keys_pool: list = []
+    values_pool: list = []
+    key_idx: Dict[str, int] = {}
+    val_idx: Dict[object, int] = {}
+    feats = []
+    for _, row in g.iterrows():
+        tags = []
+        for c in tag_cols:
+            v = row[c]
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue
+            if isinstance(v, np.generic):
+                v = v.item()
+            ki = key_idx.get(c)
+            if ki is None:
+                ki = key_idx[c] = len(keys_pool)
+                keys_pool.append(c)
+            vkey = (type(v).__name__, v)
+            vi = val_idx.get(vkey)
+            if vi is None:
+                vi = val_idx[vkey] = len(values_pool)
+                values_pool.append(v)
+            tags.extend((ki, vi))
+        feats.append({"id": row[cfg.id_col], "tags": tags})
+    manifest = {
+        "tile_id": int(g["tile_id"].iloc[0]),
+        "z": int(g["z"].iloc[0]), "x": int(g["x"].iloc[0]), "y": int(g["y"].iloc[0]),
+        "keys": keys_pool, "values": values_pool, "features": feats,
+    }
+    raw = json.dumps(manifest, separators=(",", ":"), default=str).encode()
+    blob = gzip.compress(raw) if compress else raw
+    return pd.DataFrame({
+        "tile_id": [int(g["tile_id"].iloc[0])],
+        "z": [int(g["z"].iloc[0])], "x": [int(g["x"].iloc[0])], "y": [int(g["y"].iloc[0])],
+        "quadkey": [g["quadkey"].iloc[0]],
+        "n_features": [len(feats)],
+        "blob": [blob],
+    })
+
+
+def decode_tile_blob(blob: bytes) -> dict:
+    """Inverse of encode_tile_group (tests + downstream readers)."""
+    try:
+        raw = gzip.decompress(blob)
+    except OSError:
+        raw = blob
+    m = json.loads(raw)
+    out = []
+    for f in m["features"]:
+        tags = {}
+        t = f["tags"]
+        for i in range(0, len(t), 2):
+            tags[m["keys"][t[i]]] = m["values"][t[i + 1]]
+        out.append({"id": f["id"], "tags": tags})
+    m["decoded"] = out
+    return m
+
+
+# ---- salted two-phase aggregates --------------------------------------
+
+
+def partial_tile_counts(batch: pa.Table, key: str = "tile_id",
+                        carry=("z", "x", "y")) -> pa.Table:
+    """Phase 1 (inside map_batches, before any shuffle): collapse a batch
+    to one row per key — the combiner that turns the wide
+    groupby-over-rows into a groupby-over-partials (SURVEY §4 skew row).
+    Hot tiles therefore arrive at the shuffle pre-reduced per block, which
+    IS the salting: the salt is the block id."""
+    cols = [c for c in carry if c in batch.column_names]
+    tbl = batch.select([key, *cols])
+    g = tbl.group_by(key).aggregate(
+        [(key, "count")] + [(c, "max") for c in cols])
+    names = {f"{key}_count": "partial_count"}
+    names.update({f"{c}_max": c for c in cols})
+    return g.rename_columns([names.get(c, c) for c in g.column_names])
+
+
+def tile_counts_two_phase(ds, key: str = "tile_id", carry=("z", "x", "y")):
+    """Full two-phase count: partials per block (map-side combine) →
+    small groupby over partials. The shuffle moves ≤ (blocks × distinct
+    keys per block) rows instead of every input row."""
+    from ray.data.aggregate import Max, Sum
+
+    partials = ds.map_batches(
+        lambda b: partial_tile_counts(b, key=key, carry=carry),
+        batch_format="pyarrow",
+    )
+    aggs = [Sum("partial_count", alias_name="n_images")]
+    for c in carry:
+        aggs.append(Max(c, alias_name=c))
+    return partials.groupby(key).aggregate(*aggs)
+
+
+def top_k_tiles(ds, k: int = 20, key: str = "tile_id"):
+    """Top-k dense tiles from the two-phase counts (small result)."""
+    counted = tile_counts_two_phase(ds, key=key)
+    return counted.sort("n_images", descending=True).limit(k)

@@ -1,44 +1,539 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract (see original stub docstring): entry() smoke, queries()
+per-operator callables, oracle_sql() DuckDB equivalents.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE import — nothing here calls
+ray.init()/shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-name discipline: every computed column is named identically in the
+Ray pipeline and the SQL (the driver sorts columns by name and hashes
+values). Float-returning queries floor to a fixed grid on BOTH sides so
+last-ulp engine differences can't flip the hash.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from mvt_wrangler_ray.config import EngineConfig
+from mvt_wrangler_ray.geo.geotag import SQL_LAT, SQL_LON
+
+# ---------------------------------------------------------------------------
+# shared fixtures
+
+ZOOM = 12
+DENSITY_ZOOM = 8
+
+# non-convex test mask (crossing-number PIP in both engines)
+PIP_POLY = [
+    [-60.0, -40.0], [20.0, -40.0], [40.0, 10.0], [0.0, 0.0],
+    [-10.0, 45.0], [-60.0, 20.0], [-60.0, -40.0],
+]
+
+FILTERS_GEOJSON = json.dumps({
+    "type": "FeatureCollection",
+    "features": [
+        {"type": "Feature",
+         "properties": {"name": "dense-mask",
+                        "layers": {"images": {"feature": ["boolean", True]}}},
+         "geometry": {"type": "Polygon", "coordinates": [PIP_POLY]}},
+        {"type": "Feature",
+         "properties": {"layers": {"*": {"tag": ["in", ["key"], ["literal", ["phash"]]]}}},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[-180, -90], [-180, 90], [180, 90],
+                                       [180, -90], [-180, -90]]]}},
+    ],
+})
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _geotag_docs(batch: pa.Table) -> pa.Table:
+    from mvt_wrangler_ray.geo.geotag import geotag_ints
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lon, lat = geotag_ints(ids)
+    return (batch.append_column("lon", pa.array(lon, pa.float64()))
+                 .append_column("lat", pa.array(lat, pa.float64())))
+
+
+def _assign(batch: pa.Table, z: int) -> pa.Table:
+    from mvt_wrangler_ray.geo.tilemath import assign_tile
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    x, y = assign_tile(lon, lat, z)
+    return (batch.append_column("z", pa.array(np.full(len(x), z, np.int64), pa.int64()))
+                 .append_column("x", pa.array(x, pa.int64()))
+                 .append_column("y", pa.array(y, pa.int64())))
+
+
+def _sql_tile(zoom: int, lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    n = 2 ** zoom
+    tx = (f"CAST(greatest(0, least({n - 1}, "
+          f"floor(({lon_expr} + 180.0) / 360.0 * {n}))) AS BIGINT)")
+    ty = (f"CAST(greatest(0, least({n - 1}, floor((1.0 - ln(tan(radians({lat_expr})) "
+          f"+ 1.0 / cos(radians({lat_expr}))) / pi()) / 2.0 * {n}))) AS BIGINT)")
+    return tx, ty
+
+
+def _sql_pip(lon: str, lat: str, poly) -> str:
+    """Crossing-number point-in-polygon unrolled to SQL (same even-odd
+    rule as geo.geometry.points_in_ring)."""
+    terms = []
+    for (ax, ay), (bx, by) in zip(poly[:-1], poly[1:]):
+        terms.append(
+            f"(CASE WHEN (({ay!r} > {lat}) != ({by!r} > {lat})) AND "
+            f"({lon} < {ax!r} + ({lat} - {ay!r}) * ({bx!r} - {ax!r}) / ({by!r} - {ay!r})) "
+            f"THEN 1 ELSE 0 END)")
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: documents → images-shaped table → geotag →
+    cells → tiles → spatial-mask filter join → salted two-phase per-tile
+    counts."""
+    from mvt_wrangler_ray.pipelines.wrangle import wrangle_counts
+    from mvt_wrangler_ray.sources.images import images_from_documents
+
+    ds = images_from_documents("/root/testdata/sf0.001")
+    return wrangle_counts(ds, EngineConfig(zoom=ZOOM),
+                          filter_geojson=FILTERS_GEOJSON)
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def _q_tile_assign(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(_geotag_docs, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: _assign(b, ZOOM).select(["doc_id", "z", "x", "y"]),
+                        batch_format="pyarrow")
+    return ds
+
+
+def _q_tile_density(sf_dir: str):
+    from mvt_wrangler_ray.stages.tile_encode import tile_counts_two_phase
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(_geotag_docs, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: _assign(b, DENSITY_ZOOM).select(["doc_id", "x", "y"]),
+        batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "tile_key", pa.array(b["x"].to_numpy(zero_copy_only=False) * (2 ** DENSITY_ZOOM)
+                                 + b["y"].to_numpy(zero_copy_only=False), pa.int64())),
+        batch_format="pyarrow")
+    out = tile_counts_two_phase(ds, key="tile_key", carry=("x", "y"))
+    return out.map_batches(
+        lambda b: b.select(["x", "y", "n_images"]).rename_columns(["x", "y", "n"]),
+        batch_format="pyarrow")
+
+
+def _q_tile_topk(sf_dir: str):
+    dens = _q_tile_density(sf_dir)
+    return dens.sort(["n", "x", "y"], descending=[True, False, False]).limit(20)
+
+
+def _q_pip_join(sf_dir: str):
+    from mvt_wrangler_ray.geo.geometry import parse_geojson_geometry, points_in_polygon
+    geom = parse_geojson_geometry({"type": "Polygon", "coordinates": [PIP_POLY]})
+
+    def pip(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(points_in_polygon(lon, lat, geom))).select(["doc_id"])
+
+    return (_docs(sf_dir, ["doc_id"]).map_batches(_geotag_docs, batch_format="pyarrow")
+            .map_batches(pip, batch_format="pyarrow"))
+
+
+def _q_expr_filter(sf_dir: str):
+    """The reference expression dialect evaluated vectorized over a typed
+    table (columns are the tag namespace)."""
+    from mvt_wrangler_ray.expr import ColumnTagContext, compile_expression
+    from mvt_wrangler_ray.expr.vector import evaluate_vector
+
+    expr = compile_expression([
+        "all",
+        ["==", ["tag", "lang"], "en"],
+        [">", ["tag", "n_chars"], 300],
+        ["regex-match", ["tag", "text"], "window"],
+    ])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ctx = ColumnTagContext(len(batch), {c: batch[c] for c in batch.column_names})
+        keep = evaluate_vector(expr, ctx).to_bool_array()
+        return batch.filter(pa.array(keep)).select(["doc_id"])
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def _q_exact_dedup(sf_dir: str):
+    from mvt_wrangler_ray.stages.dedup import exact_dedup
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_token_count(sf_dir: str):
+    from mvt_wrangler_ray.stages.text import token_count_batch
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow")
+
+
+def _q_quality(sf_dir: str):
+    from mvt_wrangler_ray.stages.text import quality_score_batch
+
+    def f(batch: pa.Table) -> pa.Table:
+        # recompute the two reported ratios with the EXACT SQL arithmetic
+        # order (k * 1e6 / n), so floor discretization can't straddle —
+        # same IEEE ops on the same inputs give bit-identical doubles.
+        t = quality_score_batch(batch)
+        import pyarrow.compute as pc
+        arr = batch["text"]
+        n_chars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_punct = pc.count_substring_regex(arr, pattern=r"[.!?,;:]").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n_words = pc.count_substring_regex(
+            pc.utf8_trim_whitespace(arr), pattern=r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        pr = np.floor(n_punct * 1e6 / np.maximum(n_chars, 1.0)) / 1e6
+        mw = np.floor((n_chars - (n_words - 1.0)) * 1e6 / np.maximum(n_words, 1.0)) / 1e6
+        return pa.table({"doc_id": t["doc_id"],
+                         "punct_ratio_f": pa.array(pr, pa.float64()),
+                         "mean_word_len_f": pa.array(mw, pa.float64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def _load_query_vec(sf_dir: str):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    idx = t["vec_id"].to_numpy(zero_copy_only=False).tolist().index(0)
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def _q_knn(sf_dir: str):
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.knn import knn_topk
+    q = _load_query_vec(sf_dir)
+    out = knn_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                   queries=q[None, :], query_ids=np.array([0], dtype=np.int64),
+                   k=10)
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.dedup import embedding_near_dups
+    pairs = embedding_near_dups(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        threshold=0.45, nbits=0).to_pandas()  # nbits=0 → exact (oracle mode)
+    if len(pairs) == 0 or "id_a" not in pairs.columns:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64)})
+    pairs = pairs[["id_a", "id_b"]].astype(np.int64)
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_events_window(sf_dir: str):
+    """Tumbling 1-day windows per event_type: in-batch partial agg →
+    small groupby (two-phase, no full-row shuffle)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype("datetime64[us]")
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "day": pa.array(day),
+            "value": batch["value"],
+        })
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+        return g.rename_columns(["event_type", "day", "vsum", "vcount"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "day"])
+           .aggregate(Sum("vsum", alias_name="total_raw"),
+                      Sum("vcount", alias_name="n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tot = np.round(batch["total_raw"].to_numpy(zero_copy_only=False) * 1e3) / 1e3
+        return pa.table({"event_type": batch["event_type"], "day": batch["day"],
+                         "n": batch["n"],
+                         "total_f": pa.array(tot, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_broadcast_join(sf_dir: str):
+    """Broadcast join: nation (tiny) shipped once via ray.put, probed in
+    map_batches; per-batch partial counts → small groupby."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    lookup_ref = ray.put(dict(zip(
+        nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())))
+
+    def enrich_count(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = np.array([lookup.get(int(k)) for k in keys], dtype=object)
+        t = pa.table({"n_name": pa.array(names, pa.string())})
+        g = t.group_by("n_name").aggregate([("n_name", "count")])
+        return g.rename_columns(["n_name", "partial"])
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    return (ds.map_batches(enrich_count, batch_format="pyarrow")
+            .groupby("n_name").aggregate(Sum("partial", alias_name="n_customers")))
+
+
+def _q_groupby_agg(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with map-side partials."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "psum", "pcount"])
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("psum", alias_name="sum_qty_raw"),
+                      Sum("pcount", alias_name="n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sq = np.round(batch["sum_qty_raw"].to_numpy(zero_copy_only=False) * 1e3) / 1e3
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "l_linestatus": batch["l_linestatus"],
+                         "sum_qty_f": pa.array(sq, pa.float64()),
+                         "n": batch["n"]})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_sort_limit(sf_dir: str):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(15)
+
+
+def _q_image_tiles(sf_dir: str):
+    """Images-shaped pipeline with pyramid assignment z10..z12 (3 rows per
+    image), geotagged from the integer doc_id for SQL parity."""
+    from mvt_wrangler_ray.sources.images import images_from_documents
+    ds = images_from_documents(sf_dir)
+    ds = ds.map_batches(
+        lambda b: _geotag_docs(b.select(["doc_id"])), batch_format="pyarrow")
+
+    def pyramid(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [_assign(batch, z).select(["doc_id", "z", "x", "y"]) for z in (10, 11, 12)])
+
+    return ds.map_batches(pyramid, batch_format="pyarrow")
+
+
+# rows-only (no SQL-expressible oracle) -------------------------------------
+
+
+def _q_minhash_near_dup(sf_dir: str):
+    from mvt_wrangler_ray.stages.dedup import minhash_near_dups
+    out = minhash_near_dups(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+    out = out[["id_a", "id_b"]].astype(np.int64)
+    return out
+
+
+def _q_simhash(sf_dir: str):
+    from mvt_wrangler_ray.stages.dedup import simhash_batch
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: simhash_batch(b).select(["doc_id", "simhash"]),
+        batch_format="pyarrow")
+
+
+def _q_fingerprint(sf_dir: str):
+    from mvt_wrangler_ray.stages.text import fingerprint_batch
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: fingerprint_batch(b).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    from mvt_wrangler_ray.stages.text import LangIdStage
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=(1, 2)).select_columns(
+        ["doc_id", "predicted_lang"])
+
+
+def _q_cells(sf_dir: str):
+    from mvt_wrangler_ray.geo import cells as cellmod
+
+    def f(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        s2 = cellmod.s2_cell_id(lon, lat, 12).astype(np.int64)
+        hx = cellmod.hex_cell(lon, lat, 7).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "s2_cell": pa.array(s2, pa.int64()),
+                         "hex_cell": pa.array(hx, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        _geotag_docs, batch_format="pyarrow").map_batches(f, batch_format="pyarrow")
+
+
+def _q_decode_images(sf_dir: str):
+    from mvt_wrangler_ray.sources.images import images_from_documents
+    from mvt_wrangler_ray.stages.image import DecodeImageStage
+    ds = images_from_documents(sf_dir)
+    out = ds.map_batches(DecodeImageStage, batch_format="pyarrow",
+                         batch_size=1024, concurrency=(1, 2))
+    return out.select_columns(["doc_id", "sniffed_fmt", "phash_recomputed"])
+
+
+def _q_knn_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.knn import ivf_knn_topk, train_centroids
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    sample = np.vstack(t["embedding"].to_pylist()[:256])
+    cents = train_centroids(sample, ncentroids=8)
+    q = _load_query_vec(sf_dir)
+    out = ivf_knn_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                       q[None, :], np.array([0], dtype=np.int64), cents,
+                       k=10, nprobe=4)
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def _q_wrangle_tiles(sf_dir: str):
+    from mvt_wrangler_ray.pipelines.wrangle import wrangle_tiles
+    from mvt_wrangler_ray.sources.images import images_from_documents
+    tiles = wrangle_tiles(images_from_documents(sf_dir),
+                          EngineConfig(zoom=8),
+                          filter_geojson=FILTERS_GEOJSON)
+    return tiles.select_columns(["tile_id", "z", "x", "y", "n_features"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_assign": _q_tile_assign,
+        "tile_density": _q_tile_density,
+        "tile_topk": _q_tile_topk,
+        "pip_join": _q_pip_join,
+        "expr_filter": _q_expr_filter,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "quality": _q_quality,
+        "knn": _q_knn,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "events_window": _q_events_window,
+        "broadcast_join": _q_broadcast_join,
+        "groupby_agg": _q_groupby_agg,
+        "sort_limit": _q_sort_limit,
+        "image_tiles": _q_image_tiles,
+        # rows-only checks (non-SQL-expressible)
+        "minhash_near_dup": _q_minhash_near_dup,
+        "simhash": _q_simhash,
+        "fingerprint": _q_fingerprint,
+        "lang_id": _q_lang_id,
+        "cells": _q_cells,
+        "decode_images": _q_decode_images,
+        "knn_ivf": _q_knn_ivf,
+        "wrangle_tiles": _q_wrangle_tiles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lon = SQL_LON.format(id="doc_id")
+    lat = SQL_LAT.format(id="doc_id")
+    tx12, ty12 = _sql_tile(ZOOM, "lon", "lat")
+    txd, tyd = _sql_tile(DENSITY_ZOOM, "lon", "lat")
+    geo = f"SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents"
+    pip = _sql_pip("lon", "lat", PIP_POLY)
+    density = (f"SELECT x, y, count(*) AS n FROM ("
+               f"SELECT {txd} AS x, {tyd} AS y FROM ({geo})) GROUP BY x, y")
+
+    pyramid_parts = []
+    for z in (10, 11, 12):
+        tx, ty = _sql_tile(z, "lon", "lat")
+        pyramid_parts.append(
+            f"SELECT doc_id, {z} AS z, {tx} AS x, {ty} AS y FROM ({geo})")
+
+    return {
+        "tile_assign":
+            f"SELECT doc_id, {ZOOM} AS z, {tx12} AS x, {ty12} AS y FROM ({geo})",
+        "tile_density": density,
+        "tile_topk":
+            f"SELECT * FROM ({density}) ORDER BY n DESC, x ASC, y ASC LIMIT 20",
+        "pip_join":
+            f"SELECT doc_id FROM ({geo}) WHERE {pip}",
+        "expr_filter":
+            "SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars > 300 "
+            "AND regexp_matches(text, 'window')",
+        "exact_dedup":
+            "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id "
+            "FROM documents GROUP BY 1",
+        "token_count":
+            "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) "
+            "AS n_tokens FROM documents",
+        "quality":
+            "SELECT doc_id, "
+            "floor(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1e6 "
+            "  / greatest(length(text), 1)) / 1e6 AS punct_ratio_f, "
+            "floor((length(text) - (w - 1)) * 1e6 / greatest(w, 1)) / 1e6 "
+            "  AS mean_word_len_f "
+            "FROM (SELECT doc_id, text, CAST(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) "
+            "AS w FROM documents)",
+        "knn":
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT CAST(0 AS BIGINT) AS query_id, vec_id, "
+            "CAST(row_number() OVER (ORDER BY "
+            "  list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, "
+            "  vec_id ASC) AS BIGINT) AS rank "
+            "FROM embeddings "
+            "ORDER BY rank LIMIT 10",
+        "embedding_near_dup":
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45 "
+            "ORDER BY id_a, id_b",
+        "events_window":
+            "SELECT event_type, date_trunc('day', ts) AS day, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(value) * 1e3) / 1e3 AS total_f "
+            "FROM events GROUP BY 1, 2",
+        "broadcast_join":
+            "SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers "
+            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY 1",
+        "groupby_agg":
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity) * 1e3) / 1e3 AS sum_qty_f, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY 1, 2",
+        "sort_limit":
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15",
+        "image_tiles": " UNION ALL ".join(pyramid_parts),
+    }

@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE
+(`ray.put` on the driver / actor constructor), each batch does one
+matmul against it, emits per-batch local top-k, and a tiny global merge
+(groupby query) finishes. No full-dataset materialization; the shuffle
+carries only (query_id, vec_id, score) rows ≤ batches × k.
+
+Scale path: IVF-style routing — kmeans-lite centroids (seeded, trained on
+a sample), each vector assigned to its nearest centroid; queries probe
+the nprobe nearest centroid partitions only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.vstack(col.to_pylist()).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceKnnStage:
+    """Actor: normalized query matrix built once per actor. Per batch:
+    cosine vs all queries, local top-k rows out."""
+
+    def __init__(self, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.q = _normalize(np.asarray(queries, dtype=np.float64))
+        self.qids = np.asarray(query_ids)
+        self.k = k
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_as_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = self.q @ mat.T                      # (nq, nbatch)
+        k = min(self.k, sims.shape[1])
+        # local top-k per query
+        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows = np.repeat(self.qids, k)
+        cand_ids = ids[part].ravel()
+        scores = np.take_along_axis(sims, part, axis=1).ravel()
+        return pa.table({
+            "query_id": pa.array(rows),
+            self.id_col: pa.array(cand_ids),
+            "score": pa.array(scores, pa.float64()),
+        })
+
+
+def knn_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
+    """Global top-k per query: per-batch local top-k → merge (small)."""
+    local = ds.map_batches(
+        BruteForceKnnStage,
+        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids,
+                               "k": k, "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # deterministic tie-break: score desc, then id asc
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (local.groupby("query_id").map_groups(merge, batch_format="pandas")
+            .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+# ---- IVF (scale path) -------------------------------------------------
+
+
+def train_centroids(sample: np.ndarray, ncentroids: int = 16, iters: int = 10,
+                    seed: int = 42) -> np.ndarray:
+    """kmeans-lite on a driver-side sample (sample ≪ dataset; the trained
+    centroids broadcast to every task)."""
+    rng = np.random.default_rng(seed)
+    s = _normalize(np.asarray(sample, dtype=np.float64))
+    c = s[rng.choice(len(s), min(ncentroids, len(s)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(s @ c.T, axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                c[j] = _normalize(s[m].mean(axis=0, keepdims=True))[0]
+    return c
+
+
+def ivf_assign_batch(batch: pa.Table, centroids: np.ndarray,
+                     vec_col: str = "embedding") -> pa.Table:
+    mat = _normalize(_as_matrix(batch[vec_col]))
+    part = np.argmax(mat @ np.asarray(centroids).T, axis=1).astype(np.int32)
+    return batch.append_column("ivf_partition", pa.array(part, pa.int32()))
+
+
+def ivf_knn_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
+                 centroids: np.ndarray, k: int = 10, nprobe: int = 4,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
+    """Probe only the nprobe nearest centroid partitions per query:
+    the partition filter prunes at the read (vectorized mask per batch),
+    then the brute-force stage runs on the survivors only."""
+    c = np.asarray(centroids)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]
+    allowed = set(np.unique(probe).tolist())
+
+    part_ds = ds.map_batches(
+        lambda b: ivf_assign_batch(b, c, vec_col), batch_format="pyarrow")
+    pruned = part_ds.map_batches(
+        lambda b: b.filter(pa.array(np.isin(
+            b["ivf_partition"].to_numpy(zero_copy_only=False), list(allowed)))),
+        batch_format="pyarrow")
+    return knn_topk(pruned, queries, query_ids, k, vec_col, id_col)

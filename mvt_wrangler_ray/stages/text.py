@@ -1,0 +1,111 @@
+"""Text-analysis stages for large-scale training-data pipelines:
+token counting, quality scoring, language ID, document fingerprinting.
+
+All are stateless vectorized ``map_batches`` transforms except language
+ID, which is a callable class (actor pool) holding compiled regexes and
+stopword tables built once per actor.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Whitespace token count + BPE-ish subword estimate.
+    n_tokens mirrors `len(text.split())` == SQL
+    `length(regexp_split_to_array(trim(col), '\\s+'))`."""
+    arr = batch[col]
+    trimmed = pc.utf8_trim_whitespace(arr)
+    # count runs of non-space = whitespace split count (0 for empty)
+    toks = pc.count_substring_regex(trimmed, pattern=r"\S+")
+    # BPE-ish: ~1 token per 4 chars, minimum the word count
+    n_chars = pc.utf8_length(arr)
+    bpe = pc.max_element_wise(toks, pc.cast(
+        pc.ceil(pc.divide(pc.cast(n_chars, pa.float64()), 4.0)), pa.int32()))
+    return (batch
+            .append_column("n_tokens", pc.cast(toks, pa.int64()))
+            .append_column("n_tokens_bpe", pc.cast(bpe, pa.int64())))
+
+
+def quality_score_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Quality heuristics: length, punctuation ratio, digit ratio,
+    mean word length, and a composite [0,1] score. Pure Arrow kernels —
+    SQL-reproducible (see oracle)."""
+    arr = batch[col]
+    n_chars = pc.cast(pc.utf8_length(arr), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(arr, pattern=r"[.!?,;:]"), pa.float64())
+    n_digit = pc.cast(pc.count_substring_regex(arr, pattern=r"[0-9]"), pa.float64())
+    n_words = pc.cast(pc.count_substring_regex(
+        pc.utf8_trim_whitespace(arr), pattern=r"\S+"), pa.float64())
+    safe_chars = pc.max_element_wise(n_chars, 1.0)
+    safe_words = pc.max_element_wise(n_words, 1.0)
+    punct_ratio = pc.divide(n_punct, safe_chars)
+    digit_ratio = pc.divide(n_digit, safe_chars)
+    mean_word_len = pc.divide(
+        pc.subtract(n_chars, pc.subtract(n_words, 1.0)), safe_words)
+    # composite: long enough, not punct/digit heavy
+    score = pc.multiply(
+        pc.min_element_wise(pc.divide(n_chars, 200.0), 1.0),
+        pc.multiply(pc.subtract(1.0, pc.min_element_wise(punct_ratio, 1.0)),
+                    pc.subtract(1.0, pc.min_element_wise(digit_ratio, 1.0))))
+    return (batch
+            .append_column("punct_ratio", punct_ratio)
+            .append_column("digit_ratio", digit_ratio)
+            .append_column("mean_word_len", mean_word_len)
+            .append_column("quality_score", score))
+
+
+_STOPWORDS: Dict[str, set] = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "por"},
+}
+
+
+class LangIdStage:
+    """n-gram + stopword language ID heuristic (actor pool: tables and
+    regexes built once per actor in __init__). CJK detection by unicode
+    block; Latin languages by stopword hit-rate. Emits predicted_lang."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zA-ZÀ-ÿ]+")
+        self.cjk_re = re.compile(r"[一-鿿぀-ヿ]")
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        preds = np.empty(len(texts), dtype=object)
+        for i, t in enumerate(texts):
+            t = t or ""
+            if self.cjk_re.search(t):
+                preds[i] = "zh"
+                continue
+            words = [w.lower() for w in self.word_re.findall(t)[:200]]
+            best, best_hits = "en", -1
+            for lang, table in self.tables.items():
+                hits = sum(1 for w in words if w in table)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds[i] = best if best_hits > 0 else "und"
+        return batch.append_column("predicted_lang", pa.array(preds, pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Document fingerprint: crc32 rolling over normalized words folded
+    into 64 bits — a cheap stable content id for exact dedup at scale."""
+    texts = batch[col].to_pylist()
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        norm = " ".join((t or "").lower().split())
+        h = zlib.crc32(norm.encode())
+        h2 = zlib.crc32(norm[::-1].encode())
+        out[i] = np.int64(np.uint64(h) << np.uint64(32) | np.uint64(h2))
+    return batch.append_column("fingerprint", pa.array(out, pa.int64()))

@@ -249,26 +249,24 @@ def _q_events_window(sf_dir: str):
     """Tumbling 1-day windows per event_type: in-batch partial agg →
     small groupby (two-phase, no full-row shuffle)."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
+    from mvt_wrangler_ray.stages.shuffle import two_phase_aggregate
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def window(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False)
         day = ts.astype("datetime64[D]").astype("datetime64[us]")
-        t = pa.table({
-            "event_type": batch["event_type"],
-            "day": pa.array(day),
-            "value": batch["value"],
-        })
-        g = t.group_by(["event_type", "day"]).aggregate(
-            [("value", "sum"), ("value", "count")])
-        return g.rename_columns(["event_type", "day", "vsum", "vcount"])
+        return pa.table({"event_type": batch["event_type"],
+                         "day": pa.array(day),
+                         "value": batch["value"]})
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["event_type", "day"])
-           .aggregate(Sum("vsum", alias_name="total_raw"),
-                      Sum("vcount", alias_name="n")))
+    agg = two_phase_aggregate(
+        ds.map_batches(window, batch_format="pyarrow"),
+        keys=["event_type", "day"],
+        partial_aggs=[("value", "sum"), ("value", "count")],
+        partial_names=["vsum", "vcount"],
+        final_aggs=[("vsum", "sum"), ("vcount", "sum")],
+        final_names=["total_raw", "n"])
 
     def finish(batch: pa.Table) -> pa.Table:
         tot = np.round(batch["total_raw"].to_numpy(zero_copy_only=False) * 1e3) / 1e3
@@ -285,41 +283,37 @@ def _q_broadcast_join(sf_dir: str):
     import ray
     import ray.data as rd
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
+    from mvt_wrangler_ray.stages.shuffle import grouped_count
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     lookup_ref = ray.put(dict(zip(
         nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())))
 
-    def enrich_count(batch: pa.Table) -> pa.Table:
+    def enrich(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
         keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
         names = np.array([lookup.get(int(k)) for k in keys], dtype=object)
-        t = pa.table({"n_name": pa.array(names, pa.string())})
-        g = t.group_by("n_name").aggregate([("n_name", "count")])
-        return g.rename_columns(["n_name", "partial"])
+        return pa.table({"n_name": pa.array(names, pa.string())})
 
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
-    return (ds.map_batches(enrich_count, batch_format="pyarrow")
-            .groupby("n_name").aggregate(Sum("partial", alias_name="n_customers")))
+    return grouped_count(ds.map_batches(enrich, batch_format="pyarrow"),
+                         ["n_name"], out="n_customers", num_buckets=8)
 
 
 def _q_groupby_agg(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate with map-side partials."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
-
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_quantity", "count")])
-        return g.rename_columns(["l_returnflag", "l_linestatus", "psum", "pcount"])
+    from mvt_wrangler_ray.stages.shuffle import two_phase_aggregate
 
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_returnflag", "l_linestatus", "l_quantity"])
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("psum", alias_name="sum_qty_raw"),
-                      Sum("pcount", alias_name="n")))
+    agg = two_phase_aggregate(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        partial_aggs=[("l_quantity", "sum"), ("l_quantity", "count")],
+        partial_names=["psum", "pcount"],
+        final_aggs=[("psum", "sum"), ("pcount", "sum")],
+        final_names=["sum_qty_raw", "n"])
 
     def finish(batch: pa.Table) -> pa.Table:
         sq = np.round(batch["sum_qty_raw"].to_numpy(zero_copy_only=False) * 1e3) / 1e3

@@ -1,0 +1,151 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md protocol).
+
+Plain run: prints ONE JSON line
+    {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, "rows": ..., "tiles_per_sec": ...}
+
+--scaling: runs the headline pipeline twice in FRESH processes at
+RAY_GRAFT_CPUS=8 and =32 on identical input and reports both throughputs
+plus efficiency = (t_8 / t_32) / 4 (1.0 = linear). This evidences the
+north rule's N→4N criterion in a single-node sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+HEADLINE_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "400000"))
+
+
+def _init_ray():
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def synth_images_ds(n: int, block_rows: int = 25_000):
+    """Distributed deterministic synthesis: each block regenerates its id
+    range independently (no driver materialization, no external data)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mvt_wrangler_ray.sources.images import synth_images_table
+
+    starts = [{"start": s, "count": min(block_rows, n - s)}
+              for s in range(0, n, block_rows)]
+    ds = rd.from_items(starts)
+
+    def gen(batch) -> list:
+        out = []
+        for start, count in zip(batch["start"], batch["count"]):
+            out.append(synth_images_table(int(count), start=int(start)))
+        return pa.concat_tables(out)
+
+    return ds.map_batches(gen, batch_format="pandas", batch_size=1)
+
+
+def run_headline() -> dict:
+    from __ray_entry__ import FILTERS_GEOJSON
+    from mvt_wrangler_ray.config import EngineConfig
+    from mvt_wrangler_ray.pipelines.wrangle import wrangle_counts
+
+    cfg = EngineConfig(zoom=12, filter_concurrency=(2, max(2, NUM_CPUS // 2)),
+                       batch_size=25_000)
+    # warm page cache / workers with an untimed tiny pass
+    synth_images_ds(10_000).map_batches(lambda b: b, batch_format="pyarrow").count()
+
+    t0 = time.perf_counter()
+    ds = synth_images_ds(HEADLINE_IMAGES)
+    out = wrangle_counts(ds, cfg, filter_geojson=FILTERS_GEOJSON)
+    n_tiles = out.count()
+    sec = time.perf_counter() - t0
+    return {"sec": sec, "rows": HEADLINE_IMAGES, "tiles": n_tiles,
+            "rows_per_sec": HEADLINE_IMAGES / sec,
+            "tiles_per_sec": n_tiles / sec}
+
+
+BENCH_QUERIES = ["tile_assign", "tile_density", "pip_join", "exact_dedup",
+                 "expr_filter", "knn", "groupby_agg", "events_window",
+                 "image_tiles", "minhash_near_dup"]
+
+
+def run_queries() -> dict:
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # untimed warmup at the smallest sf: warms worker imports, actor pools
+    # and the OS page cache so timed numbers measure compute + shuffle
+    for name in BENCH_QUERIES:
+        try:
+            res = qs[name]("/root/testdata/sf0.001")
+            if hasattr(res, "count") and not isinstance(res, pd.DataFrame):
+                res.count()
+        except Exception:
+            pass
+    times = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume: Datasets stream to completion; DataFrames are done
+        if hasattr(res, "count") and not isinstance(res, pd.DataFrame):
+            res.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main():
+    _init_ray()
+    import ray
+
+    head = run_headline()
+    queries = run_queries()
+    print(json.dumps({
+        "metric": "wrangle_images_e2e_sec",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": head["rows"],
+        "tiles": head["tiles"],
+        "rows_per_sec": round(head["rows_per_sec"], 1),
+        "tiles_per_sec": round(head["tiles_per_sec"], 1),
+    }))
+    ray.shutdown()
+
+
+def scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(json.dumps({
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "rows_per_sec_8": lo["rows_per_sec"], "rows_per_sec_32": hi["rows_per_sec"],
+        "tiles_per_sec_8": lo["tiles_per_sec"], "tiles_per_sec_32": hi["tiles_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

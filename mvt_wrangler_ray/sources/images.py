@@ -36,6 +36,19 @@ _PLACES = np.array(
 _MAGIC = {"png": b"\x89PNG\r\n\x1a\n", "jpeg": b"\xff\xd8\xff\xe0", "webp": b"RIFF????WEBP"}
 
 
+def _fake_payloads(h64: np.ndarray, fmt: np.ndarray, payload_bytes: int) -> pa.Array:
+    """Vectorized deterministic payload synthesis: one (n, payload) uint8
+    matrix from the id hashes (outer product, no per-row arithmetic), then
+    per-row magic + memcpy. Matches stages.image._fake_decode."""
+    n = len(h64)
+    seeds = (h64 | np.uint64(1)).astype(np.uint64)
+    tail = (h64 >> np.uint64(7)).astype(np.uint64)
+    idx = np.arange(payload_bytes, dtype=np.uint64)
+    mat = ((idx[None, :] * seeds[:, None]) + tail[:, None]).astype(np.uint8)
+    return pa.array(
+        [_MAGIC[fmt[i]] + mat[i].tobytes() for i in range(n)], pa.binary())
+
+
 def synth_images_table(n: int, start: int = 0, payload_bytes: int = 96,
                        hot_fraction: float = 0.1,
                        hot_lon: float = 130.66, hot_lat: float = 30.38) -> pa.Table:
@@ -57,16 +70,7 @@ def synth_images_table(n: int, start: int = 0, payload_bytes: int = 96,
          for i in ids], dtype=object)
     phash = (h64 ^ (h64 >> np.uint64(13)) ^ np.uint64(0x9E3779B97F4A7C15)).astype(np.int64)
 
-    # deterministic fake payload: repeatable byte pattern from the hash
-    rows = []
-    for i in range(n):
-        magic = _MAGIC[fmt[i]]
-        seed = int(h64[i])
-        body = np.frombuffer(
-            (np.arange(payload_bytes, dtype=np.uint64) * np.uint64(seed | 1)
-             + np.uint64(seed >> 7)).astype(np.uint8).tobytes(), dtype=np.uint8)
-        rows.append(magic + body.tobytes())
-    bytes_col = pa.array(rows, pa.binary())
+    bytes_col = _fake_payloads(h64, fmt, payload_bytes)
 
     hot = (ids % np.int64(max(round(1.0 / max(hot_fraction, 1e-9)), 1))) == 0
     jitter = (h64 % np.uint64(10_000)).astype(np.float64) / 10_000.0 * 0.02 - 0.01
@@ -136,15 +140,9 @@ def images_from_documents(sf_dir: str, payload_bytes: int = 64):
         h = (32 + ((h64 >> np.uint64(8)) % np.uint64(97)).astype(np.int64)).astype(np.int32)
         fmt = _FMTS[(ids % 3)]
         phash = (h64 ^ (h64 >> np.uint64(13)) ^ np.uint64(0x9E3779B97F4A7C15)).astype(np.int64)
-        payload = []
-        for i in range(n):
-            seed = int(h64[i])
-            body = (np.arange(payload_bytes, dtype=np.uint64) * np.uint64(seed | 1)
-                    + np.uint64(seed >> 7)).astype(np.uint8).tobytes()
-            payload.append(_MAGIC[fmt[i]] + body)
         return pa.table({
             "image_id": pa.array(image_id, pa.string()),
-            "bytes": pa.array(payload, pa.binary()),
+            "bytes": _fake_payloads(h64, fmt, payload_bytes),
             "w": pa.array(w, pa.int32()),
             "h": pa.array(h, pa.int32()),
             "fmt": pa.array(fmt, pa.string()),

@@ -37,15 +37,18 @@ def content_hash_batch(batch: pa.Table, col: str = "text",
 
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per content hash. Narrow shuffle: only
-    (hash, id) leaves the map side; survivors join back by id via a
-    broadcast of the (small) survivor id set — or, when payloads must
-    flow through, a groupby over full rows. Returns (survivor_ids_ds)."""
-    from ray.data.aggregate import Min
+    (hash, id) leaves the map side, pre-reduced per block, merged with the
+    bucketed hash aggregate (see stages/shuffle.py — avoids Ray's
+    per-group Python walk over one group per distinct document)."""
+    from .shuffle import two_phase_aggregate
 
     hashed = ds.map_batches(
         lambda b: content_hash_batch(b, col).select([id_col, "content_hash"]),
         batch_format="pyarrow")
-    return hashed.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
+    return two_phase_aggregate(
+        hashed, keys=["content_hash"],
+        partial_aggs=[(id_col, "min")], partial_names=[id_col],
+        final_aggs=[(id_col, "min")], final_names=[id_col])
 
 
 # ---- minhash LSH ------------------------------------------------------
@@ -61,7 +64,10 @@ def _perm_params(num_perm: int, seed: int = 42):
 
 
 def _shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingle hashes (crc-free: FNV over the joined words)."""
+    """Word k-gram shingle hashes. crc32 runs at C speed; two crcs (forward
+    and reversed gram) fold into a 64-bit id to keep collisions negligible."""
+    import zlib
+
     words = (text or "").lower().split()
     if len(words) < k:
         grams = [" ".join(words)] if words else []
@@ -69,10 +75,9 @@ def _shingles(text: str, k: int = 3) -> np.ndarray:
         grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
     out = np.empty(len(grams), dtype=np.uint64)
     for i, g in enumerate(grams):
-        h = np.uint64(0xCBF29CE484222325)
-        for byte in g.encode():
-            h = (h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
-        out[i] = h
+        b = g.encode()
+        out[i] = (np.uint64(zlib.crc32(b)) << np.uint64(32)) | np.uint64(
+            zlib.crc32(b[::-1]))
     return out
 
 
@@ -131,28 +136,60 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
-                            col: str = "text", id_col: str = "doc_id"):
-    """Dataset → Dataset of candidate pairs (id_a < id_b), deduped.
-    groupby (band, band_hash) and emit all in-bucket pairs."""
+                            col: str = "text", id_col: str = "doc_id",
+                            bucket_cap: int = 1000, num_buckets: int = 64):
+    """Dataset → Dataset of distinct candidate pairs (id_a < id_b).
+
+    The LSH band table has ~#docs × #bands distinct (band, band_hash)
+    groups — far too many for per-group Python. Instead: hash the band
+    key to a small bucket space, ONE map_groups per bucket, and inside
+    the bucket generate every group's pairs with numpy segment ops.
+    Global pair dedup runs the same way on a pair-key bucket."""
+    from .shuffle import add_bucket_column
+
     exploded = ds.map_batches(
         MinHashStage, fn_constructor_kwargs={
             "num_perm": num_perm, "bands": bands, "col": col, "id_col": id_col},
         batch_format="pyarrow", concurrency=(1, 4))
+    bucketed = exploded.map_batches(
+        lambda b: add_bucket_column(b, ["band", "band_hash"], num_buckets),
+        batch_format="pyarrow")
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > 1000:  # skew guard: a degenerate
-            # bucket (all-identical band) would emit O(n²) pairs; cap and
-            # log via truncation marker instead of silently exploding
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        df = g.select(["band", "band_hash", "doc_id"]).to_pandas()
+        df = df.sort_values(["band", "band_hash", "doc_id"], kind="stable")
+        key = df["band"].to_numpy().astype(np.int64) * np.int64(1 << 32) ^ \
+            df["band_hash"].to_numpy().astype(np.int64)
+        ids = df["doc_id"].to_numpy()
+        # segment boundaries of equal band keys
+        cuts = np.nonzero(np.diff(key))[0] + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(key)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > bucket_cap:  # skew guard: degenerate buckets
+                continue                 # (identical band for huge sets)
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(ids[s + ia])
+            out_b.append(ids[s + ib])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "id_b": pa.array(np.concatenate(out_b), pa.int64())})
 
-    cand = exploded.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    # distinct pairs
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    cand = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+
+    pair_bucketed = cand.map_batches(
+        lambda b: add_bucket_column(b, ["id_a", "id_b"], num_buckets),
+        batch_format="pyarrow")
+
+    def distinct(g: pa.Table) -> pa.Table:
+        df = g.select(["id_a", "id_b"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return pair_bucketed.groupby("bucket").map_groups(distinct, batch_format="pyarrow")
 
 
 def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
@@ -192,17 +229,26 @@ def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
 
 
 def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    import zlib
+
     texts = batch[col].to_pylist()
     out = np.empty(len(texts), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
     for i, t in enumerate(texts):
-        acc = np.zeros(64, dtype=np.int64)
-        for w in (t or "").lower().split():
-            h = np.uint64(0xCBF29CE484222325)
-            for byte in w.encode():
-                h = (h ^ np.uint64(byte)) * np.uint64(0x100000001B3)
-            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        out[i] = np.int64(np.uint64(np.packbits((acc > 0).astype(np.uint8)[::-1]).view(">u8")[0]))
+        words = (t or "").lower().split()
+        if not words:
+            out[i] = 0
+            continue
+        hs = np.fromiter(
+            ((np.uint64(zlib.crc32(w.encode())) << np.uint64(32))
+             | np.uint64(zlib.crc32(w[::-1].encode())) for w in words),
+            dtype=np.uint64, count=len(words))
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        val = np.uint64(0)
+        for b in (acc > 0).astype(np.uint8):
+            val = (val << np.uint64(1)) | np.uint64(b)
+        out[i] = np.int64(val)
     return batch.append_column("simhash", pa.array(out, pa.int64()))
 
 

@@ -58,12 +58,21 @@ class BruteForceKnnStage:
 
 def knn_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
-    """Global top-k per query: per-batch local top-k → merge (small)."""
-    local = ds.map_batches(
-        BruteForceKnnStage,
-        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids,
-                               "k": k, "vec_col": vec_col, "id_col": id_col},
-        batch_format="pyarrow", concurrency=(1, 4))
+    """Global top-k per query: per-batch local top-k → merge (small).
+
+    The query matrix is broadcast ONCE via ray.put and probed by
+    STATELESS tasks (a tiny build side doesn't justify actor startup;
+    each task ray.gets the shared object — zero-copy from the local
+    object store, never re-shipped per batch)."""
+    import ray
+
+    qref = ray.put((np.asarray(queries, dtype=np.float64), np.asarray(query_ids), k))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        q, qids, kk = ray.get(qref)
+        return BruteForceKnnStage(q, qids, kk, vec_col, id_col)(batch)
+
+    local = ds.map_batches(probe, batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         # deterministic tie-break: score desc, then id asc

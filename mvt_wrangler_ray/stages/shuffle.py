@@ -1,0 +1,123 @@
+"""Shuffle-efficient grouped aggregation.
+
+Ray Data's built-in ``groupby().aggregate()`` (sort-based) walks groups in
+Python — at 10^5+ distinct keys the per-group overhead dominates wall
+time. This module implements the scale pattern explicitly:
+
+  phase 1 (map-side combine): each batch collapses to one row per key via
+    Arrow ``Table.group_by`` — vectorized C++. Hot keys are pre-reduced
+    per block (the block id IS the salt: a key appearing in B blocks
+    contributes ≤ B partial rows regardless of its row count).
+  phase 2 (bucketed shuffle): partials gain a ``bucket`` column from a
+    DETERMINISTIC key hash (never Python ``hash()`` — PYTHONHASHSEED
+    varies per worker process) with small cardinality (default 64), then
+    ONE ``groupby(bucket).map_groups`` runs the final vectorized Arrow
+    combine per bucket. The sort-shuffle sees 64 distinct values; the
+    Python boundary is crossed 64 times, not once per key.
+
+At 256 nodes the same plan holds: phase-1 output is O(blocks × keys/block),
+the exchange is narrow (aggregate columns only), and bucket count scales
+with cluster size, not key count.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix(v: np.ndarray) -> np.ndarray:
+    v = (v + _MIX) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return v ^ (v >> np.uint64(31))
+
+
+def stable_hash_columns(batch: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """Deterministic uint64 hash of the key tuple, vectorized per column."""
+    from ..geo.geotag import fnv1a64_strings
+
+    n = len(batch)
+    acc = np.zeros(n, dtype=np.uint64)
+    for k in keys:
+        col = batch[k]
+        t = col.type
+        if pa.types.is_integer(t) or pa.types.is_boolean(t):
+            v = col.cast(pa.int64()).fill_null(np.int64(-(2 ** 62))).to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+        elif pa.types.is_timestamp(t) or pa.types.is_date(t):
+            v = col.cast(pa.int64()).fill_null(np.int64(-(2 ** 62))).to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+        elif pa.types.is_floating(t):
+            v = col.cast(pa.float64()).fill_null(0.0).to_numpy(
+                zero_copy_only=False).view(np.uint64)
+        else:
+            v = fnv1a64_strings([x if x is not None else "" for x in col.to_pylist()])
+        acc = _splitmix(acc ^ _splitmix(v))
+    return acc
+
+
+def add_bucket_column(batch: pa.Table, keys: Sequence[str],
+                      num_buckets: int) -> pa.Table:
+    h = stable_hash_columns(batch, keys)
+    b = (h % np.uint64(num_buckets)).astype(np.int64)
+    return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+
+def _arrow_group_agg(t: pa.Table, keys: Sequence[str],
+                     aggs: Sequence[Tuple[str, str]],
+                     out_names: Sequence[str]) -> pa.Table:
+    g = t.group_by(list(keys)).aggregate(list(aggs))
+    # Table.group_by emits key columns LAST in some versions; rename by
+    # position mapping: aggregate outputs are "{col}_{fn}" then keys.
+    rename = {f"{c}_{fn}": name for (c, fn), name in zip(aggs, out_names)}
+    return g.rename_columns([rename.get(c, c) for c in g.column_names])
+
+
+def two_phase_aggregate(
+    ds,
+    keys: Sequence[str],
+    partial_aggs: Sequence[Tuple[str, str]],
+    partial_names: Sequence[str],
+    final_aggs: Sequence[Tuple[str, str]],
+    final_names: Sequence[str],
+    num_buckets: int = 64,
+):
+    """Generic two-phase grouped aggregate (see module docstring).
+
+    partial_aggs run inside map_batches per block over the raw columns;
+    final_aggs run per bucket over the partial columns. E.g. count:
+    partial ("x", "count")→"pc", final ("pc", "sum")→"n"."""
+    keys = list(keys)
+
+    def phase1(batch: pa.Table) -> pa.Table:
+        return _arrow_group_agg(batch, keys, partial_aggs, partial_names)
+
+    def phase2(group: pa.Table) -> pa.Table:
+        out = _arrow_group_agg(group, keys, final_aggs, final_names)
+        return out.drop_columns([c for c in ("bucket_max",) if c in out.column_names])
+
+    partials = ds.map_batches(phase1, batch_format="pyarrow")
+    bucketed = partials.map_batches(
+        lambda b: add_bucket_column(b, keys, num_buckets), batch_format="pyarrow")
+    out = bucketed.groupby("bucket").map_groups(phase2, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.drop_columns([c for c in ("bucket",) if c in b.column_names]),
+        batch_format="pyarrow")
+
+
+def grouped_count(ds, keys: Sequence[str], out: str = "n",
+                  carry: Sequence[str] = (), num_buckets: int = 64):
+    """Count rows per key tuple with optional carried (max) columns."""
+    keys = list(keys)
+    carry = [c for c in carry]
+    partial_aggs = [(keys[0], "count")] + [(c, "max") for c in carry]
+    partial_names = ["partial_count"] + carry
+    final_aggs = [("partial_count", "sum")] + [(c, "max") for c in carry]
+    final_names = [out] + carry
+    return two_phase_aggregate(ds, keys, partial_aggs, partial_names,
+                               final_aggs, final_names, num_buckets)

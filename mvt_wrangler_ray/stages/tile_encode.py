@@ -112,20 +112,16 @@ def partial_tile_counts(batch: pa.Table, key: str = "tile_id",
     return g.rename_columns([names.get(c, c) for c in g.column_names])
 
 
-def tile_counts_two_phase(ds, key: str = "tile_id", carry=("z", "x", "y")):
-    """Full two-phase count: partials per block (map-side combine) →
-    small groupby over partials. The shuffle moves ≤ (blocks × distinct
-    keys per block) rows instead of every input row."""
-    from ray.data.aggregate import Max, Sum
+def tile_counts_two_phase(ds, key: str = "tile_id", carry=("z", "x", "y"),
+                          num_buckets: int = 64):
+    """Full two-phase count: map-side Arrow combine per block, then a
+    bucketed hash shuffle with vectorized per-bucket merge (see
+    stages/shuffle.py — Ray's sort-based aggregate walks 10^5 tile groups
+    in Python; the bucketed plan crosses Python 64 times)."""
+    from .shuffle import grouped_count
 
-    partials = ds.map_batches(
-        lambda b: partial_tile_counts(b, key=key, carry=carry),
-        batch_format="pyarrow",
-    )
-    aggs = [Sum("partial_count", alias_name="n_images")]
-    for c in carry:
-        aggs.append(Max(c, alias_name=c))
-    return partials.groupby(key).aggregate(*aggs)
+    return grouped_count(ds, [key], out="n_images", carry=carry,
+                         num_buckets=num_buckets)
 
 
 def top_k_tiles(ds, k: int = 20, key: str = "tile_id"):

@@ -42,17 +42,19 @@ def synth_images_ds(n: int, block_rows: int = 25_000):
 
     from mvt_wrangler_ray.sources.images import synth_images_table
 
-    starts = [{"start": s, "count": min(block_rows, n - s)}
-              for s in range(0, n, block_rows)]
-    ds = rd.from_items(starts)
+    nblocks = (n + block_rows - 1) // block_rows
+    # one input block per id range → one generator task per block (a
+    # single-block from_items would serialize the whole fused chain)
+    ds = rd.range(nblocks, override_num_blocks=nblocks)
 
-    def gen(batch) -> list:
+    def gen(batch) -> pa.Table:
         out = []
-        for start, count in zip(batch["start"], batch["count"]):
-            out.append(synth_images_table(int(count), start=int(start)))
+        for i in batch["id"].to_pylist():
+            start = int(i) * block_rows
+            out.append(synth_images_table(min(block_rows, n - start), start=start))
         return pa.concat_tables(out)
 
-    return ds.map_batches(gen, batch_format="pandas", batch_size=1)
+    return ds.map_batches(gen, batch_format="pyarrow")
 
 
 def run_headline() -> dict:

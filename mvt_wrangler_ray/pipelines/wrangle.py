@@ -35,25 +35,43 @@ from ..stages.tile_encode import encode_tile_group, tile_counts_two_phase
 
 
 def assign_stage(ds: rd.Dataset, cfg: EngineConfig, pyramid: bool = False) -> rd.Dataset:
-    ds = ds.map_batches(lambda b: geotag_batch(b, cfg), batch_format="pyarrow",
-                        batch_size=cfg.batch_size)
-    ds = ds.map_batches(lambda b: cell_encode_batch(b, cfg), batch_format="pyarrow",
-                        batch_size=cfg.batch_size)
+    """geotag → cells → tile-assign as ONE map_batches stage.
+
+    The three kernels are stateless vector transforms over the same
+    batch; composing them in-process avoids two inter-operator rebatch /
+    object-store hops (measured 3-4× on the assignment path). No
+    batch_size override: the incoming block size (source blocks /
+    target_max_block_size) is already right, and forcing an exact size
+    makes Ray buffer-and-copy at every stage boundary."""
     assign = pyramid_assign_batch if pyramid else tile_assign_batch
-    return ds.map_batches(lambda b: assign(b, cfg), batch_format="pyarrow",
-                          batch_size=cfg.batch_size)
+
+    def fused(b):
+        return assign(cell_encode_batch(geotag_batch(b, cfg), cfg), cfg)
+
+    return ds.map_batches(fused, batch_format="pyarrow")
 
 
-def filter_stage(ds: rd.Dataset, cfg: EngineConfig, filter_geojson) -> rd.Dataset:
-    """Actor-pool spatial join: filters compiled once per actor."""
-    return ds.map_batches(
-        FilterJoinStage,
-        fn_constructor_kwargs={"filter_geojson": filter_geojson, "cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.filter_concurrency,
-        num_cpus=1,
-    )
+def filter_stage(ds: rd.Dataset, cfg: EngineConfig, filter_geojson,
+                 mode: str = "tasks") -> rd.Dataset:
+    """Broadcast spatial join + expression filter.
+
+    mode="tasks" (default): compile once on the driver, `ray.put`
+    broadcast, stateless elastic tasks with a per-worker cache — no pool
+    startup, near-linear scaling (see stages.filter_join.make_task_filter).
+    mode="actors": FilterJoinStage actor pool — state built once per
+    actor; the right plan when the mask set itself is huge."""
+    if mode == "actors":
+        return ds.map_batches(
+            FilterJoinStage,
+            fn_constructor_kwargs={"filter_geojson": filter_geojson, "cfg": cfg},
+            batch_format="pyarrow",
+            concurrency=cfg.filter_concurrency,
+            num_cpus=1,
+        )
+    from ..stages.filter_join import make_task_filter
+
+    return ds.map_batches(make_task_filter(filter_geojson, cfg),
+                          batch_format="pyarrow")
 
 
 def wrangle(ds: rd.Dataset, cfg: Optional[EngineConfig] = None,

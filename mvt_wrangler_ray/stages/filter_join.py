@@ -101,6 +101,51 @@ class FilterJoinStage:
         return batch
 
 
+_TASK_STAGE_CACHE: dict = {}
+
+
+def make_task_filter(filter_geojson, cfg: Optional[EngineConfig] = None,
+                     geom_type: str = "Point"):
+    """Broadcast-task variant of the filter join.
+
+    The compiled collection for a typical filter file is small (a few
+    masks + ASTs), so per-actor amortization buys nothing while actor
+    POOL STARTUP costs ~5s of fixed wall time per pipeline. Here the
+    driver compiles ONCE, `ray.put`s the result, and stateless map tasks
+    fetch it zero-copy from their node's object store on first use and
+    cache it per worker process. Elastic, no pool startup, and the state
+    still crosses the cluster exactly once per node.
+
+    Use the FilterJoinStage actor pool instead when the mask set is large
+    enough that STRtree construction / filter compile itself is the
+    expensive part (tens of thousands of masks)."""
+    import ray
+
+    cfg = cfg or EngineConfig()
+    fc = CompiledFilterCollection.from_geojson(filter_geojson)
+    ref = ray.put((fc, cfg, geom_type))
+    key = ref.hex()
+
+    def filter_batch(batch: pa.Table) -> pa.Table:
+        stage = _TASK_STAGE_CACHE.get(key)
+        if stage is None:
+            fc_, cfg_, gt = ray.get(ref)
+            stage = FilterJoinStage.__new__(FilterJoinStage)
+            stage.cfg = cfg_
+            stage.fc = fc_
+            stage.geom_type = gt
+            stage._has_tag_filters = any(
+                lf.tag is not None for f in fc_.features for lf in f.layers.values())
+            stage._has_feature_filters = any(
+                lf.feature is not None for f in fc_.features for lf in f.layers.values())
+            _TASK_STAGE_CACHE[key] = stage
+        return stage(batch)
+
+    # keep the broadcast object alive as long as the closure lives
+    filter_batch._broadcast_ref = ref
+    return filter_batch
+
+
 class MapTagFilterJoinStage(FilterJoinStage):
     """Variant for the features-table shape (FIXTURES.md §2) where tags
     live in a map<string, struct> column: the map is exploded to per-key

@@ -29,7 +29,10 @@ def lonlat_to_tile_frac(lon, lat, z):
     n = np.float64(2.0) ** np.int64(z)
     x_frac = (lon + 180.0) / 360.0 * n
     lat_rad = np.radians(lat)
-    y_frac = (1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi) / 2.0 * n
+    # |lat| = 90 (e.g. world-mask vertices) → ±inf y_frac; downstream bbox
+    # culls handle the infinities, so just suppress the numpy warnings
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        y_frac = (1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi) / 2.0 * n
     return x_frac, y_frac
 
 

@@ -1,0 +1,159 @@
+"""Features-table transform: the reference's full transform_tile
+semantics (map tags, per-layer extent, current_key tag filtering).
+
+Golden properties mirror /root/reference/tests/integration_test.rs:63-137
++ tests/fixtures/filter.geojson, re-anchored to the synthetic extract:
+  (a) every pois feature inside polygon A is dropped;
+  (b) every buildings feature with kind=building inside polygon B is
+      dropped;
+  (c) NO surviving feature anywhere carries a ``name:fr`` (or any
+      ``name:<lang>`` with lang ∉ {"", ja, en, 2}) or ``pgf:name:*`` tag;
+  (d) features outside the masks keep all other tags untouched.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mvt_wrangler_ray.filters import CompiledFilterCollection
+from mvt_wrangler_ray.geo.geometry import points_in_polygon
+from mvt_wrangler_ray.pipelines.features import transform_features_batch, _MapTags
+from mvt_wrangler_ray.sources.features import synth_features_table
+
+# two sub-areas of the synthetic Yakushima-ish extract
+POLY_A = [[130.40, 30.25], [130.55, 30.25], [130.55, 30.35], [130.40, 30.35],
+          [130.40, 30.25]]
+POLY_B = [[130.55, 30.38], [130.68, 30.38], [130.68, 30.47], [130.55, 30.47],
+          [130.55, 30.38]]
+WORLD = [[-180, -90], [-180, 90], [180, 90], [180, -90], [-180, -90]]
+
+# the reference filter fixture's three features, same expressions
+FILTERS = {
+    "type": "FeatureCollection",
+    "features": [
+        {"type": "Feature",
+         "properties": {"name": "A", "layers": {"pois": {"feature": ["boolean", True]}}},
+         "geometry": {"type": "Polygon", "coordinates": [POLY_A]}},
+        {"type": "Feature",
+         "properties": {"name": "B", "layers": {
+             "buildings": {"feature": ["any", ["==", ["tag", "kind"], "building"]]}}},
+         "geometry": {"type": "Polygon", "coordinates": [POLY_B]}},
+        {"type": "Feature",
+         "properties": {"name": "Global", "layers": {"*": {"tag": [
+             "any",
+             ["starts-with", ["key"], "pgf:name:"],
+             ["all",
+              ["starts-with", ["key"], "name"],
+              ["not", ["in",
+                       ["regex-capture", ["key"], "^name:?(.*)$", 1],
+                       ["literal", ["", "ja", "en", "2"]]]]],
+         ]}}},
+         "geometry": {"type": "Polygon", "coordinates": [WORLD]}},
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def transformed():
+    t = synth_features_table(4000)
+    fc = CompiledFilterCollection.from_geojson(FILTERS)
+    out = transform_features_batch(t, fc)
+    return t, fc, out
+
+
+def _decoded_tags(table: pa.Table):
+    tags = _MapTags(table["tags"], len(table))
+    per_row = [dict() for _ in range(len(table))]
+    for e in range(len(tags.keys)):
+        r = tags.row_of_entry[e]
+        per_row[r][tags.keys[e]] = int(tags.vtype[e])
+    return per_row
+
+
+def test_pois_dropped_inside_a(transformed):
+    t, fc, out = transformed
+    lon = out["lon"].to_numpy()
+    lat = out["lat"].to_numpy()
+    layer = np.asarray(out["layer"].to_pandas(), dtype=object)
+    in_a = points_in_polygon(lon, lat, fc.features[0].geometry)
+    assert not (in_a & (layer == "pois")).any()
+    # and some pois existed inside A in the input
+    tl = np.asarray(t["layer"].to_pandas(), dtype=object)
+    ta = points_in_polygon(t["lon"].to_numpy(), t["lat"].to_numpy(),
+                           fc.features[0].geometry)
+    assert (ta & (tl == "pois")).any()
+
+
+def test_buildings_kind_dropped_inside_b(transformed):
+    t, fc, out = transformed
+    lon = out["lon"].to_numpy()
+    lat = out["lat"].to_numpy()
+    layer = np.asarray(out["layer"].to_pandas(), dtype=object)
+    in_b = points_in_polygon(lon, lat, fc.features[1].geometry)
+    kinds = []
+    tags = _MapTags(out["tags"], len(out))
+    per_row = [None] * len(out)
+    for e in range(len(tags.keys)):
+        if tags.keys[e] == "kind":
+            per_row[tags.row_of_entry[e]] = tags.vs[e]
+    kinds = np.array([x if x is not None else "" for x in per_row], dtype=object)
+    assert not (in_b & (layer == "buildings") & (kinds == "building")).any()
+    # non-building buildings inside B survive
+    assert (in_b & (layer == "buildings")).any()
+
+
+def test_no_name_fr_survives(transformed):
+    _, _, out = transformed
+    for row in _decoded_tags(out):
+        for k in row:
+            assert not k.startswith("pgf:name:"), k
+            if k.startswith("name:"):
+                assert k.split(":", 1)[1] in ("", "ja", "en", "2"), k
+
+
+def test_outside_masks_untouched(transformed):
+    t, fc, out = transformed
+    # rows outside A and B keep every non-name-filtered tag
+    tin = {i: r for i, r in enumerate(_decoded_tags(t))}
+    out_ids = {out["feature_id"][i].as_py(): i for i in range(len(out))}
+    out_tags = _decoded_tags(out)
+    lon, lat = t["lon"].to_numpy(), t["lat"].to_numpy()
+    in_a = points_in_polygon(lon, lat, fc.features[0].geometry)
+    in_b = points_in_polygon(lon, lat, fc.features[1].geometry)
+    checked = 0
+    for i in range(len(t)):
+        if in_a[i] or in_b[i]:
+            continue
+        fid = t["feature_id"][i].as_py()
+        assert fid in out_ids  # survived
+        want = {k: v for k, v in tin[i].items()
+                if not k.startswith("pgf:name:")
+                and not (k.startswith("name:")
+                         and k.split(":", 1)[1] not in ("", "ja", "en", "2"))}
+        assert out_tags[out_ids[fid]] == want
+        checked += 1
+        if checked > 300:
+            break
+    assert checked > 50
+
+
+def test_extent_column_respected(transformed):
+    t, fc, out = transformed
+    # buildings rows carry extent 8192 (exercises per-layer reprojection)
+    layer = np.asarray(t["layer"].to_pandas(), dtype=object)
+    ext = t["extent"].to_numpy()
+    assert (ext[layer == "buildings"] == 8192).all()
+    assert (ext[layer != "buildings"] == 4096).all()
+
+
+def test_transform_features_dataset(ray_session):
+    import ray.data as rd
+
+    from mvt_wrangler_ray.pipelines.features import transform_features
+
+    t = synth_features_table(2000)
+    out = transform_features(rd.from_arrow(t), FILTERS).to_pandas()
+    fc = CompiledFilterCollection.from_geojson(FILTERS)
+    want = transform_features_batch(t, fc)
+    assert len(out) == len(want)
+    assert set(out["feature_id"]) == set(want["feature_id"].to_pylist())

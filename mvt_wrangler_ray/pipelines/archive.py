@@ -1,0 +1,293 @@
+"""The full archive-rewrite pipeline: PMTiles → transform → PMTiles.
+
+This is the engine's equivalent of the reference CLI
+(`mvt-wrangler input.pmtiles output.pmtiles --filter f.geojson --name ...`,
+lib.rs:39-99): every addressed tile is fetched, decompressed, decoded,
+filtered per the spatially-scoped expression rules, re-encoded,
+re-compressed, and written in ascending tile-id order with patched
+TileJSON metadata.
+
+Ray Data mapping:
+  driver: open archive, read directory → small Arrow manifest of
+          (tile_id, offset, length) — the work manifest (S2);
+          compile filters once, `ray.put` broadcast (ST1);
+  map_batches over manifest batches: each task opens the archive
+          read-only (OS page cache shared), fetches + decompresses its
+          tiles (S3), decodes (M2), transforms (M1: the per-tile
+          semantics of transform.rs:73-205 — see _transform_tile), and
+          re-encodes + re-gzips (M13/S7);
+  sink:   blobs stream back ordered by manifest position
+          (preserve_order) into the single-file PmTilesWriter (content
+          dedup + run-length, matching the pmtiles crate's writer).
+          NOTE: a single .pmtiles file forces a single-writer sink — the
+          compatibility path. The scale path is state.lineage's
+          range-partitioned shards; both are offered.
+
+Per-tile transform parity (transform.rs:73-205):
+  - tile-level filter candidates via envelope intersect (J1)
+  - per-LAYER mask reprojection at the layer's extent + bbox cull (M6/J2)
+  - per-feature: tag materialization (M7, last-wins duplicate keys),
+    geometry decode + Multi*-folded type classification (M8),
+    exact geometry intersect against candidate masks in TILE-LOCAL
+    coords (J3), feature-drop OR with first-true short-circuit (M9),
+    per-tag current_key evaluation (M10), first-seen key/value pool
+    rebuild (M12).
+  - canonicalization (SURVEY §2.8): tag iteration preserves the
+    feature's original tag order (the reference iterates a HashMap —
+    nondeterministic; ours is deterministic and compares equal as a set).
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import EngineConfig, apply_metadata_overrides
+from ..expr.rowexec import EvaluationContext
+from ..expr.values import Value, vbool, vfloat_from_f64, vint, vnull, vstr
+from ..filters import CompiledFilterCollection
+from ..geo.geometry import Geom, geoms_intersect, transform_geom
+from ..geo.tilemath import bbox_intersects_tile, lonlat_to_tile_frac, tile_id_to_zxy
+from ..sources import mvt
+from ..sources.pmtiles import (
+    COMPRESSION_GZIP,
+    COMPRESSION_NONE,
+    PmHeader,
+    PmTilesReader,
+    PmTilesWriter,
+)
+
+
+def _mvt_value_to_expr(v) -> Value:
+    """decode_value output → expression value (expression_compiler.rs:78-96)."""
+    if v is None:
+        return vnull()
+    if isinstance(v, bool):
+        return vbool(v)
+    if isinstance(v, int):
+        return vint(v)
+    if isinstance(v, float):
+        return vfloat_from_f64(v)
+    return vstr(str(v))
+
+
+def _paths_to_geom(paths: List[List[Tuple[int, int]]], gtype: int) -> Geom:
+    """Decoded tile-local geometry → Geom for the intersect join. MVT
+    polygons interleave exterior/interior rings by winding; for the
+    intersect test ring roles don't matter, treat each ring as a part."""
+    arrs = [np.asarray(p, dtype=np.float64) for p in paths if p]
+    if not arrs:
+        return Geom("Point", [], (np.nan, np.nan, np.nan, np.nan))
+    flat = np.vstack(arrs)
+    bbox = (float(flat[:, 0].min()), float(flat[:, 1].min()),
+            float(flat[:, 0].max()), float(flat[:, 1].max()))
+    if gtype == mvt.GEOM_POINT:
+        return Geom("MultiPoint", [flat], bbox)
+    if gtype == mvt.GEOM_LINESTRING:
+        return Geom("MultiLineString", arrs, bbox)
+    if gtype == mvt.GEOM_POLYGON:
+        return Geom("MultiPolygon", [[_close(a)] for a in arrs], bbox)
+    return Geom("MultiPoint", [flat], bbox)
+
+
+def _close(a: np.ndarray) -> np.ndarray:
+    if len(a) and not np.array_equal(a[0], a[-1]):
+        return np.vstack([a, a[:1]])
+    return a
+
+
+def _transform_tile(tile_blob: bytes, z: int, x: int, y: int,
+                    fc: Optional[CompiledFilterCollection]) -> bytes:
+    """transform_tile parity (transform.rs:73-205). Always decodes and
+    re-encodes (the reference's no-filter normalization pass, lib.rs
+    §3.2, behaves the same)."""
+    tile = mvt.decode_tile(tile_blob)
+    candidates = []
+    if fc is not None and fc.features:
+        cand = fc.tile_candidates(z, np.array([x]), np.array([y]))[0]
+        candidates = [fc.features[i] for i in np.nonzero(cand)[0]]
+
+    for layer in tile["layers"]:
+        extent = layer.get("extent", 4096)
+
+        # per-layer reprojection + bbox cull (transform.rs:96-108)
+        layer_masks = []
+        for f in candidates:
+            def proj(a, _z=z, _x=x, _y=y, _e=extent):
+                fx, fy = lonlat_to_tile_frac(a[:, 0], a[:, 1], _z)
+                return np.stack([(fx - _x) * _e, (fy - _y) * _e], axis=1)
+
+            g = transform_geom(f.geometry, proj)
+            minx, miny, maxx, maxy = g.bbox
+            if bbox_intersects_tile(np.array([minx]), np.array([miny]),
+                                    np.array([maxx]), np.array([maxy]), extent)[0]:
+                layer_masks.append((f, g))
+
+        keys: List[str] = []
+        values: List[object] = []
+        key_idx: Dict[str, int] = {}
+        val_idx: Dict[tuple, int] = {}
+        new_feats = []
+        for feat in layer["features"]:
+            # tag materialization (transform.rs:118-128): last wins on
+            # duplicate keys, original order remembered for canonical output
+            tag_order: List[str] = []
+            tag_map: Dict[str, object] = {}
+            tpairs = feat["tags"]
+            for ti in range(0, len(tpairs) - 1, 2):
+                k = layer["keys"][tpairs[ti]]
+                v = layer["values"][tpairs[ti + 1]]
+                if k not in tag_map:
+                    tag_order.append(k)
+                tag_map[k] = v
+
+            geom_paths = mvt.decode_geometry(feat["geometry"])
+            feat_geom = _paths_to_geom(geom_paths, feat["type"])
+            geom_class = feat_geom.geom_class if feat["type"] != mvt.GEOM_UNKNOWN else "Unknown"
+
+            intersecting = [
+                (f, g) for f, g in layer_masks if geoms_intersect(feat_geom, g)
+            ]
+
+            props = {k: _mvt_value_to_expr(v) for k, v in tag_map.items()}
+            ctx = EvaluationContext(layer["name"], props, None, geom_class)
+
+            # feature drop: OR, first-true short-circuit (transform.rs:148-157)
+            if any(f.should_remove_feature(ctx) for f, _ in intersecting):
+                continue
+
+            new_tags: List[int] = []
+            for k in tag_order:
+                kctx = EvaluationContext(layer["name"], props, k, geom_class)
+                if any(f.should_remove_tag(kctx) for f, _ in intersecting):
+                    continue
+                v = tag_map[k]
+                ki = key_idx.get(k)
+                if ki is None:
+                    ki = key_idx[k] = len(keys)
+                    keys.append(k)
+                vk = (type(v).__name__, v)
+                vi = val_idx.get(vk)
+                if vi is None:
+                    vi = val_idx[vk] = len(values)
+                    values.append(v)
+                new_tags.extend((ki, vi))
+
+            new_feats.append({**feat, "tags": new_tags})
+
+        layer["keys"] = keys
+        layer["values"] = values
+        layer["features"] = new_feats
+
+    return mvt.encode_tile(tile)
+
+
+# ---------------------------------------------------------------------------
+
+
+def read_pmtiles_manifest(path: str) -> pa.Table:
+    """Driver-side: directory → Arrow manifest of every ADDRESSED tile
+    (runs expanded, ascending — processing.rs:32-39)."""
+    r = PmTilesReader(path)
+    tids, offs, lens = [], [], []
+    for e in r.entries():
+        for k in range(e.run_length):
+            tids.append(e.tile_id + k)
+            offs.append(e.offset)
+            lens.append(e.length)
+    r.close()
+    order = np.argsort(np.asarray(tids), kind="stable")
+    t = pa.table({
+        "tile_id": pa.array(np.asarray(tids)[order], pa.int64()),
+        "offset": pa.array(np.asarray(offs)[order], pa.int64()),
+        "length": pa.array(np.asarray(lens)[order], pa.int64()),
+    })
+    z, x, y = tile_id_to_zxy(t["tile_id"].to_numpy())
+    return (t.append_column("z", pa.array(z.astype(np.int8), pa.int8()))
+             .append_column("x", pa.array(x.astype(np.int32), pa.int32()))
+             .append_column("y", pa.array(y.astype(np.int32), pa.int32())))
+
+
+def wrangle_pmtiles(input_path: str, output_path: str,
+                    filter_geojson=None, cfg: Optional[EngineConfig] = None,
+                    batch_size: int = 64) -> dict:
+    """Full CLI-equivalent run. Returns summary counters."""
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    cfg = cfg or EngineConfig()
+    src = PmTilesReader(input_path)
+    in_header = src.header
+    in_meta = src.metadata()
+    if in_header.tile_type != 1:
+        raise ValueError("unsupported tile type (MVT only) — lib.rs:73-75 parity")
+    src.close()
+
+    fc = (CompiledFilterCollection.from_geojson(filter_geojson)
+          if filter_geojson is not None else None)
+    fc_ref = ray.put(fc)
+    tile_comp = in_header.tile_compression
+    cache: dict = {}
+
+    manifest = read_pmtiles_manifest(input_path)
+
+    def transform_batch(batch: pa.Table) -> pa.Table:
+        c = cache.get("fc", "_missing_")
+        if c == "_missing_":
+            c = cache["fc"] = ray.get(fc_ref)
+        rdr = cache.get("rdr")
+        if rdr is None:
+            rdr = cache["rdr"] = open(input_path, "rb")
+        out = []
+        offs = batch["offset"].to_numpy(zero_copy_only=False)
+        lens = batch["length"].to_numpy(zero_copy_only=False)
+        zs = batch["z"].to_numpy(zero_copy_only=False)
+        xs = batch["x"].to_numpy(zero_copy_only=False)
+        ys = batch["y"].to_numpy(zero_copy_only=False)
+        for i in range(len(batch)):
+            rdr.seek(in_header.data_offset + int(offs[i]))
+            raw = rdr.read(int(lens[i]))
+            blob = gzip.decompress(raw) if tile_comp == COMPRESSION_GZIP else raw
+            new = _transform_tile(blob, int(zs[i]), int(xs[i]), int(ys[i]), c)
+            if tile_comp == COMPRESSION_GZIP:
+                new = gzip.compress(new, mtime=0)
+            elif tile_comp != COMPRESSION_NONE:
+                raise ValueError(f"unsupported tile compression {tile_comp}")
+            out.append(new)
+        return pa.table({"tile_id": batch["tile_id"],
+                         "blob": pa.array(out, pa.binary())})
+
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True   # ordered single-file sink
+    try:
+        ds = rd.from_arrow(manifest).map_batches(
+            transform_batch, batch_format="pyarrow", batch_size=batch_size)
+
+        out_header = PmHeader(
+            tile_compression=in_header.tile_compression,
+            tile_type=in_header.tile_type,
+            min_zoom=in_header.min_zoom, max_zoom=in_header.max_zoom,
+            min_lon_e7=in_header.min_lon_e7, min_lat_e7=in_header.min_lat_e7,
+            max_lon_e7=in_header.max_lon_e7, max_lat_e7=in_header.max_lat_e7,
+            center_zoom=in_header.center_zoom,
+            center_lon_e7=in_header.center_lon_e7,
+            center_lat_e7=in_header.center_lat_e7,
+        )
+        out_meta = apply_metadata_overrides(in_meta, cfg)
+        writer = PmTilesWriter(output_path, out_header, out_meta)
+        n = 0
+        for b in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+            tids = b["tile_id"].to_numpy(zero_copy_only=False)
+            blobs = b["blob"].to_pylist()
+            for tid, blob in zip(tids, blobs):
+                writer.add_tile(int(tid), blob, compressed=True)
+                n += 1
+        writer.finalize()
+    finally:
+        ctx.execution_options.preserve_order = prev
+    return {"tiles_written": n, "input_tiles": len(manifest)}

@@ -211,6 +211,64 @@ def read_pmtiles_manifest(path: str) -> pa.Table:
              .append_column("y", pa.array(y.astype(np.int32), pa.int32())))
 
 
+def read_pmtiles_features(path: str, batch_size: int = 64):
+    """PMTiles archive → flattened feature-level Dataset (the engine's
+    internal model, SURVEY §1.2 / FIXTURES §2): one row per feature with
+    (z, x, y, tile_id, layer, extent, geom_type, tags map). The M2
+    'exploded feature rows' mapping: one tile → many rows, emitted from a
+    map_batches over the driver-side manifest."""
+    import ray.data as rd
+
+    from .features import TAGS_TYPE, tag_value
+
+    manifest = read_pmtiles_manifest(path)
+    rdr_cache: dict = {}
+    hdr = PmTilesReader(path).header
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rdr = rdr_cache.get("f")
+        if rdr is None:
+            rdr = rdr_cache["f"] = open(path, "rb")
+        rows = {"z": [], "x": [], "y": [], "tile_id": [], "layer": [],
+                "extent": [], "geom_type": [], "tags": []}
+        offs = batch["offset"].to_numpy(zero_copy_only=False)
+        lens = batch["length"].to_numpy(zero_copy_only=False)
+        for i in range(len(batch)):
+            rdr.seek(hdr.data_offset + int(offs[i]))
+            raw = rdr.read(int(lens[i]))
+            blob = gzip.decompress(raw) if hdr.tile_compression == COMPRESSION_GZIP else raw
+            tile = mvt.decode_tile(blob)
+            for layer in tile["layers"]:
+                for feat in layer["features"]:
+                    t = feat["tags"]
+                    tags = []
+                    for ti in range(0, len(t) - 1, 2):
+                        tags.append((layer["keys"][t[ti]],
+                                     tag_value(layer["values"][t[ti + 1]])))
+                    rows["z"].append(int(batch["z"][i].as_py()))
+                    rows["x"].append(int(batch["x"][i].as_py()))
+                    rows["y"].append(int(batch["y"][i].as_py()))
+                    rows["tile_id"].append(int(batch["tile_id"][i].as_py()))
+                    rows["layer"].append(layer["name"])
+                    rows["extent"].append(layer.get("extent", 4096))
+                    rows["geom_type"].append(feat["type_name"] if feat["type"] != 0
+                                             else "Unknown")
+                    rows["tags"].append(tags)
+        return pa.table({
+            "z": pa.array(rows["z"], pa.int8()),
+            "x": pa.array(rows["x"], pa.int32()),
+            "y": pa.array(rows["y"], pa.int32()),
+            "tile_id": pa.array(rows["tile_id"], pa.int64()),
+            "layer": pa.array(rows["layer"], pa.string()),
+            "extent": pa.array(rows["extent"], pa.int32()),
+            "geom_type": pa.array(rows["geom_type"], pa.string()),
+            "tags": pa.array(rows["tags"], TAGS_TYPE),
+        })
+
+    return rd.from_arrow(manifest).map_batches(
+        explode, batch_format="pyarrow", batch_size=batch_size)
+
+
 def wrangle_pmtiles(input_path: str, output_path: str,
                     filter_geojson=None, cfg: Optional[EngineConfig] = None,
                     batch_size: int = 64) -> dict:

@@ -68,6 +68,16 @@ def tile_assign_batch(batch: pa.Table, cfg: EngineConfig = EngineConfig()) -> pa
             .append_column("quadkey", pa.array(qk, pa.string())))
 
 
+def repartition_by_cell_prefix(ds, cfg: EngineConfig = EngineConfig(),
+                               num_blocks: int = 64):
+    """Explicit repartition by S2-cell prefix ranges (north_rule): rows
+    sharing a spatial prefix land in the same block, so later per-cell
+    ops (density, neighborhood joins) shuffle less. Implemented as a
+    sort on the already-computed cell_prefix column — contiguous ranges
+    per block — then coalesce to the target block count."""
+    return ds.sort("cell_prefix").repartition(num_blocks)
+
+
 def pyramid_assign_batch(batch: pa.Table, cfg: EngineConfig = EngineConfig()) -> pa.Table:
     """Tile-pyramid expansion: replicate each row once per zoom in
     cfg.zoom_range (a flat-map shaped map_batches — rows out = rows in ×

@@ -171,3 +171,24 @@ def test_identity_pass_roundtrip(ray_session):
                 assert fi["type"] == fo["type"]
                 checked += 1
     assert checked > 500
+
+
+def test_read_pmtiles_features_flatten(ray_session):
+    """M2 explode mapping: archive → feature-level Dataset, row counts
+    match the per-tile feature totals."""
+    from mvt_wrangler_ray.pipelines.archive import read_pmtiles_features
+
+    ds = read_pmtiles_features(FIXTURE)
+    df = ds.to_pandas()
+    in_tiles = _decode_all(FIXTURE)
+    want = sum(len(l["features"]) for t in in_tiles.values() for l in t["layers"])
+    assert len(df) == want
+    observed = set(df["layer"].unique())
+    assert observed <= {"boundaries", "buildings", "earth", "landcover",
+                        "landuse", "places", "pois", "roads", "water"}
+    assert len(observed) >= 7  # fixture tiles carry most (not all) layers
+    assert df["geom_type"].isin(["Point", "LineString", "Polygon", "Unknown"]).all()
+    # spot-check a tags map round-trip
+    row = df[df["layer"] == "places"].iloc[0]
+    keys = [k for k, v in row["tags"]]
+    assert any(k == "name" or k.startswith("name") for k in keys)

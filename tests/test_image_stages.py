@@ -1,0 +1,102 @@
+"""Image-stage plumbing + the per-row invariants of BASELINE.json:
+decoded-pixel fidelity (PSNR ≥ 40 dB; identity for the deterministic
+fake codec), caption equality across the pipeline, phash recompute."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mvt_wrangler_ray.sources.images import synth_images_table
+from mvt_wrangler_ray.stages.image import (
+    DecodeImageStage,
+    ResizeStage,
+    _fake_decode,
+    phash64,
+    psnr,
+    sniff_format,
+)
+
+
+def test_sniff_and_decode_roundtrip():
+    t = synth_images_table(60)
+    stage = DecodeImageStage()
+    out = stage(t)
+    fmts = out["sniffed_fmt"].to_pylist()
+    declared = out["fmt"].to_pylist()
+    assert fmts == declared
+    # decode is deterministic: run twice, identical stats
+    out2 = DecodeImageStage()(t)
+    assert out["px_mean"].to_pylist() == out2["px_mean"].to_pylist()
+    assert out["phash_recomputed"].to_pylist() == out2["phash_recomputed"].to_pylist()
+
+
+def test_psnr_invariant():
+    t = synth_images_table(20)
+    for i in range(len(t)):
+        payload = t["bytes"][i].as_py()
+        w, h = int(t["w"][i].as_py()), int(t["h"][i].as_py())
+        px1 = _fake_decode(payload, w, h)
+        px2 = _fake_decode(payload, w, h)
+        # identity round-trip → PSNR = inf ≥ 40 dB (the contract holds
+        # trivially for the fake codec; with PIL it becomes a real check)
+        assert psnr(px1, px2) == float("inf")
+        assert psnr(px1, px2) >= 40.0
+
+
+def test_psnr_metric_sanity():
+    a = np.zeros((8, 8))
+    b = np.full((8, 8), 10.0)
+    v = psnr(a, b)
+    assert 20 < v < 40  # mse=100 → 10*log10(255²/100) ≈ 28.1 dB
+    assert psnr(a, a) == float("inf")
+
+
+def test_unknown_payload_raises():
+    with pytest.raises(NotImplementedError):
+        _fake_decode(b"GIF89a....", 8, 8)
+
+
+def test_phash64_properties():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 255, (64, 64)).astype(np.uint8)
+    h1 = phash64(px)
+    assert h1 == phash64(px)
+    # a heavily altered image gets a different hash
+    assert h1 != phash64(255 - px)
+
+
+def test_caption_equality_through_flagship(ray_session):
+    """Caption passthrough invariant: the wrangle pipeline never mutates
+    caption content for surviving rows."""
+    import json
+
+    import ray.data as rd
+
+    from mvt_wrangler_ray.config import EngineConfig
+    from mvt_wrangler_ray.pipelines.wrangle import wrangle
+    from tests.test_pipeline import FILTERS
+
+    t = synth_images_table(1500)
+    out = wrangle(rd.from_arrow(t), EngineConfig(),
+                  filter_geojson=json.dumps(FILTERS)).to_pandas()
+    src = dict(zip(t["image_id"].to_pylist(), t["caption"].to_pylist()))
+    for iid, cap in zip(out["image_id"], out["caption"]):
+        assert src[iid] == cap
+
+
+def test_resize_stage_schema():
+    t = synth_images_table(10)
+    out = ResizeStage((32, 32))(t)
+    assert out["thumb_w"].to_pylist() == [32] * 10
+    assert out["thumb_bytes"].to_pylist() == t["bytes"].to_pylist()
+
+
+def test_decode_stage_in_ray_pipeline(ray_session):
+    import ray.data as rd
+
+    t = synth_images_table(500)
+    out = rd.from_arrow(t).map_batches(
+        DecodeImageStage, batch_format="pyarrow", batch_size=128,
+        concurrency=2).to_pandas()
+    assert len(out) == 500
+    assert (out["sniffed_fmt"] == out["fmt"]).all()

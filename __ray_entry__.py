@@ -348,6 +348,62 @@ def _q_image_tiles(sf_dir: str):
     return ds.map_batches(pyramid, batch_format="pyarrow")
 
 
+def _q_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user over the events log."""
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.events import sessionize
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = sessionize(ds, gap_minutes=30.0)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dur = np.round(batch["duration_sec"].to_numpy(zero_copy_only=False) * 1e3) / 1e3
+        return pa.table({"user_id": batch["user_id"],
+                         "session_start": batch["session_start"],
+                         "n_events": batch["n_events"],
+                         "duration_sec_f": pa.array(dur, pa.float64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_semi_join(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.events import broadcast_semi_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(
+        pa.compute.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    ref = ray.put(set(keys))
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    return broadcast_semi_join(ds, "o_custkey", ref).select_columns(["o_orderkey"])
+
+
+def _q_anti_join(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.events import broadcast_semi_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(
+        pa.compute.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    ref = ray.put(set(keys))
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    return broadcast_semi_join(ds, "o_custkey", ref, anti=True).select_columns(["o_orderkey"])
+
+
+def _q_distinct(sf_dir: str):
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.events import distinct_values
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return distinct_values(ds, "event_type")
+
+
 # rows-only (no SQL-expressible oracle) -------------------------------------
 
 
@@ -444,6 +500,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "groupby_agg": _q_groupby_agg,
         "sort_limit": _q_sort_limit,
         "image_tiles": _q_image_tiles,
+        "sessionize": _q_sessionize,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
+        "distinct": _q_distinct,
         # rows-only checks (non-SQL-expressible)
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash": _q_simhash,
@@ -530,4 +590,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15",
         "image_tiles": " UNION ALL ".join(pyramid_parts),
+        "sessionize":
+            "WITH marked AS ("
+            "  SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "sessions AS ("
+            "  SELECT user_id, ts, sum(is_new) OVER "
+            "    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+            "  FROM marked) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 * 1e3) / 1e3 "
+            "  AS duration_sec_f "
+            "FROM sessions GROUP BY user_id, sid",
+        "semi_join":
+            "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
+        "anti_join":
+            "SELECT o_orderkey FROM orders WHERE o_custkey NOT IN "
+            "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
+        "distinct":
+            "SELECT DISTINCT event_type FROM events",
     }

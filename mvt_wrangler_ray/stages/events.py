@@ -1,0 +1,125 @@
+"""Stream-shaped operators over the bounded events log.
+
+Ray Data has no event-time windows (SURVEY §2.9 — the reference has none
+either); the log is treated as a partitioned, ordered table: partition
+by key (hash bucket), sort within the group by timestamp, and run the
+windowing logic vectorized over the sorted group (the guide's
+streaming-shaped pattern). The ordering assumption — events of one user
+are processed in ts order — is established BY the groupby, not assumed
+of the input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def sessionize(ds, gap_minutes: float = 30.0, user_col: str = "user_id",
+               ts_col: str = "ts"):
+    """Session windows: per user, a new session starts when the gap from
+    the previous event exceeds `gap_minutes`. Emits one row per session:
+    (user_id, session_start, n_events, duration_sec).
+
+    Plan: groupby(user) — users are many but small, so the per-group
+    Python cost is bounded by user count; inside the group the session
+    assignment is a vectorized diff/cumsum, not an event loop."""
+    gap = np.timedelta64(int(gap_minutes * 60 * 1_000_000), "us")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        ts = g[ts_col].to_numpy()
+        new = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(new) - 1
+        out = []
+        for s in range(sid.max() + 1):
+            m = sid == s
+            out.append({
+                "user_id": g[user_col].iloc[0],
+                "session_start": ts[m][0],
+                "n_events": int(m.sum()),
+                "duration_sec": float((ts[m][-1] - ts[m][0])
+                                      / np.timedelta64(1, "s")),
+            })
+        return pd.DataFrame(out)
+
+    return ds.groupby(user_col).map_groups(sessions, batch_format="pandas")
+
+
+def tumbling_window(ds, minutes: int, key_col: str = "event_type",
+                    ts_col: str = "ts", value_col: str = "value"):
+    """Tumbling fixed windows by (key, window): two-phase — in-batch
+    floor-to-window partial aggregation, then the bucketed merge."""
+    from .shuffle import two_phase_aggregate
+
+    us = minutes * 60 * 1_000_000
+
+    def window(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False)
+        w = (ts.astype("datetime64[us]").astype(np.int64) // us) * us
+        return pa.table({
+            key_col: batch[key_col],
+            "window_start": pa.array(w.astype("datetime64[us]")),
+            value_col: batch[value_col],
+        })
+
+    return two_phase_aggregate(
+        ds.map_batches(window, batch_format="pyarrow"),
+        keys=[key_col, "window_start"],
+        partial_aggs=[(value_col, "sum"), (value_col, "count")],
+        partial_names=["vsum", "vcount"],
+        final_aggs=[("vsum", "sum"), ("vcount", "sum")],
+        final_names=["total_raw", "n"])
+
+
+# ---- broadcast semi / anti joins --------------------------------------
+
+
+def broadcast_semi_join(ds, key_col: str, key_set_ref, anti: bool = False):
+    """Semi (or anti) join against a broadcast key set: `ray.put` the
+    (small) key set once; each batch filters with a vectorized isin —
+    no shuffle at all (the guide's semi/anti pattern)."""
+    import ray
+
+    cache = {}
+
+    def f(batch: pa.Table) -> pa.Table:
+        ks = cache.get("k")
+        if ks is None:
+            ks = cache["k"] = np.asarray(sorted(ray.get(key_set_ref)))
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        m = np.isin(keys, ks)
+        if anti:
+            m = ~m
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def distinct_values(ds, col: str, num_buckets: int = 16):
+    """Distinct values of one column without ds.unique()'s per-key
+    Python: per-block Arrow unique → bucketed exchange → per-bucket
+    unique."""
+    from .shuffle import add_bucket_column
+
+    def local(batch: pa.Table) -> pa.Table:
+        u = batch[col].combine_chunks().unique() if isinstance(
+            batch[col], pa.ChunkedArray) else batch[col].unique()
+        return pa.table({col: u})
+
+    partial = ds.map_batches(
+        lambda b: local(b), batch_format="pyarrow")
+    bucketed = partial.map_batches(
+        lambda b: add_bucket_column(b, [col], num_buckets), batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        u = g[col].combine_chunks().unique() if isinstance(
+            g[col], pa.ChunkedArray) else g[col].unique()
+        return pa.table({col: u})
+
+    return (bucketed.groupby("bucket")
+            .map_groups(merge, batch_format="pyarrow")
+            .map_batches(lambda b: b.select([col]), batch_format="pyarrow"))

@@ -90,6 +90,28 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return vals.min(axis=1)
 
 
+def batch_minhash_signatures(texts, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Whole-batch minhash: concatenate every document's shingle hashes
+    into one array, apply all permutations as one (num_perm, total)
+    matrix op, then per-document minimum via ``np.minimum.reduceat`` over
+    the segment boundaries — one numpy kernel instead of a per-document
+    Python loop (equal output to minhash_signature per row)."""
+    n = len(texts)
+    num_perm = len(a)
+    per_doc = [_shingles(t) for t in texts]
+    lens = np.array([len(s) for s in per_doc], dtype=np.int64)
+    out = np.zeros((n, num_perm), dtype=np.uint64)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    allsh = np.concatenate([s for s in per_doc if len(s)])
+    vals = (a[:, None] * (allsh[None, :] & _MERSENNE) + b[:, None]) % _MERSENNE
+    starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+    mins = np.minimum.reduceat(vals, starts, axis=1)  # (num_perm, n_nonzero)
+    out[nz] = mins.T
+    return out
+
+
 class MinHashStage:
     """Actor: permutation params built once; per batch emits exploded
     (band, band_hash, doc_id) rows — the narrow shuffle payload."""
@@ -106,9 +128,7 @@ class MinHashStage:
         texts = batch[self.col].to_pylist()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         n = len(texts)
-        sigs = np.empty((n, len(self.a)), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = minhash_signature(t, self.a, self.b)
+        sigs = batch_minhash_signatures(texts, self.a, self.b)
         r = self.rows_per_band
         band_ids = np.repeat(np.arange(self.bands, dtype=np.int32), n)
         doc_ids = np.tile(ids, self.bands)

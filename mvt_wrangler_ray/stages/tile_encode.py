@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import gzip
 import json
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 import pandas as pd
@@ -122,6 +122,78 @@ def tile_counts_two_phase(ds, key: str = "tile_id", carry=("z", "x", "y"),
 
     return grouped_count(ds, [key], out="n_images", carry=carry,
                          num_buckets=num_buckets)
+
+
+def encode_tiles_salted(ds, cfg: EngineConfig = EngineConfig(),
+                        salt_buckets: Optional[int] = None):
+    """Salted two-phase tile-blob encode for skewed tiles (north_rule):
+
+    phase 1: groupby((tile_id, salt)) where salt = row-hash %
+             cfg.salt_buckets — a hot tile's rows split across
+             salt_buckets groups, each encoding a PARTIAL manifest in
+             parallel (no single straggler task holds the whole tile);
+    phase 2: groupby(tile_id) merges the partial manifests (concatenate
+             feature lists, re-encode pools) — input is one small row
+             per (tile, salt), so the second shuffle is tiny.
+
+    Equivalent output to the unsalted path (encode_tile_group over whole
+    groups): features canonically sorted by id at merge."""
+    import json
+
+    import pyarrow as pa
+
+    from .shuffle import stable_hash_columns
+
+    sb = salt_buckets or cfg.salt_buckets
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        h = stable_hash_columns(batch, [cfg.id_col])
+        return batch.append_column(
+            "salt", pa.array((h % np.uint64(sb)).astype(np.int64), pa.int64()))
+
+    def partial_encode(g: pd.DataFrame) -> pd.DataFrame:
+        enc = encode_tile_group(g.drop(columns=["salt"]), cfg, compress=False)
+        return enc
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        manifests = [json.loads(b) for b in g["blob"]]
+        feats = []
+        for m in manifests:
+            for f in m["features"]:
+                tags = {m["keys"][f["tags"][i]]: m["values"][f["tags"][i + 1]]
+                        for i in range(0, len(f["tags"]) - 1, 2)}
+                feats.append({"id": f["id"], "tags": tags})
+        feats.sort(key=lambda f: f["id"])
+        keys, values, kidx, vidx = [], [], {}, {}
+        out_feats = []
+        for f in feats:
+            pairs = []
+            for k, v in f["tags"].items():
+                ki = kidx.setdefault(k, len(keys))
+                if ki == len(keys):
+                    keys.append(k)
+                vk = (type(v).__name__, v)
+                vi = vidx.setdefault(vk, len(values))
+                if vi == len(values):
+                    values.append(v)
+                pairs.extend((ki, vi))
+            out_feats.append({"id": f["id"], "tags": pairs})
+        m0 = manifests[0]
+        manifest = {"tile_id": m0["tile_id"], "z": m0["z"], "x": m0["x"],
+                    "y": m0["y"], "keys": keys, "values": values,
+                    "features": out_feats}
+        blob = gzip.compress(json.dumps(manifest, separators=(",", ":"),
+                                        default=str).encode())
+        return pd.DataFrame({
+            "tile_id": [m0["tile_id"]], "z": [m0["z"]], "x": [m0["x"]],
+            "y": [m0["y"]], "quadkey": [g["quadkey"].iloc[0]],
+            "n_features": [len(out_feats)], "blob": [blob],
+        })
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    partials = salted.groupby(["tile_id", "salt"]).map_groups(
+        partial_encode, batch_format="pandas")
+    return partials.groupby("tile_id").map_groups(merge, batch_format="pandas")
 
 
 def top_k_tiles(ds, k: int = 20, key: str = "tile_id"):

@@ -198,3 +198,32 @@ def test_wrangle_tiles_blob_roundtrip(ray_session):
     # tags round-trip with pools
     first = m["decoded"][0]["tags"]
     assert "caption" in first and "fmt" in first
+
+
+def test_salted_tile_encode_matches_unsalted(ray_session):
+    """Skew case: a hot tile with ~half the rows. The salted two-phase
+    encode must produce identical tiles to the unsalted path."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.pipelines.wrangle import wrangle
+    from mvt_wrangler_ray.stages.tile_encode import encode_tiles_salted
+
+    cfg = EngineConfig(zoom=8, salt_buckets=8)
+    t = synth_images_table(1200, hot_fraction=0.5)  # heavy skew
+    rows = wrangle(rd.from_arrow(t), cfg)
+    plain = rows.groupby("tile_id").map_groups(
+        lambda g: __import__("mvt_wrangler_ray.stages.tile_encode",
+                             fromlist=["encode_tile_group"]).encode_tile_group(g, cfg),
+        batch_format="pandas").to_pandas().sort_values("tile_id").reset_index(drop=True)
+    salted = encode_tiles_salted(rows, cfg).to_pandas().sort_values(
+        "tile_id").reset_index(drop=True)
+    assert len(plain) == len(salted)
+    assert (plain["tile_id"] == salted["tile_id"]).all()
+    assert (plain["n_features"] == salted["n_features"]).all()
+    # decoded manifests identical (id order + tags)
+    for i in range(len(plain)):
+        a = decode_tile_blob(plain["blob"].iloc[i])
+        b = decode_tile_blob(salted["blob"].iloc[i])
+        assert a["decoded"] == b["decoded"], plain["tile_id"].iloc[i]
+    # the hot tile really is hot
+    assert plain["n_features"].max() > 400

@@ -91,6 +91,25 @@ def wrangle_counts(ds: rd.Dataset, cfg: Optional[EngineConfig] = None,
     return tile_counts_two_phase(wrangle(ds, cfg, filter_geojson, pyramid))
 
 
+def wrangle_write(ds: rd.Dataset, out_dir: str,
+                  cfg: Optional[EngineConfig] = None,
+                  filter_geojson=None, num_partitions: int = 16,
+                  resume: bool = True):
+    """Flagship rows → resumable range-partitioned parquet sink with
+    per-partition lineage (state/lineage.py): the production output path.
+    Metadata overrides land in the sink's _metadata.json (M14). Returns
+    the lineage records."""
+    from ..config import apply_metadata_overrides
+    from ..state.lineage import write_partitioned
+
+    cfg = cfg or EngineConfig()
+    rows = wrangle(ds, cfg, filter_geojson)
+    meta = apply_metadata_overrides(None, cfg)
+    return write_partitioned(rows, out_dir, key="tile_id",
+                             num_partitions=num_partitions,
+                             metadata=meta, resume=resume)
+
+
 def wrangle_tiles(ds: rd.Dataset, cfg: Optional[EngineConfig] = None,
                   filter_geojson=None, pyramid: bool = False) -> rd.Dataset:
     """Full tile-blob encode: groupby(tile_id) → per-tile gzip manifest,

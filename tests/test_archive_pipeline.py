@@ -192,3 +192,21 @@ def test_read_pmtiles_features_flatten(ray_session):
     row = df[df["layer"] == "places"].iloc[0]
     keys = [k for k, v in row["tags"]]
     assert any(k == "name" or k.startswith("name") for k in keys)
+
+
+def test_cli_end_to_end(ray_session, tmp_path):
+    """python -m mvt_wrangler_ray parity: runs in-process (Ray already
+    initialized by the session fixture; the CLI guards its init)."""
+    import json as _json
+
+    from mvt_wrangler_ray.__main__ import main
+
+    fpath = tmp_path / "filter.geojson"
+    fpath.write_text(_json.dumps(FILTERS))
+    out = tmp_path / "cli_out.pmtiles"
+    rc = main([FIXTURE, str(out), "--filter", str(fpath), "--name", "cli-run"])
+    assert rc == 0
+    r = PmTilesReader(str(out))
+    assert r.header.addressed_tiles == 1446
+    assert r.metadata()["name"] == "cli-run"
+    r.close()

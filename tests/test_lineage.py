@@ -105,3 +105,25 @@ def test_lineage_writer_atomicity():
     with open(os.path.join(OUT, "_lineage", "part-00000.json")) as f:
         j = json.load(f)
     assert j["content_hash"] == rec.content_hash
+
+
+def test_wrangle_write_end_to_end(ray_session):
+    """Flagship pipeline → lineage sink: partitions, metadata overrides,
+    resumable layout."""
+    import json as _json
+
+    import ray.data as rd
+
+    from mvt_wrangler_ray.config import EngineConfig
+    from mvt_wrangler_ray.pipelines.wrangle import wrangle_write
+    from mvt_wrangler_ray.sources.images import synth_images_table
+
+    cfg = EngineConfig(zoom=8, name="sinktest")
+    t = synth_images_table(1500)
+    recs = wrangle_write(rd.from_arrow(t), OUT, cfg, num_partitions=6)
+    assert len(recs) == 6
+    assert sum(r["rows"] for r in recs) == 1500
+    with open(os.path.join(OUT, "_metadata.json")) as f:
+        meta = _json.load(f)
+    assert meta["metadata"]["name"] == "sinktest"
+    assert meta["total_rows"] == 1500

@@ -111,11 +111,47 @@ def wrangle_write(ds: rd.Dataset, out_dir: str,
 
 
 def wrangle_tiles(ds: rd.Dataset, cfg: Optional[EngineConfig] = None,
-                  filter_geojson=None, pyramid: bool = False) -> rd.Dataset:
+                  filter_geojson=None, pyramid: bool = False,
+                  salted: bool = False) -> rd.Dataset:
     """Full tile-blob encode: groupby(tile_id) → per-tile gzip manifest,
-    ordered by ascending tile_id (the reference's output order)."""
+    ordered by ascending tile_id (the reference's output order).
+    salted=True routes through the two-phase hot-tile encode."""
     cfg = cfg or EngineConfig()
     rows = wrangle(ds, cfg, filter_geojson, pyramid)
-    tiles = rows.groupby("tile_id").map_groups(
-        lambda g: encode_tile_group(g, cfg), batch_format="pandas")
+    if salted:
+        from ..stages.tile_encode import encode_tiles_salted
+
+        tiles = encode_tiles_salted(rows, cfg)
+    else:
+        tiles = rows.groupby("tile_id").map_groups(
+            lambda g: encode_tile_group(g, cfg), batch_format="pandas")
     return tiles.sort("tile_id")
+
+
+def wrangle_to_pmtiles(ds: rd.Dataset, output_path: str,
+                       cfg: Optional[EngineConfig] = None,
+                       filter_geojson=None, pyramid: bool = False) -> dict:
+    """Images routed to tiles, written as a PMTiles archive: each tile's
+    blob is the gzip image manifest (north_star: 'image bytes geotagged
+    and routed to tiles'). Single-file compatibility sink (ordered
+    driver-side writer); the scale path is wrangle_write's partitioned
+    shards."""
+    from ..config import apply_metadata_overrides
+    from ..geo.tilemath import MERCATOR_LAT_MAX
+    from ..sources.pmtiles import PmHeader, PmTilesWriter
+
+    cfg = cfg or EngineConfig()
+    tiles = wrangle_tiles(ds, cfg, filter_geojson, pyramid)
+    zmin, zmax = (cfg.zoom_range if pyramid else (cfg.zoom, cfg.zoom))
+    header = PmHeader(tile_type=0, min_zoom=zmin, max_zoom=zmax,
+                      min_lat_e7=int(-MERCATOR_LAT_MAX * 1e7),
+                      max_lat_e7=int(MERCATOR_LAT_MAX * 1e7))
+    writer = PmTilesWriter(output_path, header,
+                           apply_metadata_overrides(None, cfg))
+    n = 0
+    for b in tiles.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for tid, blob in zip(b["tile_id"].to_pylist(), b["blob"].to_pylist()):
+            writer.add_tile(int(tid), blob, compressed=True)  # already gzip
+            n += 1
+    writer.finalize()
+    return {"tiles_written": n}

@@ -227,3 +227,30 @@ def test_salted_tile_encode_matches_unsalted(ray_session):
         assert a["decoded"] == b["decoded"], plain["tile_id"].iloc[i]
     # the hot tile really is hot
     assert plain["n_features"].max() > 400
+
+
+def test_wrangle_to_pmtiles_archive(ray_session, tmp_path):
+    """Image tiles written as a PMTiles archive: readable, ordered,
+    manifests decode."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.pipelines.wrangle import wrangle_to_pmtiles
+    from mvt_wrangler_ray.sources.pmtiles import PmTilesReader
+
+    cfg = EngineConfig(zoom=7, name="image-tiles")
+    t = synth_images_table(800)
+    out = str(tmp_path / "images.pmtiles")
+    s = wrangle_to_pmtiles(rd.from_arrow(t), out, cfg)
+    r = PmTilesReader(out)
+    assert r.header.addressed_tiles == s["tiles_written"]
+    assert r.metadata()["name"] == "image-tiles"
+    ents = list(r.entries())
+    blob = r.get_tile_decompressed(ents[0])
+    m = decode_tile_blob(gzip.compress(blob))  # decode handles raw too
+    assert m["z"] == 7 and len(m["decoded"]) >= 1
+    total = 0
+    for e in ents:
+        mm = decode_tile_blob(r.get_tile_decompressed(e))
+        total += len(mm["decoded"]) * e.run_length
+    assert total == 800
+    r.close()

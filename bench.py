@@ -64,8 +64,12 @@ def run_headline() -> dict:
 
     cfg = EngineConfig(zoom=12, filter_concurrency=(2, max(2, NUM_CPUS // 2)),
                        batch_size=25_000)
-    # warm page cache / workers with an untimed tiny pass
-    synth_images_ds(10_000).map_batches(lambda b: b, batch_format="pyarrow").count()
+    # untimed warmup running the FULL pipeline shape at 1/20 scale: starts
+    # every worker process, imports the library in each, exercises every
+    # stage + the shuffle — so the timed run measures compute, not
+    # process spawn (BASELINE.md protocol)
+    wrangle_counts(synth_images_ds(max(HEADLINE_IMAGES // 20, 50_000)), cfg,
+                   filter_geojson=FILTERS_GEOJSON).count()
 
     t0 = time.perf_counter()
     ds = synth_images_ds(HEADLINE_IMAGES)

@@ -474,6 +474,31 @@ def _q_knn_ivf(sf_dir: str):
     return out[["query_id", "vec_id", "rank"]]
 
 
+def _q_features_transform(sf_dir: str):
+    """Reference-shaped features table through the full map-tag filter
+    semantics (deterministic synthetic extract; size independent of
+    sf_dir — rows-only check)."""
+    import ray.data as rd
+    from mvt_wrangler_ray.fixtures import FEATURE_FILTERS
+    from mvt_wrangler_ray.pipelines.features import transform_features
+    from mvt_wrangler_ray.sources.features import synth_features_table
+
+    t = synth_features_table(2000)
+    out = transform_features(rd.from_arrow(t), FEATURE_FILTERS)
+    return out.select_columns(["feature_id", "z", "x", "y", "tile_id", "layer"])
+
+
+def _q_dedup_clusters(sf_dir: str):
+    """Near-dup pairs → connected-component cluster ids."""
+    from mvt_wrangler_ray.stages.dedup import cluster_pairs, minhash_near_dups
+
+    pairs = minhash_near_dups(_docs(sf_dir, ["doc_id", "text"]), threshold=0.35)
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "cluster_id": pd.Series([], dtype=np.int64)})
+    return cluster_pairs(pairs)
+
+
 def _q_wrangle_tiles(sf_dir: str):
     from mvt_wrangler_ray.pipelines.wrangle import wrangle_tiles
     from mvt_wrangler_ray.sources.images import images_from_documents
@@ -513,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_images": _q_decode_images,
         "knn_ivf": _q_knn_ivf,
         "wrangle_tiles": _q_wrangle_tiles,
+        "features_transform": _q_features_transform,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 

@@ -245,6 +245,111 @@ def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def cluster_pairs(pairs: pd.DataFrame, large_threshold: int = 2_000_000):
+    """Duplicate-pair graph → cluster ids (connected components).
+
+    Verified near-dup pairs are a tiny fraction of the corpus (candidates
+    already passed LSH + exact verify), so driver-side union-find is the
+    right plan below `large_threshold` edges. Above it, callers should
+    switch to label propagation over a Dataset (min-label groupby rounds
+    — see label_propagation_round) — the sketch is provided and tested,
+    the cutover documented here rather than silently assumed."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    if len(pairs) > large_threshold:
+        raise ValueError(
+            "pair set too large for driver-side union-find; run "
+            "label_propagation_round iterations over the edges Dataset")
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
+    return pd.DataFrame({"doc_id": nodes,
+                         "cluster_id": [find(n) for n in nodes]})
+
+
+def seed_labels(edges_ds):
+    """Initial labels: every endpoint labeled with its own id."""
+    import pyarrow as pa
+
+    from .shuffle import two_phase_aggregate
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([a, b])
+        return pa.table({"node": pa.array(node), "label": pa.array(node)})
+
+    return two_phase_aggregate(
+        edges_ds.map_batches(explode, batch_format="pyarrow"),
+        keys=["node"],
+        partial_aggs=[("label", "min")], partial_names=["label"],
+        final_aggs=[("label", "min")], final_names=["label"])
+
+
+def label_propagation_round(edges_ds, labels_ds):
+    """One min-label propagation round, Dataset-native and scalable:
+
+      1. bucketed hash JOIN of current labels onto edge endpoints (both
+         directions) — endpoint and label rows co-located by node hash,
+         merged vectorized per bucket;
+      2. each edge endpoint sends its node's current label to its peer;
+      3. new label = min over (own label ∪ received messages) per node.
+
+    Iterate until the distinct-label count stops changing (component
+    diameter rounds). labels_ds=None seeds with seed_labels()."""
+    import pyarrow as pa
+
+    from .shuffle import add_bucket_column, two_phase_aggregate
+
+    if labels_ds is None:
+        labels_ds = seed_labels(edges_ds)
+    labels_ds = labels_ds.materialize()  # used twice (join + final min)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b])),
+                         "peer": pa.array(np.concatenate([b, a]))})
+
+    eps = edges_ds.map_batches(endpoints, batch_format="pyarrow")
+    tagged_eps = eps.map_batches(
+        lambda b: add_bucket_column(b, ["node"], 32).append_column(
+            "label", pa.nulls(len(b), pa.int64())),
+        batch_format="pyarrow")
+    tagged_lab = labels_ds.map_batches(
+        lambda b: add_bucket_column(b, ["node"], 32).append_column(
+            "peer", pa.nulls(len(b), pa.int64())).select(
+            ["node", "peer", "bucket", "label"]),
+        batch_format="pyarrow")
+
+    def join_and_message(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        labs = df[df["peer"].isna()][["node", "label"]]
+        eps_ = df[~df["peer"].isna()][["node", "peer"]]
+        merged = eps_.merge(labs, on="node", how="inner")
+        return pa.table({"node": pa.array(merged["peer"].astype(np.int64)),
+                         "label": pa.array(merged["label"].astype(np.int64))})
+
+    msgs = (tagged_eps.select_columns(["node", "peer", "bucket", "label"])
+            .union(tagged_lab)
+            .groupby("bucket").map_groups(join_and_message, batch_format="pyarrow"))
+
+    return two_phase_aggregate(
+        msgs.union(labels_ds), keys=["node"],
+        partial_aggs=[("label", "min")], partial_names=["label"],
+        final_aggs=[("label", "min")], final_names=["label"])
+
+
 # ---- simhash ----------------------------------------------------------
 
 

@@ -20,37 +20,7 @@ from mvt_wrangler_ray.geo.geometry import points_in_polygon
 from mvt_wrangler_ray.pipelines.features import transform_features_batch, _MapTags
 from mvt_wrangler_ray.sources.features import synth_features_table
 
-# two sub-areas of the synthetic Yakushima-ish extract
-POLY_A = [[130.40, 30.25], [130.55, 30.25], [130.55, 30.35], [130.40, 30.35],
-          [130.40, 30.25]]
-POLY_B = [[130.55, 30.38], [130.68, 30.38], [130.68, 30.47], [130.55, 30.47],
-          [130.55, 30.38]]
-WORLD = [[-180, -90], [-180, 90], [180, 90], [180, -90], [-180, -90]]
-
-# the reference filter fixture's three features, same expressions
-FILTERS = {
-    "type": "FeatureCollection",
-    "features": [
-        {"type": "Feature",
-         "properties": {"name": "A", "layers": {"pois": {"feature": ["boolean", True]}}},
-         "geometry": {"type": "Polygon", "coordinates": [POLY_A]}},
-        {"type": "Feature",
-         "properties": {"name": "B", "layers": {
-             "buildings": {"feature": ["any", ["==", ["tag", "kind"], "building"]]}}},
-         "geometry": {"type": "Polygon", "coordinates": [POLY_B]}},
-        {"type": "Feature",
-         "properties": {"name": "Global", "layers": {"*": {"tag": [
-             "any",
-             ["starts-with", ["key"], "pgf:name:"],
-             ["all",
-              ["starts-with", ["key"], "name"],
-              ["not", ["in",
-                       ["regex-capture", ["key"], "^name:?(.*)$", 1],
-                       ["literal", ["", "ja", "en", "2"]]]]],
-         ]}}},
-         "geometry": {"type": "Polygon", "coordinates": [WORLD]}},
-    ],
-}
+from mvt_wrangler_ray.fixtures import FEATURE_FILTERS as FILTERS
 
 
 @pytest.fixture(scope="module")

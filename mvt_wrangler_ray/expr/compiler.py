@@ -53,6 +53,32 @@ class ExpressionCompileError(ValueError):
     pass
 
 
+def expression_deps(expr) -> frozenset:
+    """Context dependencies of a compiled expression: subset of
+    {"tag", "key", "type"}. Lets evaluators cache results that depend
+    only on the current key (e.g. the common global ``name:*`` tag
+    filters) instead of re-evaluating per feature."""
+    op = expr[0]
+    if op == OP_TAG:
+        return frozenset(("tag",))
+    if op == OP_KEY:
+        return frozenset(("key",))
+    if op == OP_TYPE:
+        return frozenset(("type",))
+    if op == OP_LITERAL:
+        return frozenset()
+    if op in (OP_ANY, OP_ALL, OP_NONE):
+        out = frozenset()
+        for sub in expr[1]:
+            out |= expression_deps(sub)
+        return out
+    out = frozenset()
+    for part in expr[1:]:
+        if isinstance(part, tuple) and part and isinstance(part[0], str):
+            out |= expression_deps(part)
+    return out
+
+
 # data.rs:112-137 — note "not-in" is deliberately absent (documented in
 # FILTERING.md but not implemented in the reference; users write ["!", ["in", ...]]).
 _TOKEN_TABLE = {

@@ -301,6 +301,24 @@ def _first_vertex(g: Geom):
     return arr if len(arr) else None
 
 
+def rect_within_polygon(w: float, s: float, e: float, n: float, geom: Geom) -> bool:
+    """True when the axis-aligned rect lies ENTIRELY inside the polygon:
+    all four corners inside and no polygon edge crossing the rect
+    boundary. Used to detect masks that fully cover a tile (then every
+    feature of the tile intersects the mask — no per-feature test)."""
+    if geom.kind not in ("Polygon", "MultiPolygon"):
+        return False
+    cx = np.array([w, w, e, e])
+    cy = np.array([s, n, s, n])
+    if not points_in_polygon(cx, cy, geom).all():
+        return False
+    rect = np.array([[w, s], [e, s], [e, n], [w, n], [w, s]])
+    for ring in _edges(geom):
+        if _edge_arrays_cross(rect, ring):
+            return False
+    return True
+
+
 # ---- many axis-aligned rects × one polygon ----------------------------
 
 

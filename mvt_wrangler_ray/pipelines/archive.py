@@ -99,6 +99,81 @@ def _close(a: np.ndarray) -> np.ndarray:
     return a
 
 
+def needs_geom_test_layer(layer_masks) -> bool:
+    return any(g is not None for _, g in layer_masks)
+
+
+def _applicable_expr(f, layer_name: str, kind: str):
+    """Exact-layer-then-wildcard per-expression fallback (data.rs:272-308)."""
+    lf = f.layers.get(layer_name)
+    e = getattr(lf, kind, None) if lf is not None else None
+    if e is not None:
+        return e
+    lf = f.layers.get("*")
+    return getattr(lf, kind, None) if lf is not None else None
+
+
+def _bulk_remap_layer(layer: dict, drop_ki: set):
+    """Rebuild a layer's pools dropping the given key indices — the bulk
+    equivalent of the general per-feature loop when the drop decision is
+    uniform per key (duplicate-key last-wins and first-seen pool order
+    preserved identically)."""
+    keys, values = layer["keys"], layer["values"]
+    new_keys: List[str] = []
+    new_values: List[object] = []
+    kmap: Dict[int, int] = {}
+    vmap: Dict[tuple, int] = {}
+    new_feats = []
+    for feat in layer["features"]:
+        t = feat["tags"]
+        seen: Dict[str, tuple] = {}
+        order: List[str] = []
+        for i in range(0, len(t) - 1, 2):
+            ki, vi = t[i], t[i + 1]
+            k = keys[ki]
+            if k not in seen:
+                order.append(k)
+            seen[k] = (ki, vi)
+        pairs: List[int] = []
+        for k in order:
+            ki, vi = seen[k]
+            if ki in drop_ki:
+                continue
+            nki = kmap.get(ki)
+            if nki is None:
+                nki = kmap[ki] = len(new_keys)
+                new_keys.append(keys[ki])
+            v = values[vi]
+            vk = (type(v).__name__, v)
+            nvi = vmap.get(vk)
+            if nvi is None:
+                nvi = vmap[vk] = len(new_values)
+                new_values.append(v)
+            pairs.extend((nki, nvi))
+        new_feats.append({**feat, "tags": pairs})
+    layer["keys"] = new_keys
+    layer["values"] = new_values
+    layer["features"] = new_feats
+
+
+def _any_uses_type(layer_masks, layer_name: str) -> bool:
+    """Does any applicable expression reference ["type"]? If so the
+    geometry class must be computed even when no geometry intersect test
+    is needed (tile-covering masks)."""
+    from ..expr.compiler import expression_deps
+
+    for f, _ in layer_masks:
+        for kind in ("feature", "tag"):
+            lf = f.layers.get(layer_name)
+            e = getattr(lf, kind, None) if lf is not None else None
+            if e is None:
+                lf2 = f.layers.get("*")
+                e = getattr(lf2, kind, None) if lf2 is not None else None
+            if e is not None and "type" in expression_deps(e):
+                return True
+    return False
+
+
 def _transform_tile(tile_blob: bytes, z: int, x: int, y: int,
                     fc: Optional[CompiledFilterCollection]) -> bytes:
     """transform_tile parity (transform.rs:73-205). Always decodes and
@@ -106,9 +181,47 @@ def _transform_tile(tile_blob: bytes, z: int, x: int, y: int,
     §3.2, behaves the same)."""
     tile = mvt.decode_tile(tile_blob)
     candidates = []
+    covers_tile: Dict[int, bool] = {}
     if fc is not None and fc.features:
         cand = fc.tile_candidates(z, np.array([x]), np.array([y]))[0]
         candidates = [fc.features[i] for i in np.nonzero(cand)[0]]
+        if candidates:
+            from ..geo.geometry import rect_within_polygon
+            from ..geo.tilemath import tile_bounds
+
+            tw, ts, te, tn = tile_bounds(z, np.array([x]), np.array([y]))
+            for f in candidates:
+                # a mask that fully covers the tile intersects EVERY
+                # feature — the per-feature geometry test is skippable
+                # with identical output (intersects is then always true)
+                covers_tile[id(f)] = rect_within_polygon(
+                    float(tw[0]), float(ts[0]), float(te[0]), float(tn[0]),
+                    f.geometry)
+
+    # per-(filter, layer, key) cache for tag expressions that depend on
+    # the key alone (the common global name:* filters) — the decision is
+    # identical for every feature, so evaluate once per key
+    from ..expr.compiler import expression_deps
+
+    keyonly_cache: Dict[tuple, bool] = {}
+
+    def tag_decision(f, layer_name: str, key: str, props, geom_class: str) -> bool:
+        lf = f.layers.get(layer_name)
+        texpr = lf.tag if lf is not None and lf.tag is not None else None
+        if texpr is None:
+            lf = f.layers.get("*")
+            texpr = lf.tag if lf is not None else None
+        if texpr is None:
+            return False
+        if expression_deps(texpr) <= frozenset(("key",)):
+            ck = (id(f), layer_name, key)
+            hit = keyonly_cache.get(ck)
+            if hit is None:
+                hit = keyonly_cache[ck] = f.should_remove_tag(
+                    EvaluationContext(layer_name, {}, key, None))
+            return hit
+        return f.should_remove_tag(
+            EvaluationContext(layer_name, props, key, geom_class))
 
     for layer in tile["layers"]:
         extent = layer.get("extent", 4096)
@@ -116,6 +229,10 @@ def _transform_tile(tile_blob: bytes, z: int, x: int, y: int,
         # per-layer reprojection + bbox cull (transform.rs:96-108)
         layer_masks = []
         for f in candidates:
+            if covers_tile[id(f)]:
+                layer_masks.append((f, None))  # covers → always intersects
+                continue
+
             def proj(a, _z=z, _x=x, _y=y, _e=extent):
                 fx, fy = lonlat_to_tile_frac(a[:, 0], a[:, 1], _z)
                 return np.stack([(fx - _x) * _e, (fy - _y) * _e], axis=1)
@@ -125,6 +242,34 @@ def _transform_tile(tile_blob: bytes, z: int, x: int, y: int,
             if bbox_intersects_tile(np.array([minx]), np.array([miny]),
                                     np.array([maxx]), np.array([maxy]), extent)[0]:
                 layer_masks.append((f, g))
+
+        if not layer_masks:
+            # no mask reaches this layer: pure normalization pass
+            _bulk_remap_layer(layer, set())
+            continue
+
+        # layer-level bulk path: every mask covers the tile (feature
+        # membership is uniform), no applicable feature expression, and
+        # every applicable tag expression is key-only → the per-key drop
+        # decision is a property of the LAYER KEY POOL, not of features.
+        # Evaluate once per pool key and remap tag indices in bulk —
+        # identical output to the general loop.
+        if layer_masks and not needs_geom_test_layer(layer_masks):
+            lname = layer["name"]
+            has_feature_expr = any(
+                _applicable_expr(f, lname, "feature") is not None
+                for f, _ in layer_masks)
+            all_key_only = all(
+                (e := _applicable_expr(f, lname, "tag")) is None
+                or expression_deps(e) <= frozenset(("key",))
+                for f, _ in layer_masks)
+            if not has_feature_expr and all_key_only:
+                drop_ki = {
+                    ki for ki, key in enumerate(layer["keys"])
+                    if any(tag_decision(f, lname, key, None, "Unknown")
+                           for f, _ in layer_masks)}
+                _bulk_remap_layer(layer, drop_ki)
+                continue
 
         keys: List[str] = []
         values: List[object] = []
@@ -144,25 +289,40 @@ def _transform_tile(tile_blob: bytes, z: int, x: int, y: int,
                     tag_order.append(k)
                 tag_map[k] = v
 
-            geom_paths = mvt.decode_geometry(feat["geometry"])
-            feat_geom = _paths_to_geom(geom_paths, feat["type"])
-            geom_class = feat_geom.geom_class if feat["type"] != mvt.GEOM_UNKNOWN else "Unknown"
+            # fast paths: no mask reaches this layer → nothing to
+            # evaluate; only covering masks → every feature intersects
+            # without decoding its geometry (transform.rs:140-143 —
+            # non-intersecting filters are never consulted, and a
+            # tile-covering mask intersects every in-tile geometry)
+            needs_geom_test = any(g is not None for _, g in layer_masks)
+            geom_class = "Unknown"
+            if layer_masks and (needs_geom_test or _any_uses_type(layer_masks, layer["name"])):
+                geom_paths = mvt.decode_geometry(feat["geometry"])
+                feat_geom = _paths_to_geom(geom_paths, feat["type"])
+                geom_class = (feat_geom.geom_class
+                              if feat["type"] != mvt.GEOM_UNKNOWN else "Unknown")
+                intersecting = [
+                    (f, g) for f, g in layer_masks
+                    if g is None or geoms_intersect(feat_geom, g)
+                ]
+            else:
+                intersecting = list(layer_masks)
 
-            intersecting = [
-                (f, g) for f, g in layer_masks if geoms_intersect(feat_geom, g)
-            ]
+            if intersecting:
+                props = {k: _mvt_value_to_expr(v) for k, v in tag_map.items()}
+                ctx = EvaluationContext(layer["name"], props, None, geom_class)
 
-            props = {k: _mvt_value_to_expr(v) for k, v in tag_map.items()}
-            ctx = EvaluationContext(layer["name"], props, None, geom_class)
-
-            # feature drop: OR, first-true short-circuit (transform.rs:148-157)
-            if any(f.should_remove_feature(ctx) for f, _ in intersecting):
-                continue
+                # feature drop: OR, first-true short-circuit (transform.rs:148-157)
+                if any(f.should_remove_feature(ctx) for f, _ in intersecting):
+                    continue
+            else:
+                props = None
 
             new_tags: List[int] = []
             for k in tag_order:
-                kctx = EvaluationContext(layer["name"], props, k, geom_class)
-                if any(f.should_remove_tag(kctx) for f, _ in intersecting):
+                if intersecting and any(
+                        tag_decision(f, layer["name"], k, props, geom_class)
+                        for f, _ in intersecting):
                     continue
                 v = tag_map[k]
                 ki = key_idx.get(k)
@@ -265,8 +425,9 @@ def read_pmtiles_features(path: str, batch_size: int = 64):
             "tags": pa.array(rows["tags"], TAGS_TYPE),
         })
 
-    return rd.from_arrow(manifest).map_batches(
-        explode, batch_format="pyarrow", batch_size=batch_size)
+    nblocks = max(1, (len(manifest) + batch_size - 1) // batch_size)
+    return (rd.from_arrow(manifest).repartition(nblocks)
+            .map_batches(explode, batch_format="pyarrow", batch_size=batch_size))
 
 
 def wrangle_pmtiles(input_path: str, output_path: str,
@@ -323,8 +484,13 @@ def wrangle_pmtiles(input_path: str, output_path: str,
     prev = ctx.execution_options.preserve_order
     ctx.execution_options.preserve_order = True   # ordered single-file sink
     try:
-        ds = rd.from_arrow(manifest).map_batches(
-            transform_batch, batch_format="pyarrow", batch_size=batch_size)
+        nblocks = max(1, (len(manifest) + batch_size - 1) // batch_size)
+        # the manifest table arrives as ONE block; split it so the
+        # transform runs one task per batch (a single block would
+        # serialize the whole archive into one task)
+        ds = (rd.from_arrow(manifest).repartition(nblocks)
+              .map_batches(transform_batch, batch_format="pyarrow",
+                           batch_size=batch_size))
 
         out_header = PmHeader(
             tile_compression=in_header.tile_compression,

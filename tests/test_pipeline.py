@@ -254,3 +254,38 @@ def test_wrangle_to_pmtiles_archive(ray_session, tmp_path):
         total += len(mm["decoded"]) * e.run_length
     assert total == 800
     r.close()
+
+
+def test_filter_actor_pool_mode(ray_session):
+    """mode='actors': FilterJoinStage actor pool produces identical
+    results to the broadcast-task mode."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.pipelines.wrangle import assign_stage, filter_stage
+
+    cfg = EngineConfig(zoom=9, filter_concurrency=(1, 2))
+    t = synth_images_table(1200)
+    base = assign_stage(rd.from_arrow(t), cfg)
+    a = filter_stage(base, cfg, json.dumps(FILTERS), mode="actors").to_pandas()
+    b = filter_stage(base, cfg, json.dumps(FILTERS), mode="tasks").to_pandas()
+    assert sorted(a["image_id"]) == sorted(b["image_id"])
+    assert a["phash"].isna().all() and b["phash"].isna().all()
+
+
+def test_pyramid_wrangle(ray_session):
+    """Pyramid assignment: each surviving image appears once per zoom."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.pipelines.wrangle import wrangle
+
+    cfg = EngineConfig(zoom_range=(5, 7))
+    t = synth_images_table(400)
+    out = wrangle(rd.from_arrow(t), cfg, pyramid=True).to_pandas()
+    assert len(out) == 400 * 3
+    assert sorted(out["z"].unique()) == [5, 6, 7]
+    per_img = out.groupby("image_id")["z"].nunique()
+    assert (per_img == 3).all()
+    # zoom hierarchy: the z6 tile is the parent of the z7 tile
+    one = out[out["image_id"] == out["image_id"].iloc[0]].set_index("z")
+    assert one.loc[6, "x"] == one.loc[7, "x"] // 2
+    assert one.loc[6, "y"] == one.loc[7, "y"] // 2

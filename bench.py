@@ -83,7 +83,36 @@ def run_headline() -> dict:
 
 BENCH_QUERIES = ["tile_assign", "tile_density", "pip_join", "exact_dedup",
                  "expr_filter", "knn", "groupby_agg", "events_window",
-                 "image_tiles", "minhash_near_dup"]
+                 "image_tiles", "minhash_near_dup", "sessionize", "semi_join"]
+
+REFERENCE_FIXTURE = "/root/reference/tests/fixtures/input.pmtiles"
+
+
+def run_archive_bench() -> dict:
+    """The reference's own workload: rewrite its 1,446-tile fixture
+    archive (identity + fixture-shaped filter), warm."""
+    import json as _json
+    import os as _os
+
+    if not _os.path.exists(REFERENCE_FIXTURE):
+        return {}
+    from mvt_wrangler_ray.config import EngineConfig
+    from mvt_wrangler_ray.fixtures import FEATURE_FILTERS
+    from mvt_wrangler_ray.pipelines.archive import wrangle_pmtiles
+
+    wrangle_pmtiles(REFERENCE_FIXTURE, "/tmp/bench_warm.pmtiles", None,
+                    EngineConfig())  # warm
+    t0 = time.perf_counter()
+    s = wrangle_pmtiles(REFERENCE_FIXTURE, "/tmp/bench_id.pmtiles", None,
+                        EngineConfig())
+    ident = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    wrangle_pmtiles(REFERENCE_FIXTURE, "/tmp/bench_f.pmtiles",
+                    _json.dumps(FEATURE_FILTERS), EngineConfig())
+    filt = time.perf_counter() - t0
+    return {"pmtiles_identity_sec": round(ident, 3),
+            "pmtiles_filtered_sec": round(filt, 3),
+            "pmtiles_tiles_per_sec": round(s["tiles_written"] / ident, 1)}
 
 
 def run_queries() -> dict:
@@ -118,6 +147,7 @@ def main():
 
     head = run_headline()
     queries = run_queries()
+    queries.update(run_archive_bench())
     print(json.dumps({
         "metric": "wrangle_images_e2e_sec",
         "value": round(head["sec"], 3),

@@ -1,0 +1,141 @@
+"""MVT wire codec robustness: hypothesis round-trip (random tiles
+encode → decode fixpoint), geometry command-stream round trips, value
+oneof coercion."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mvt_wrangler_ray.sources import mvt
+
+_values = st.one_of(
+    st.text(max_size=20),
+    st.integers(min_value=-(2 ** 60), max_value=2 ** 60),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.booleans(),
+)
+
+_points = st.lists(
+    st.tuples(st.integers(0, 4095), st.integers(0, 4095)), min_size=1, max_size=8)
+
+
+@st.composite
+def _feature(draw):
+    gtype = draw(st.sampled_from([mvt.GEOM_POINT, mvt.GEOM_LINESTRING, mvt.GEOM_POLYGON]))
+    pts = draw(_points)
+    if gtype == mvt.GEOM_POLYGON and len(pts) >= 3:
+        paths = [pts + [pts[0]]]
+    elif gtype == mvt.GEOM_POLYGON:
+        gtype = mvt.GEOM_POINT
+        paths = [pts[:1]]
+    else:
+        paths = [pts]
+    ntags = draw(st.integers(0, 3))
+    return {
+        "id": draw(st.one_of(st.none(), st.integers(0, 2 ** 40))),
+        "type": gtype,
+        "tags": [draw(st.integers(0, 3)) for _ in range(ntags * 2)],
+        "geometry": mvt.encode_geometry(paths, gtype),
+    }
+
+
+@st.composite
+def _tile(draw):
+    nlayers = draw(st.integers(1, 3))
+    layers = []
+    for i in range(nlayers):
+        layers.append({
+            "name": f"layer{i}",
+            "version": 2,
+            "extent": draw(st.sampled_from([4096, 8192])),
+            "keys": ["a", "b", "c", "d"],
+            "values": [draw(_values) for _ in range(4)],
+            "features": draw(st.lists(_feature(), max_size=4)),
+        })
+    return {"layers": layers}
+
+
+def _norm_value(v):
+    # float32 never emitted by our encoder; ints round-trip exactly
+    return v
+
+
+@settings(max_examples=60, deadline=None)
+@given(_tile())
+def test_tile_roundtrip(tile):
+    blob = mvt.encode_tile(tile)
+    back = mvt.decode_tile(blob)
+    assert len(back["layers"]) == len(tile["layers"])
+    for lin, lout in zip(tile["layers"], back["layers"]):
+        assert lout["name"] == lin["name"]
+        assert lout["extent"] == lin["extent"]
+        assert lout["keys"] == lin["keys"]
+        for vin, vout in zip(lin["values"], lout["values"]):
+            if isinstance(vin, float):
+                assert vout == vin or (np.isnan(vin) and np.isnan(vout))
+            else:
+                assert vout == vin and type(vout) is type(vin)
+        assert len(lout["features"]) == len(lin["features"])
+        for fin, fout in zip(lin["features"], lout["features"]):
+            assert fout["tags"] == fin["tags"]
+            assert fout["type"] == fin["type"]
+            assert fout["geometry"] == fin["geometry"]
+            assert fout["id"] == fin["id"]
+    # encode is a fixpoint after one round trip
+    assert mvt.encode_tile(back) == blob
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(-10_000, 10_000),
+                          st.integers(-10_000, 10_000)),
+                min_size=1, max_size=20))
+def test_geometry_roundtrip_linestring(pts):
+    enc = mvt.encode_geometry([pts], mvt.GEOM_LINESTRING)
+    dec = mvt.decode_geometry(enc)
+    assert dec == [pts]
+
+
+def test_geometry_polygon_closepath():
+    ring = [(0, 0), (10, 0), (10, 10), (0, 0)]
+    enc = mvt.encode_geometry([ring], mvt.GEOM_POLYGON)
+    # ClosePath command present (op 7)
+    assert any((c & 0x7) == 7 for c in enc)
+    dec = mvt.decode_geometry(enc)
+    assert dec == [ring]
+
+
+def test_value_negative_int_zigzag():
+    assert mvt.decode_value(mvt.encode_value(-5)) == -5
+    assert mvt.decode_value(mvt.encode_value(5)) == 5
+    assert mvt.decode_value(mvt.encode_value(True)) is True
+    assert mvt.decode_value(mvt.encode_value("日本語")) == "日本語"
+    assert mvt.decode_value(mvt.encode_value(3.25)) == 3.25
+
+
+def test_pmtiles_writer_reader_roundtrip(tmp_path):
+    """Random archive through PmTilesWriter → PmTilesReader, including
+    content dedup + run-length merging."""
+    from mvt_wrangler_ray.geo.tilemath import tile_id
+    from mvt_wrangler_ray.sources.pmtiles import PmTilesReader, PmTilesWriter
+
+    path = str(tmp_path / "t.pmtiles")
+    w = PmTilesWriter(path, metadata={"name": "rt"})
+    blobs = {}
+    tid = 0
+    rng = np.random.default_rng(4)
+    for i in range(200):
+        tid += int(rng.integers(1, 4))
+        blob = bytes([i % 7]) * 50  # repeats → content dedup
+        w.add_tile(tid, blob)
+        blobs[tid] = blob
+    w.finalize()
+    r = PmTilesReader(path)
+    assert r.header.addressed_tiles == 200
+    assert r.header.tile_contents <= 7
+    got = {}
+    for e in r.entries():
+        for k in range(e.run_length):
+            got[e.tile_id + k] = r.get_tile_decompressed(e)
+    assert got == blobs
+    assert r.metadata()["name"] == "rt"
+    r.close()

@@ -499,6 +499,17 @@ def _q_dedup_clusters(sf_dir: str):
     return cluster_pairs(pairs)
 
 
+def _q_clean_corpus(sf_dir: str):
+    """Composed corpus cleaning over the documents table (quality gate →
+    language gate → exact + near dedup). Rows-only check."""
+    from mvt_wrangler_ray.pipelines.corpus import clean_corpus
+
+    survivors, _ = clean_corpus(
+        _docs(sf_dir, ["doc_id", "text"]), min_quality=0.1,
+        langs=("en", "de", "fr", "es", "zh", "und"), near_dup_threshold=0.8)
+    return survivors.select_columns(["doc_id"])
+
+
 def _q_wrangle_tiles(sf_dir: str):
     from mvt_wrangler_ray.pipelines.wrangle import wrangle_tiles
     from mvt_wrangler_ray.sources.images import images_from_documents
@@ -540,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wrangle_tiles": _q_wrangle_tiles,
         "features_transform": _q_features_transform,
         "dedup_clusters": _q_dedup_clusters,
+        "clean_corpus": _q_clean_corpus,
     }
 
 

@@ -1,0 +1,78 @@
+"""Composed training-data corpus cleaning — the kind of pipeline this
+engine exists to run at 100 TB:
+
+    read documents
+      → quality scoring (vectorized Arrow kernels)
+      → language ID (actor pool)
+      → quality + language gates (map-side filters, no shuffle)
+      → exact dedup (narrow hash shuffle, min-id survivor)
+      → near-dup removal (MinHash-LSH candidates → Jaccard verify →
+        union-find clusters → keep cluster minimum)
+      → surviving documents
+
+Every stage streams; the only shuffles are the two narrow dedup
+exchanges. Survivor selection is by broadcast id-set semi-join, so
+document payloads move zero times.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def clean_corpus(ds, min_quality: float = 0.2, langs=("en",),
+                 near_dup_threshold: float = 0.7,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """→ (survivors_ds, stats dict). Requires columns id_col, text_col."""
+    import ray
+
+    from ..stages.dedup import cluster_pairs, exact_dedup, minhash_near_dups
+    from ..stages.events import broadcast_semi_join
+    from ..stages.text import LangIdStage, quality_score_batch
+
+    stats = {}
+    n0 = ds.count()
+    stats["input"] = n0
+
+    scored = ds.map_batches(
+        lambda b: quality_score_batch(b, text_col), batch_format="pyarrow")
+    scored = scored.map_batches(LangIdStage, batch_format="pyarrow",
+                                concurrency=(1, 4))
+
+    lang_set = set(langs)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        q = batch["quality_score"].to_numpy(zero_copy_only=False)
+        pl = np.asarray(batch["predicted_lang"].to_pandas(), dtype=object)
+        keep = (q >= min_quality) & np.isin(pl, list(lang_set))
+        return batch.filter(pa.array(keep))
+
+    gated = scored.map_batches(gate, batch_format="pyarrow").materialize()
+    stats["after_gates"] = gated.count()
+
+    # exact dedup: survivors = min id per content hash
+    exact_ids = set(
+        exact_dedup(gated, col=text_col, id_col=id_col)
+        .to_pandas()[id_col].tolist())
+    stats["after_exact_dedup"] = len(exact_ids)
+    ref = __import__("ray").put(exact_ids)
+    exact_survivors = broadcast_semi_join(gated, id_col, ref).materialize()
+
+    # near-dup: cluster verified pairs, drop everything but each
+    # cluster's min id
+    pairs = minhash_near_dups(exact_survivors, threshold=near_dup_threshold,
+                              col=text_col, id_col=id_col)
+    if len(pairs):
+        clusters = cluster_pairs(pairs)
+        drop = set(clusters.loc[
+            clusters["doc_id"] != clusters["cluster_id"], "doc_id"].tolist())
+    else:
+        drop = set()
+    stats["near_dup_dropped"] = len(drop)
+    dref = __import__("ray").put(drop)
+    survivors = broadcast_semi_join(exact_survivors, id_col, dref, anti=True)
+    stats["output"] = survivors.count()
+    return survivors, stats

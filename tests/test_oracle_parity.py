@@ -11,7 +11,7 @@ import pytest
 
 import __ray_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = __import__("os").environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]

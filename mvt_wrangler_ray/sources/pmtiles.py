@@ -278,17 +278,39 @@ class PmTilesWriter:
         else:
             self._entries.append(DirEntry(tile_id, off, ln, 1))
 
+    # root directories are capped (spec: root+header fit the first 16 KiB
+    # so one read serves any tile lookup); larger archives split into
+    # leaf directories the root points at (run_length = 0 entries)
+    MAX_ROOT_ENTRIES = 256
+    LEAF_ENTRIES = 2048
+
     def finalize(self):
         h = self.header
-        root = _compress(_encode_directory(self._entries), h.internal_compression)
+        if len(self._entries) <= self.MAX_ROOT_ENTRIES:
+            root = _compress(_encode_directory(self._entries), h.internal_compression)
+            leaves = b""
+        else:
+            # split tile entries into fixed-size leaves; root entry i
+            # carries the first tile_id of leaf i and its byte range
+            leaf_blobs = []
+            root_entries = []
+            off = 0
+            for s in range(0, len(self._entries), self.LEAF_ENTRIES):
+                chunk = self._entries[s:s + self.LEAF_ENTRIES]
+                blob = _compress(_encode_directory(chunk), h.internal_compression)
+                root_entries.append(DirEntry(chunk[0].tile_id, off, len(blob), 0))
+                leaf_blobs.append(blob)
+                off += len(blob)
+            root = _compress(_encode_directory(root_entries), h.internal_compression)
+            leaves = b"".join(leaf_blobs)
         meta = _compress(json.dumps(self.metadata).encode(), h.internal_compression)
         h.root_offset = 127
         h.root_length = len(root)
         h.metadata_offset = h.root_offset + h.root_length
         h.metadata_length = len(meta)
         h.leaf_offset = h.metadata_offset + h.metadata_length
-        h.leaf_length = 0
-        h.data_offset = h.leaf_offset
+        h.leaf_length = len(leaves)
+        h.data_offset = h.leaf_offset + h.leaf_length
         h.data_length = len(self._data)
         h.addressed_tiles = self._addressed
         h.tile_entries = len(self._entries)
@@ -298,4 +320,5 @@ class PmTilesWriter:
             f.write(_serialize_header(h))
             f.write(root)
             f.write(meta)
+            f.write(leaves)
             f.write(bytes(self._data))

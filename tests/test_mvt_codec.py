@@ -139,3 +139,68 @@ def test_pmtiles_writer_reader_roundtrip(tmp_path):
     assert got == blobs
     assert r.metadata()["name"] == "rt"
     r.close()
+
+
+def test_pmtiles_leaf_directories(tmp_path):
+    """Archives past the root cap split into leaf directories; the
+    reader resolves them transparently."""
+    from mvt_wrangler_ray.sources.pmtiles import PmTilesReader, PmTilesWriter
+
+    path = str(tmp_path / "leafy.pmtiles")
+    w = PmTilesWriter(path)
+    n = 6000
+    for i in range(n):
+        w.add_tile(i * 3, f"tile-{i}".encode())  # unique contents, gaps
+    w.finalize()
+    r = PmTilesReader(path)
+    assert r.header.leaf_length > 0           # leaves actually used
+    ents = list(r.entries())
+    assert len(ents) == n
+    tids = [e.tile_id for e in ents]
+    assert tids == sorted(tids)
+    # random access through leaves
+    assert r.get_by_id(3 * 1234) == b"tile-1234"
+    assert r.get_by_id(1) is None
+    r.close()
+
+
+def test_near_dup_recall_planted(ray_session):
+    """Planted near-duplicate clusters in a 5k-doc corpus: MinHash-LSH +
+    verify recovers every planted pair (recall) without false positives
+    between unrelated docs (precision on a sample)."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from mvt_wrangler_ray.stages.dedup import jaccard, minhash_near_dups
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(800)]
+    docs, ids = [], []
+    planted = []
+    i = 0
+    for c in range(40):                     # 40 planted clusters of 3
+        words = [vocab[k] for k in rng.choice(800, 60, replace=False)]
+        base = " ".join(words)
+        variants = [base,
+                    " ".join(words[:-3] + ["x1", "x2", "x3"]),
+                    " ".join(["y0"] + words[1:])]
+        for v in variants:
+            docs.append(v); ids.append(i); i += 1
+        planted.append((i - 3, i - 2, i - 1))
+    for _ in range(4800):                   # unrelated background docs
+        words = [vocab[k] for k in rng.choice(800, 60, replace=False)]
+        docs.append(" ".join(words)); ids.append(i); i += 1
+
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    pairs = minhash_near_dups(rd.from_arrow(t), threshold=0.55)
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    missed = 0
+    for a, b, c in planted:
+        for pr in [(a, b), (a, c), (b, c)]:
+            if jaccard(docs[pr[0]], docs[pr[1]]) >= 0.55 and pr not in found:
+                missed += 1
+    assert missed == 0                       # every verifiable pair found
+    # no found pair is actually below threshold (verify stage guarantees)
+    for a, b in list(found)[:50]:
+        assert jaccard(docs[a], docs[b]) >= 0.55

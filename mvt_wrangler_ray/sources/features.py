@@ -12,7 +12,6 @@ import pyarrow as pa
 
 from ..geo.geotag import fnv1a64_strings
 from ..geo.tilemath import assign_tile, tile_id
-from .images import _FMTS  # noqa: F401  (shared determinism helpers)
 from ..pipelines.features import TAGS_TYPE, tag_value
 
 LAYERS = ["boundaries", "buildings", "earth", "landcover", "landuse",

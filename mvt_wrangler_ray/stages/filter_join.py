@@ -146,19 +146,5 @@ def make_task_filter(filter_geojson, cfg: Optional[EngineConfig] = None,
     return filter_batch
 
 
-class MapTagFilterJoinStage(FilterJoinStage):
-    """Variant for the features-table shape (FIXTURES.md §2) where tags
-    live in a map<string, struct> column: the map is exploded to per-key
-    columns for the distinct keys in the batch, evaluated with true
-    per-entry ``current_key`` semantics (the reference's per-tag loop,
-    transform.rs:159-171), then re-imploded with nulls dropped."""
-
-    def __init__(self, filter_geojson, cfg: Optional[EngineConfig] = None,
-                 tags_col: str = "tags", geom_type_col: str = "geom_type"):
-        super().__init__(filter_geojson, cfg)
-        self.tags_col = tags_col
-        self.geom_type_col = geom_type_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover - exercised in tests
-        raise NotImplementedError(
-            "features-table filtering runs through pipelines.features.transform_features_batch")
+# Features-table (map<string, struct> tags) filtering with true per-entry
+# current_key semantics lives in pipelines.features.transform_features_batch.

@@ -499,6 +499,24 @@ def _q_dedup_clusters(sf_dir: str):
     return cluster_pairs(pairs)
 
 
+def _q_raster_vector(sf_dir: str):
+    """Raster↔vector: documents geotagged → per-tile count rasters →
+    connected-component polygons. Rows-only check (count conservation is
+    asserted in tests/test_raster.py)."""
+    from mvt_wrangler_ray.stages.raster import rasterize, vectorize
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(_geotag_docs, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: _assign(b, 5), batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "tile_id", pa.array(
+                b["x"].to_numpy(zero_copy_only=False) * 32
+                + b["y"].to_numpy(zero_copy_only=False), pa.int64())),
+        batch_format="pyarrow")
+    return vectorize(rasterize(ds, res=32)).select_columns(
+        ["tile_id", "component", "n_cells", "total_count"])
+
+
 def _q_clean_corpus(sf_dir: str):
     """Composed corpus cleaning over the documents table (quality gate →
     language gate → exact + near dedup). Rows-only check."""
@@ -552,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "features_transform": _q_features_transform,
         "dedup_clusters": _q_dedup_clusters,
         "clean_corpus": _q_clean_corpus,
+        "raster_vector": _q_raster_vector,
     }
 
 

@@ -32,6 +32,13 @@ def _init_ray():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Ray's sort emits empty partitions for key ranges with no rows and
+    # warns about their empty schema — harmless, silence the logger
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
 
 
 def synth_images_ds(n: int, block_rows: int = 25_000):

@@ -21,5 +21,11 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    import logging
+
+    # empty sort partitions produce empty-schema bundles Ray warns about
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
     yield
     ray.shutdown()

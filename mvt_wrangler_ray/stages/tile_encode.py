@@ -120,8 +120,10 @@ def tile_counts_two_phase(ds, key: str = "tile_id", carry=("z", "x", "y"),
     in Python; the bucketed plan crosses Python 64 times)."""
     from .shuffle import grouped_count
 
+    # wide path: at high zooms partials ≈ rows, so coalesce before the
+    # exchange (see shuffle.two_phase_aggregate)
     return grouped_count(ds, [key], out="n_images", carry=carry,
-                         num_buckets=num_buckets)
+                         num_buckets=num_buckets, coalesce_blocks=num_buckets)
 
 
 def encode_tiles_salted(ds, cfg: EngineConfig = EngineConfig(),

@@ -312,3 +312,13 @@ def test_vector_regex_capture_values():
     assert vals[2] == vstr("")          # group participates with empty match
     assert vals[3] == vnull()           # no match ("pgf:..." doesn't start at ^)
     assert vals[4] == vnull()
+
+
+def test_documented_but_unimplemented_tokens_rejected():
+    """FILTERING.md lists `not-in` and `string` but the reference's
+    Operator::from_str (data.rs:112-137) has no arms for them — both are
+    compile errors there, and must stay compile errors here."""
+    with pytest.raises(ExpressionCompileError):
+        compile_expression(["string", ["tag", "kind"]])
+    with pytest.raises(ExpressionCompileError):
+        compile_expression(["not-in", ["tag", "kind"], ["literal", ["a"]]])

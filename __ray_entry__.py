@@ -348,6 +348,51 @@ def _q_image_tiles(sf_dir: str):
     return ds.map_batches(pyramid, batch_format="pyarrow")
 
 
+N_SITES = 64
+
+
+def _q_nearest_site(sf_dir: str):
+    """Nearest-neighbor spatial join: every document routed to its
+    closest of 64 deterministic sites (broadcast argmin), then counts
+    per site."""
+    import ray
+    from mvt_wrangler_ray.geo.geotag import geotag_ints
+    from mvt_wrangler_ray.stages.geospatial import nearest_site_batch
+    from mvt_wrangler_ray.stages.shuffle import grouped_count
+
+    site_ids = np.arange(N_SITES, dtype=np.int64)
+    slon, slat = geotag_ints(site_ids + 1_000_000)  # disjoint id space
+    ref = ray.put((slon, slat, site_ids))
+    cache = {}
+
+    def route(batch: pa.Table) -> pa.Table:
+        s = cache.get("s")
+        if s is None:
+            s = cache["s"] = ray.get(ref)
+        return nearest_site_batch(batch, *s).select(["doc_id", "nearest_site"])
+
+    ds = (_docs(sf_dir, ["doc_id"]).map_batches(_geotag_docs, batch_format="pyarrow")
+          .map_batches(route, batch_format="pyarrow"))
+    return grouped_count(ds, ["nearest_site"], out="n_docs", num_buckets=8)
+
+
+def _q_cell_density(sf_dir: str):
+    """Per-S2-cell density (the cell-routing aggregate): counts per
+    level-8 cell, two-phase. Rows-only (cell math is transcendental)."""
+    from mvt_wrangler_ray.geo import cells as cellmod
+    from mvt_wrangler_ray.stages.shuffle import grouped_count
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        c = cellmod.s2_cell_id(lon, lat, 8).astype(np.int64)
+        return pa.table({"s2_cell": pa.array(c, pa.int64())})
+
+    ds = (_docs(sf_dir, ["doc_id"]).map_batches(_geotag_docs, batch_format="pyarrow")
+          .map_batches(cellify, batch_format="pyarrow"))
+    return grouped_count(ds, ["s2_cell"], out="n_docs", num_buckets=16)
+
+
 def _q_sessionize(sf_dir: str):
     """Session windows (30-min gap) per user over the events log."""
     import ray.data as rd
@@ -555,6 +600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_limit": _q_sort_limit,
         "image_tiles": _q_image_tiles,
         "sessionize": _q_sessionize,
+        "nearest_site": _q_nearest_site,
+        "cell_density": _q_cell_density,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "distinct": _q_distinct,
@@ -572,6 +619,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": _q_clean_corpus,
         "raster_vector": _q_raster_vector,
     }
+
+
+def _sql_nearest_site() -> str:
+    """Generated VALUES table of the 64 deterministic sites + argmin via
+    row_number over squared distance (ties broken by site id ascending —
+    matching np.argmin's lowest-index rule with sites ordered by id)."""
+    from mvt_wrangler_ray.geo.geotag import geotag_ints
+
+    site_ids = np.arange(N_SITES, dtype=np.int64)
+    slon, slat = geotag_ints(site_ids + 1_000_000)
+    values = ", ".join(
+        f"({int(i)}, {lo!r}, {la!r})" for i, lo, la in zip(site_ids, slon, slat))
+    lon = SQL_LON.format(id="doc_id")
+    lat = SQL_LAT.format(id="doc_id")
+    return (
+        f"WITH sites(site_id, slon, slat) AS (VALUES {values}), "
+        f"geo AS (SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents), "
+        "ranked AS (SELECT g.doc_id, s.site_id, row_number() OVER ("
+        "  PARTITION BY g.doc_id ORDER BY "
+        "  (g.lon - s.slon) * (g.lon - s.slon) + (g.lat - s.slat) * (g.lat - s.slat) ASC, "
+        "  s.site_id ASC) AS rn FROM geo g CROSS JOIN sites s) "
+        "SELECT site_id AS nearest_site, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM ranked WHERE rn = 1 GROUP BY 1")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -662,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
             "round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 * 1e3) / 1e3 "
             "  AS duration_sec_f "
             "FROM sessions GROUP BY user_id, sid",
+        "nearest_site": _sql_nearest_site(),
         "semi_join":
             "SELECT o_orderkey FROM orders WHERE o_custkey IN "
             "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",

@@ -68,6 +68,37 @@ def tile_assign_batch(batch: pa.Table, cfg: EngineConfig = EngineConfig()) -> pa
             .append_column("quadkey", pa.array(qk, pa.string())))
 
 
+def nearest_site_batch(batch: pa.Table, site_lon: np.ndarray,
+                       site_lat: np.ndarray, site_ids: np.ndarray,
+                       chunk_cells: int = 4_000_000) -> pa.Table:
+    """Nearest-neighbor spatial join against a broadcast site set: each
+    row gets the id of its closest site (squared-euclidean in lon/lat —
+    deterministic and SQL-reproducible; switch to haversine for true
+    meters). Vectorized (rows × sites) argmin in row chunks.
+
+    The broadcast-join pattern for 'route each image to its nearest
+    POI/centroid': sites ship once via ray.put / closure; no shuffle.
+    For huge site sets, pre-bucket sites by cell and probe neighboring
+    cells instead (the IVF pattern of stages/knn.py)."""
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    n = len(lon)
+    m = len(site_lon)
+    best = np.empty(n, dtype=np.int64)
+    bestd = np.empty(n, dtype=np.float64)
+    ch = max(1, chunk_cells // max(m, 1))
+    for s in range(0, n, ch):
+        sl = slice(s, min(s + ch, n))
+        d2 = ((lon[sl, None] - site_lon[None, :]) ** 2
+              + (lat[sl, None] - site_lat[None, :]) ** 2)
+        idx = np.argmin(d2, axis=1)      # ties → lowest index (SQL parity:
+        best[sl] = site_ids[idx]         # order sites by id ascending)
+        bestd[sl] = d2[np.arange(d2.shape[0]), idx]
+    return (batch
+            .append_column("nearest_site", pa.array(best, pa.int64()))
+            .append_column("site_dist2", pa.array(bestd, pa.float64())))
+
+
 def repartition_by_cell_prefix(ds, cfg: EngineConfig = EngineConfig(),
                                num_blocks: int = 64):
     """Explicit repartition by S2-cell prefix ranges (north_rule): rows

@@ -1,8 +1,15 @@
 import os
 
 import pytest
+from hypothesis import settings
 
 os.environ.setdefault("RAY_DEDUP_LOGS", "0")
+
+# deterministic property tests: the suite is a correctness GATE (driver
+# runs it per round), so runs must be reproducible; exploration happens
+# in development, not in the gate
+settings.register_profile("gate", derandomize=True)
+settings.load_profile("gate")
 
 
 @pytest.fixture(scope="session")

@@ -6,10 +6,12 @@ from hypothesis import settings
 os.environ.setdefault("RAY_DEDUP_LOGS", "0")
 
 # deterministic property tests: the suite is a correctness GATE (driver
-# runs it per round), so runs must be reproducible; exploration happens
-# in development, not in the gate
+# runs it per round), so runs must be reproducible; randomized
+# exploration runs on demand with HYPOTHESIS_PROFILE=deep
 settings.register_profile("gate", derandomize=True)
-settings.load_profile("gate")
+settings.register_profile("deep", max_examples=400, deadline=None,
+                          derandomize=False)
+settings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "gate"))
 
 
 @pytest.fixture(scope="session")

@@ -174,8 +174,19 @@ def write_partitioned(ds, out_dir: str, key: str = "tile_id",
     writer = LineageWriter(out_dir, key)
     todo = resume_plan(out_dir, bounds, key) if resume else [
         (pid, lo, hi) for pid, (lo, hi) in enumerate(bounds)]
+
+    def _run_meta():
+        meta = dict(metadata or {})
+        meta["run"] = {
+            "partitions_written_this_run": len(todo),
+            "partitions_skipped_resume": len(bounds) - len(todo),
+            "key_min": int(key_min),
+            "key_max": int(key_max),
+        }
+        return meta
+
     if not todo:
-        writer.finalize(metadata)
+        writer.finalize(_run_meta())
         return writer.read_lineage()
 
     todo_pids = np.array(sorted(pid for pid, _, _ in todo), dtype=np.int64)
@@ -216,7 +227,7 @@ def write_partitioned(ds, out_dir: str, key: str = "tile_id",
                 schema = _dataset_schema(ds)
             writer.write_partition(pid, lo, hi, schema.empty_table()
                                    if schema else pa.table({}))
-    writer.finalize(metadata)
+    writer.finalize(_run_meta())
     return writer.read_lineage()
 
 

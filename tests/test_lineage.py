@@ -127,3 +127,19 @@ def test_wrangle_write_end_to_end(ray_session):
         meta = _json.load(f)
     assert meta["metadata"]["name"] == "sinktest"
     assert meta["total_rows"] == 1500
+
+
+def test_run_metrics_in_manifest(ray_session):
+    """Per-run counters in the sink manifest: written vs resume-skipped."""
+    import json as _json
+
+    ds, t = _make_ds(2000)
+    write_partitioned(ds, OUT, key="tile_id", num_partitions=4,
+                      key_min=0, key_max=99_999)
+    # resume with everything done → 0 written, 4 skipped
+    write_partitioned(ds, OUT, key="tile_id", num_partitions=4,
+                      key_min=0, key_max=99_999)
+    with open(os.path.join(OUT, "_metadata.json")) as f:
+        meta = _json.load(f)
+    assert meta["metadata"]["run"]["partitions_written_this_run"] == 0
+    assert meta["metadata"]["run"]["partitions_skipped_resume"] == 4

@@ -449,6 +449,84 @@ def _q_distinct(sf_dir: str):
     return distinct_values(ds, "event_type")
 
 
+def _q_sample(sf_dir: str):
+    """Deterministic 10% sample: hash-bucket the id (same multiplicative
+    hash as the geotag — SQL-reproducible), keep bucket < 10."""
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % np.uint64(100)
+        return batch.filter(pa.array(bucket < 10)).select(["doc_id"])
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(f, batch_format="pyarrow")
+
+
+def _q_median_qty(sf_dir: str):
+    """Discrete median (percentile_disc semantics: the kth smallest
+    element, k = ceil(n/2) - 1 zero-indexed ... exactly DuckDB's
+    percentile_disc(0.5)) of l_quantity per return flag — computed with
+    a bucketed groupby and a vectorized in-group kth-element."""
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.shuffle import add_bucket_column
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    bucketed = ds.map_batches(
+        lambda b: add_bucket_column(b, ["l_returnflag"], 8), batch_format="pyarrow")
+
+    def med(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        rows = []
+        for flag, sub in df.groupby("l_returnflag"):
+            v = np.sort(sub["l_quantity"].to_numpy())
+            k = int(np.ceil(len(v) * 0.5)) - 1  # percentile_disc(0.5)
+            rows.append((flag, float(v[max(k, 0)])))
+        return pa.table({"l_returnflag": pa.array([r[0] for r in rows]),
+                         "median_qty": pa.array([r[1] for r in rows], pa.float64())})
+
+    return bucketed.groupby("bucket").map_groups(med, batch_format="pyarrow")
+
+
+def _q_normalize_text(sf_dir: str):
+    """String normalization: lowercase + whitespace collapse + trim,
+    returning a content hash of the normalized form."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(batch["text"]),
+                                       pattern=r"\s+", replacement=" "))
+        hashes = [hashlib.md5(s.encode()).hexdigest() for s in norm.to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "norm_hash": pa.array(hashes, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def _q_topk_per_group(sf_dir: str):
+    """Top-2 orders per customer by price: bucketed groupby + vectorized
+    in-group head (the window-function top-k pattern without per-key
+    Python)."""
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.shuffle import add_bucket_column
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    bucketed = ds.map_batches(
+        lambda b: add_bucket_column(b, ["o_custkey"], 16), batch_format="pyarrow")
+
+    def topk(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="stable")
+        out = df.groupby("o_custkey", sort=False).head(2)
+        return pa.Table.from_pandas(
+            out[["o_custkey", "o_orderkey"]], preserve_index=False)
+
+    return bucketed.groupby("bucket").map_groups(topk, batch_format="pyarrow")
+
+
 # rows-only (no SQL-expressible oracle) -------------------------------------
 
 
@@ -599,6 +677,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "groupby_agg": _q_groupby_agg,
         "sort_limit": _q_sort_limit,
         "image_tiles": _q_image_tiles,
+        "sample": _q_sample,
+        "median_qty": _q_median_qty,
+        "normalize_text": _q_normalize_text,
+        "topk_per_group": _q_topk_per_group,
         "sessionize": _q_sessionize,
         "nearest_site": _q_nearest_site,
         "cell_density": _q_cell_density,
@@ -741,4 +823,20 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
         "distinct":
             "SELECT DISTINCT event_type FROM events",
+        "sample":
+            "SELECT doc_id FROM documents "
+            "WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10",
+        "median_qty":
+            "SELECT l_returnflag, "
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) "
+            "AS DOUBLE) AS median_qty FROM lineitem GROUP BY 1",
+        "normalize_text":
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+            "AS norm_hash FROM documents",
+        "topk_per_group":
+            "SELECT o_custkey, o_orderkey FROM ("
+            "  SELECT o_custkey, o_orderkey, row_number() OVER ("
+            "    PARTITION BY o_custkey "
+            "    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) "
+            "WHERE rn <= 2",
     }

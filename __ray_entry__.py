@@ -449,6 +449,34 @@ def _q_distinct(sf_dir: str):
     return distinct_values(ds, "event_type")
 
 
+def _q_hash_join(sf_dir: str):
+    """Partitioned hash join (both sides shuffled by key hash, joined
+    vectorized per bucket): orders ⋈ customer, revenue per market
+    segment."""
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.shuffle import bucketed_hash_join, two_phase_aggregate
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    joined = bucketed_hash_join(orders, cust, "o_custkey", "c_custkey")
+    agg = two_phase_aggregate(
+        joined, keys=["c_mktsegment"],
+        partial_aggs=[("o_totalprice", "sum"), ("o_totalprice", "count")],
+        partial_names=["psum", "pcount"],
+        final_aggs=[("psum", "sum"), ("pcount", "sum")],
+        final_names=["rev_raw", "n_orders"], num_buckets=8)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rev = np.round(batch["rev_raw"].to_numpy(zero_copy_only=False) * 1e2) / 1e2
+        return pa.table({"c_mktsegment": batch["c_mktsegment"],
+                         "n_orders": batch["n_orders"],
+                         "revenue_f": pa.array(rev, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_sample(sf_dir: str):
     """Deterministic 10% sample: hash-bucket the id (same multiplicative
     hash as the geotag — SQL-reproducible), keep bucket < 10."""
@@ -677,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "groupby_agg": _q_groupby_agg,
         "sort_limit": _q_sort_limit,
         "image_tiles": _q_image_tiles,
+        "hash_join": _q_hash_join,
         "sample": _q_sample,
         "median_qty": _q_median_qty,
         "normalize_text": _q_normalize_text,
@@ -823,6 +852,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
         "distinct":
             "SELECT DISTINCT event_type FROM events",
+        "hash_join":
+            "SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+            "round(sum(o.o_totalprice) * 1e2) / 1e2 AS revenue_f "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY 1",
         "sample":
             "SELECT doc_id FROM documents "
             "WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10",

@@ -121,6 +121,74 @@ def two_phase_aggregate(
         batch_format="pyarrow")
 
 
+def bucketed_hash_join(left, right, left_key: str, right_key: str,
+                       num_buckets: int = 32, how: str = "inner"):
+    """Partitioned hash join for two LARGE sides (the guide's portable
+    pattern): both sides gain a deterministic key-hash bucket column,
+    one groupby co-locates matching buckets, and each bucket joins
+    vectorized (pandas merge) — every row moves exactly once; no
+    broadcast. Salt hot keys upstream if one key dominates.
+
+    For small build sides prefer the broadcast join
+    (events.broadcast_semi_join / a ray.put lookup) — no shuffle at all."""
+    import pandas as pd
+
+    lcols = left.schema().names
+    rcols = right.schema().names
+    overlap = (set(lcols) & set(rcols)) - {left_key}
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        b = add_bucket_column(b, [left_key], num_buckets)
+        return b.append_column("_side", pa.array(np.zeros(len(b), np.int8)))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        if right_key != left_key:
+            names = [left_key if c == right_key else c for c in b.column_names]
+            b = b.rename_columns(names)
+        b = add_bucket_column(b, [left_key], num_buckets)
+        return b.append_column("_side", pa.array(np.ones(len(b), np.int8)))
+
+    l_tagged = left.map_batches(tag_left, batch_format="pyarrow")
+    r_tagged = right.map_batches(tag_right, batch_format="pyarrow")
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        lhs = df[df["_side"] == 0].dropna(axis=1, how="all")
+        rhs = df[df["_side"] == 1].dropna(axis=1, how="all")
+        lhs = lhs[[c for c in lcols if c in lhs.columns]]
+        rhs = rhs[[left_key] + [c for c in rcols
+                                if c != right_key and c in rhs.columns]]
+        out = lhs.merge(rhs, on=left_key, how=how,
+                        suffixes=("", "_r"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # union requires identical schemas: align columns (missing → typed null)
+    lschema, rschema = left.schema(), right.schema()
+    type_of = {}
+    for n, t in zip(lschema.names, lschema.types):
+        type_of[n] = t
+    for n, t in zip(rschema.names, rschema.types):
+        type_of.setdefault(left_key if n == right_key else n, t)
+    type_of["bucket"] = pa.int64()
+    type_of["_side"] = pa.int8()
+    all_cols = [left_key] + [c for c in lcols if c != left_key] + \
+        [c for c in rcols if c != right_key and c not in lcols] + \
+        ["bucket", "_side"]
+
+    def align(b: pa.Table) -> pa.Table:
+        arrays = []
+        for c in all_cols:
+            if c in b.column_names:
+                arrays.append(b[c])
+            else:
+                arrays.append(pa.nulls(len(b), type_of[c]))
+        return pa.table(dict(zip(all_cols, arrays)))
+
+    unioned = (l_tagged.map_batches(align, batch_format="pyarrow")
+               .union(r_tagged.map_batches(align, batch_format="pyarrow")))
+    return unioned.groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
 def grouped_count(ds, keys: Sequence[str], out: str = "n",
                   carry: Sequence[str] = (), num_buckets: int = 64,
                   coalesce_blocks: int = 0):

@@ -167,10 +167,20 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
     Global pair dedup runs the same way on a pair-key bucket."""
     from .shuffle import add_bucket_column
 
-    exploded = ds.map_batches(
-        MinHashStage, fn_constructor_kwargs={
-            "num_perm": num_perm, "bands": bands, "col": col, "id_col": id_col},
-        batch_format="pyarrow", concurrency=(1, 4))
+    # stateless tasks with cached per-worker stage: the permutation
+    # params are tiny, so actor-pool startup (~seconds) would dominate
+    # small corpora; state builds once per worker process either way
+    _stage_cache: dict = {}
+    key = (num_perm, bands, col, id_col)
+
+    def explode_batch(b: pa.Table) -> pa.Table:
+        st = _stage_cache.get(key)
+        if st is None:
+            st = _stage_cache[key] = MinHashStage(
+                num_perm=num_perm, bands=bands, col=col, id_col=id_col)
+        return st(b)
+
+    exploded = ds.map_batches(explode_batch, batch_format="pyarrow")
     bucketed = exploded.map_batches(
         lambda b: add_bucket_column(b, ["band", "band_hash"], num_buckets),
         batch_format="pyarrow")

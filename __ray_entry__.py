@@ -580,9 +580,9 @@ def _q_fingerprint(sf_dir: str):
 
 
 def _q_lang_id(sf_dir: str):
-    from mvt_wrangler_ray.stages.text import LangIdStage
+    from mvt_wrangler_ray.stages.text import lang_id_batch
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangIdStage, batch_format="pyarrow", concurrency=(1, 2)).select_columns(
+        lang_id_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "predicted_lang"])
 
 

@@ -31,7 +31,7 @@ def clean_corpus(ds, min_quality: float = 0.2, langs=("en",),
 
     from ..stages.dedup import cluster_pairs, exact_dedup, minhash_near_dups
     from ..stages.events import broadcast_semi_join
-    from ..stages.text import LangIdStage, quality_score_batch
+    from ..stages.text import lang_id_batch, quality_score_batch
 
     stats = {}
     n0 = ds.count()
@@ -39,8 +39,7 @@ def clean_corpus(ds, min_quality: float = 0.2, langs=("en",),
 
     scored = ds.map_batches(
         lambda b: quality_score_batch(b, text_col), batch_format="pyarrow")
-    scored = scored.map_batches(LangIdStage, batch_format="pyarrow",
-                                concurrency=(1, 4))
+    scored = scored.map_batches(lang_id_batch, batch_format="pyarrow")
 
     lang_set = set(langs)
 

@@ -444,11 +444,17 @@ def embedding_near_dups(ds_emb, threshold: float = 0.95,
     miss cross-bucket pairs — that's the documented LSH recall trade; use
     nbits=0 to force one bucket (exact, quadratic)."""
     dim = len(ds_emb.take(1)[0][vec_col])
-    sig = ds_emb.map_batches(
-        HyperplaneLSHStage,
-        fn_constructor_kwargs={"dim": dim, "nbits": nbits,
-                               "vec_col": vec_col, "id_col": id_col},
-        batch_format="pyarrow", concurrency=(1, 4))
+    _cache: dict = {}
+    key = (dim, nbits, vec_col, id_col)
+
+    def sig_batch(b: pa.Table) -> pa.Table:
+        st = _cache.get(key)
+        if st is None:
+            st = _cache[key] = HyperplaneLSHStage(
+                dim=dim, nbits=nbits, vec_col=vec_col, id_col=id_col)
+        return st(b)
+
+    sig = ds_emb.map_batches(sig_batch, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

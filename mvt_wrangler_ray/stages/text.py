@@ -70,10 +70,24 @@ _STOPWORDS: Dict[str, set] = {
 }
 
 
+_LANGID_CACHE: dict = {}
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task wrapper over LangIdStage with a per-worker cache —
+    the state (compiled regexes + stopword tables) is tiny, so task mode
+    skips actor-pool startup while still building state once per worker."""
+    st = _LANGID_CACHE.get("s")
+    if st is None:
+        st = _LANGID_CACHE["s"] = LangIdStage()
+    return st(batch)
+
+
 class LangIdStage:
-    """n-gram + stopword language ID heuristic (actor pool: tables and
-    regexes built once per actor in __init__). CJK detection by unicode
-    block; Latin languages by stopword hit-rate. Emits predicted_lang."""
+    """n-gram + stopword language ID heuristic (callable class usable as
+    an actor pool for heavy models; see lang_id_batch for the
+    small-state task mode). CJK detection by unicode block; Latin
+    languages by stopword hit-rate. Emits predicted_lang."""
 
     def __init__(self):
         self.word_re = re.compile(r"[a-zA-ZÀ-ÿ]+")

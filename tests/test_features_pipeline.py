@@ -127,3 +127,21 @@ def test_transform_features_dataset(ray_session):
     want = transform_features_batch(t, fc)
     assert len(out) == len(want)
     assert set(out["feature_id"]) == set(want["feature_id"].to_pylist())
+
+
+def test_duplicate_tag_keys_last_wins():
+    """MVT allows duplicate key indices; the reference's HashMap insert
+    makes the LAST value win (transform.rs:118-128). _MapTags.lookup must
+    agree."""
+    import pyarrow as pa
+
+    from mvt_wrangler_ray.pipelines.features import TAGS_TYPE, _MapTags, tag_value
+
+    rows = [[("k", tag_value("first")), ("k", tag_value("second")),
+             ("other", tag_value(1))]]
+    col = pa.array(rows, TAGS_TYPE)
+    tags = _MapTags(col, 1)
+    vb = tags.lookup("k")
+    from mvt_wrangler_ray.expr.values import vstr
+    assert vb.row_value(0) == vstr("second")   # last wins
+    assert tags.has_key("k")[0]

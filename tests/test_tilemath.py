@@ -276,3 +276,22 @@ def test_geotag_strings_deterministic():
     # spread: not all in one tile
     x, y = tilemath.assign_tile(lon1, lat1, 6)
     assert len(set(zip(x.tolist(), y.tolist()))) > 50
+
+
+def test_strtree_three_levels():
+    """Deep tree (>NODE_CAP² items → 3+ levels) still matches brute force."""
+    rng = np.random.default_rng(9)
+    n = 6000
+    mins = rng.uniform(0, 1000, (n, 2))
+    sizes = rng.uniform(0.1, 3, (n, 2))
+    boxes = np.hstack([mins, mins + sizes])
+    tree = STRtree(boxes)
+    assert len(tree.levels) >= 3
+    for _ in range(25):
+        q = rng.uniform(0, 1000, 2)
+        qbox = (q[0], q[1], q[0] + rng.uniform(1, 30), q[1] + rng.uniform(1, 30))
+        want = np.nonzero(
+            (boxes[:, 0] <= qbox[2]) & (boxes[:, 2] >= qbox[0])
+            & (boxes[:, 1] <= qbox[3]) & (boxes[:, 3] >= qbox[1]))[0]
+        got = tree.query_box(*qbox)
+        assert sorted(got.tolist()) == sorted(want.tolist())

@@ -6,8 +6,10 @@ ray.init()/shutdown().
 
 Column-name discipline: every computed column is named identically in the
 Ray pipeline and the SQL (the driver sorts columns by name and hashes
-values). Float-returning queries floor to a fixed grid on BOTH sides so
-last-ulp engine differences can't flip the hash.
+values). Float-returning queries discretize to a fixed grid with the SAME
+operation on both sides (floor for exact-arithmetic ratios, round for
+order-dependent float sums) so last-ulp engine differences can't flip
+the hash.
 """
 
 from __future__ import annotations

@@ -20,7 +20,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-HEADLINE_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "2000000"))
+HEADLINE_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "4000000"))
 
 
 def _init_ray():

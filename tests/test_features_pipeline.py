@@ -145,3 +145,115 @@ def test_duplicate_tag_keys_last_wins():
     from mvt_wrangler_ray.expr.values import vstr
     assert vb.row_value(0) == vstr("second")   # last wins
     assert tags.has_key("k")[0]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_transform_matches_row_oracle_random(seed):
+    """Randomized micro-fixtures: the vectorized features transform must
+    agree row-for-row (survival + surviving tag keys) with a direct
+    per-row evaluation of the compiled filter semantics."""
+    import numpy as np
+
+    from mvt_wrangler_ray.expr.rowexec import EvaluationContext
+    from mvt_wrangler_ray.expr.values import vbool, vfloat_from_f64, vint, vstr
+    from mvt_wrangler_ray.pipelines.features import TAGS_TYPE, tag_value
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    layers = ["pois", "buildings", "roads"]
+    keys_pool = ["name", "name:fr", "name:ja", "kind", "area", "public", "cap"]
+    rows = []
+    import pyarrow as pa
+
+    from mvt_wrangler_ray.sources.features import BOUNDS
+    w, s, e, nn = BOUNDS
+    lon = rng.uniform(w, e, n)
+    lat = rng.uniform(s, nn, n)
+    from mvt_wrangler_ray.geo.tilemath import assign_tile, tile_id
+    z = np.full(n, 10)
+    x, y = assign_tile(lon, lat, 10)
+    tags_rows = []
+    for i in range(n):
+        t = []
+        for k in keys_pool:
+            if rng.random() < 0.6:
+                r = rng.random()
+                if r < 0.4:
+                    v = f"v{int(rng.integers(0, 4))}"
+                elif r < 0.6:
+                    v = float(rng.integers(0, 100)) / 7.0
+                elif r < 0.8:
+                    v = int(rng.integers(-50, 50))
+                else:
+                    v = bool(rng.integers(0, 2))
+                t.append((k, tag_value(v)))
+        tags_rows.append(t)
+    table = pa.table({
+        "feature_id": pa.array([f"f{i}" for i in range(n)], pa.string()),
+        "z": pa.array(z.astype(np.int8), pa.int8()),
+        "x": pa.array(x.astype(np.int32), pa.int32()),
+        "y": pa.array(y.astype(np.int32), pa.int32()),
+        "tile_id": pa.array(tile_id(10, x, y), pa.int64()),
+        "layer": pa.array([layers[i % 3] for i in range(n)], pa.string()),
+        "extent": pa.array(np.full(n, 4096, np.int32), pa.int32()),
+        "geom_type": pa.array(["Point"] * n, pa.string()),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+        "tags": pa.array(tags_rows, TAGS_TYPE),
+    })
+    # random mask inside the bounds + the global language filter
+    mw = rng.uniform(w, (w + e) / 2)
+    ms = rng.uniform(s, (s + nn) / 2)
+    me = rng.uniform(mw + 0.02, e)
+    mn = rng.uniform(ms + 0.02, nn)
+    filters = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature",
+             "properties": {"layers": {
+                 "pois": {"feature": ["any", ["==", ["tag", "kind"], "v1"],
+                                      [">", ["tag", "area"], 5]]},
+                 "*": {"tag": ["starts-with", ["key"], "name:"]}}},
+             "geometry": {"type": "Polygon", "coordinates": [[
+                 [mw, ms], [me, ms], [me, mn], [mw, mn], [mw, ms]]]}},
+        ],
+    }
+    fc = CompiledFilterCollection.from_geojson(filters)
+    out = transform_features_batch(table, fc)
+
+    # row oracle
+    def to_val(tv):
+        t = tv["type"]
+        if t == 0:
+            return None
+        if t == 1:
+            return vbool(tv["b"])
+        if t == 2:
+            return vint(tv["i"])
+        if t == 3:
+            return vfloat_from_f64(tv["f"])
+        return vstr(tv["s"])
+
+    got = {out["feature_id"][i].as_py():
+           {k for k, v in out["tags"][i].as_py()} for i in range(len(out))}
+    n_checked = 0
+    for i in range(n):
+        inside = points_in_polygon(np.array([lon[i]]), np.array([lat[i]]),
+                                   fc.features[0].geometry)[0]
+        tags = {k: to_val(v) for k, v in table["tags"][i].as_py()}
+        lname = table["layer"][i].as_py()
+        fid = table["feature_id"][i].as_py()
+        ctx = EvaluationContext(lname, tags, None, "Point")
+        if inside and fc.features[0].should_remove_feature(ctx):
+            assert fid not in got, fid
+            continue
+        assert fid in got, fid
+        want_keys = set()
+        for k in tags:
+            kctx = EvaluationContext(lname, tags, k, "Point")
+            if inside and fc.features[0].should_remove_tag(kctx):
+                continue
+            want_keys.add(k)
+        assert got[fid] == want_keys, (fid, got[fid], want_keys)
+        n_checked += 1
+    assert n_checked > 100

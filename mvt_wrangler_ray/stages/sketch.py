@@ -1,0 +1,170 @@
+"""Mergeable sketches + Bloom filters — the aggregation-at-scale
+patterns for quantities that don't need exactness:
+
+  * HyperLogLog (dense, 2^p registers): one sketch per batch emitted from
+    map_batches, merged associatively in a tiny reduce — the shuffle
+    carries `blocks × 2^p bytes` instead of every distinct key.
+  * Bloom filter: broadcast membership for semi/anti joins when even the
+    key SET is too big to ship exactly — k hash probes per row,
+    vectorized; false positives only (semi-join may keep a few extra
+    rows, never lose one).
+
+Both use the deterministic splitmix/FNV hashes (never Python hash())."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo.geotag import fnv1a64_strings
+from .shuffle import _splitmix
+
+
+def _hash_column(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_integer(t):
+        v = col.cast(pa.int64()).fill_null(-(2 ** 62)).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        return _splitmix(v)
+    return _splitmix(fnv1a64_strings(
+        [x if x is not None else "" for x in col.to_pylist()]))
+
+
+# ---- HyperLogLog ------------------------------------------------------
+
+
+class HLL:
+    """Dense HyperLogLog with 2^p registers (p=12 → ~1.6% typical error).
+    Serializes to bytes; merge = elementwise max (associative and
+    commutative → safe to combine in any shuffle order)."""
+
+    def __init__(self, p: int = 12, registers: Optional[np.ndarray] = None):
+        self.p = p
+        self.m = 1 << p
+        self.reg = registers if registers is not None else np.zeros(self.m, np.uint8)
+
+    def add_hashes(self, h: np.ndarray):
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of the remaining bits + 1, vectorized via
+        # float64 exponent extraction (exact for the ranges involved)
+        rank = np.zeros(len(h), dtype=np.uint8)
+        x = rest.copy()
+        r = np.ones(len(h), dtype=np.uint8)
+        bit = np.uint64(1) << np.uint64(63)
+        # loop ≤ 64-p times, whole-array ops
+        active = np.ones(len(h), dtype=bool)
+        for _ in range(64 - self.p + 1):
+            top = (x & bit) != 0
+            done = active & top
+            rank[done] = r[done]
+            active &= ~top
+            if not active.any():
+                break
+            x = x << np.uint64(1)
+            r += np.uint8(1)
+        np.maximum.at(self.reg, idx, rank)
+
+    def merge(self, other: "HLL") -> "HLL":
+        return HLL(self.p, np.maximum(self.reg, other.reg))
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        inv = np.power(2.0, -self.reg.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.reg == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)   # small-range correction
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.reg.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HLL":
+        return cls(b[0], np.frombuffer(b[1:], np.uint8).copy())
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Approximate distinct count: per-batch HLL sketches (map side) →
+    driver-side merge of blocks × (2^p + 1) bytes. No key shuffle."""
+    def sketch(batch: pa.Table) -> pa.Table:
+        h = HLL(p)
+        h.add_hashes(_hash_column(batch[col]))
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    merged = HLL(p)
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        merged = merged.merge(HLL.from_bytes(row["sketch"]))
+    return merged.estimate()
+
+
+# ---- Bloom filter -----------------------------------------------------
+
+
+class BloomFilter:
+    """Vectorized Bloom filter: nbits bits, k probes derived from two
+    base hashes (Kirsch–Mitzenmacher double hashing)."""
+
+    def __init__(self, nbits: int, k: int = 5,
+                 bits: Optional[np.ndarray] = None):
+        self.nbits = nbits
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros(
+            (nbits + 63) // 64, np.uint64)
+
+    def _probe(self, h: np.ndarray, j: int) -> np.ndarray:
+        h2 = _splitmix(h ^ np.uint64(0x5851F42D4C957F2D))
+        return ((h + np.uint64(j) * h2) % np.uint64(self.nbits)).astype(np.uint64)
+
+    def add_hashes(self, h: np.ndarray):
+        for j in range(self.k):
+            pos = self._probe(h, j)
+            word = (pos >> np.uint64(6)).astype(np.int64)
+            mask = np.uint64(1) << (pos & np.uint64(63))
+            np.bitwise_or.at(self.bits, word, mask)
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        out = np.ones(len(h), dtype=bool)
+        for j in range(self.k):
+            pos = self._probe(h, j)
+            word = (pos >> np.uint64(6)).astype(np.int64)
+            mask = np.uint64(1) << (pos & np.uint64(63))
+            out &= (self.bits[word] & mask) != 0
+        return out
+
+    @classmethod
+    def build(cls, values, nbits: int = 1 << 20, k: int = 5) -> "BloomFilter":
+        bf = cls(nbits, k)
+        arr = np.asarray(list(values))
+        if arr.dtype.kind in ("i", "u"):
+            bf.add_hashes(_splitmix(arr.astype(np.uint64)))
+        else:
+            bf.add_hashes(_splitmix(fnv1a64_strings([str(v) for v in arr])))
+        return bf
+
+
+def bloom_semi_join(ds, key_col: str, bloom_ref, anti: bool = False):
+    """Semi-join against a broadcast Bloom filter (the guide's pattern for
+    key sets too large to broadcast exactly): semi keeps all true matches
+    plus ≤ fp-rate extras; anti drops those extras — callers that need
+    exactness follow with an exact check on the (small) survivor set."""
+    import ray
+
+    cache = {}
+
+    def f(batch: pa.Table) -> pa.Table:
+        bf = cache.get("b")
+        if bf is None:
+            bf = cache["b"] = ray.get(bloom_ref)
+        m = bf.contains_hashes(_hash_column(batch[key_col]))
+        if anti:
+            m = ~m
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(f, batch_format="pyarrow")

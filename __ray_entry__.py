@@ -652,6 +652,18 @@ def _q_dedup_clusters(sf_dir: str):
     return cluster_pairs(pairs)
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HLL approximate distinct users in the events log (mergeable
+    per-batch sketches; rows-only check — the estimate is approximate by
+    design, accuracy asserted in tests/test_sketch.py)."""
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.sketch import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pd.DataFrame({"approx_distinct_users": [float(round(est, 1))]})
+
+
 def _q_raster_vector(sf_dir: str):
     """Raster↔vector: documents geotagged → per-tile count rasters →
     connected-component polygons. Rows-only check (count conservation is
@@ -731,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "clean_corpus": _q_clean_corpus,
         "raster_vector": _q_raster_vector,
+        "approx_distinct": _q_approx_distinct,
     }
 
 

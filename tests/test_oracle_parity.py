@@ -59,9 +59,13 @@ def test_query_matches_oracle(name, con, ray_session):
     for c in got.columns:
         gv, wv = got[c].to_numpy(), want[c].to_numpy()
         if gv.dtype.kind == "f" or wv.dtype.kind == "f":
-            np.testing.assert_allclose(
-                gv.astype(np.float64), wv.astype(np.float64),
-                rtol=0, atol=1e-9, err_msg=f"{name}.{c}")
+            # the driver hashes values EXACTLY — float columns must be
+            # bit-identical (queries discretize with identical IEEE ops
+            # on both sides precisely so this holds)
+            assert np.array_equal(gv.astype(np.float64),
+                                  wv.astype(np.float64), equal_nan=True), \
+                f"{name}.{c} not bit-exact (max diff " \
+                f"{np.max(np.abs(gv.astype(np.float64) - wv.astype(np.float64)))})"
         else:
             assert (gv == wv).all(), f"{name}.{c} value mismatch"
 

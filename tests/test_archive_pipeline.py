@@ -210,3 +210,85 @@ def test_cli_end_to_end(ray_session, tmp_path):
     assert r.header.addressed_tiles == 1446
     assert r.metadata()["name"] == "cli-run"
     r.close()
+
+
+def test_filtered_tiles_match_independent_recomputation(wrangled):
+    """Cross-check the optimized _transform_tile (bulk paths, coverage
+    detection, key-only caches) against a direct, unoptimized per-feature
+    re-derivation of the semantics on a sample of real fixture tiles."""
+    import numpy as np
+
+    from mvt_wrangler_ray.expr.rowexec import EvaluationContext
+    from mvt_wrangler_ray.filters import CompiledFilterCollection
+    from mvt_wrangler_ray.geo.geometry import geoms_intersect, transform_geom
+    from mvt_wrangler_ray.geo.tilemath import (
+        bbox_intersects_tile,
+        lonlat_to_tile_frac,
+        tile_bounds,
+        tile_id_to_zxy,
+    )
+    from mvt_wrangler_ray.pipelines.archive import (
+        _mvt_value_to_expr,
+        _paths_to_geom,
+    )
+    from mvt_wrangler_ray.sources import mvt as mvtc
+
+    fc = CompiledFilterCollection.from_geojson(FILTERS)
+    in_tiles = _decode_all(FIXTURE)
+    out_tiles = _decode_all(OUT)
+    rng = np.random.default_rng(77)
+    sample = rng.choice(sorted(in_tiles), 40, replace=False)
+    checked_feats = 0
+    for tid in sample:
+        z, x, y = (int(v[0]) for v in tile_id_to_zxy(np.array([int(tid)])))
+        # tile-level candidates, slow path: exact geoms_intersect of the
+        # WGS84 envelope polygon against every mask
+        w, s, e, n = tile_bounds(z, np.array([x]), np.array([y]))
+        from mvt_wrangler_ray.geo.geometry import parse_geojson_geometry
+        env = parse_geojson_geometry({"type": "Polygon", "coordinates": [[
+            [w[0], n[0]], [e[0], n[0]], [e[0], s[0]], [w[0], s[0]], [w[0], n[0]]]]})
+        cands = [f for f in fc.features if geoms_intersect(f.geometry, env)]
+        for lin, lout_named in zip(in_tiles[tid]["layers"],
+                                   [None] * 0 or [None]):
+            break
+        out_layers = {l["name"]: l for l in out_tiles[tid]["layers"]}
+        for lin in in_tiles[tid]["layers"]:
+            extent = lin.get("extent", 4096)
+            masks = []
+            for f in cands:
+                def proj(a, _z=z, _x=x, _y=y, _e=extent):
+                    fx, fy = lonlat_to_tile_frac(a[:, 0], a[:, 1], _z)
+                    return np.stack([(fx - _x) * _e, (fy - _y) * _e], axis=1)
+                g = transform_geom(f.geometry, proj)
+                bb = g.bbox
+                if bbox_intersects_tile(np.array([bb[0]]), np.array([bb[1]]),
+                                        np.array([bb[2]]), np.array([bb[3]]),
+                                        extent)[0]:
+                    masks.append((f, g))
+            want_feats = []
+            for feat in lin["features"]:
+                tags = _tags_of(lin, feat)
+                geom = _paths_to_geom(mvtc.decode_geometry(feat["geometry"]),
+                                      feat["type"])
+                gclass = geom.geom_class if feat["type"] != 0 else "Unknown"
+                hits = [f for f, g in masks if geoms_intersect(geom, g)]
+                props = {k: _mvt_value_to_expr(v) for k, v in tags.items()}
+                ctx = EvaluationContext(lin["name"], props, None, gclass)
+                if any(f.should_remove_feature(ctx) for f in hits):
+                    continue
+                keep_tags = {}
+                for k, v in tags.items():
+                    kctx = EvaluationContext(lin["name"], props, k, gclass)
+                    if any(f.should_remove_tag(kctx) for f in hits):
+                        continue
+                    keep_tags[k] = v
+                want_feats.append((feat["geometry"], keep_tags))
+            got_layer = out_layers.get(lin["name"])
+            got_feats = ([(f["geometry"], _tags_of(got_layer, f))
+                          for f in got_layer["features"]] if got_layer else [])
+            assert len(got_feats) == len(want_feats), (tid, lin["name"])
+            for (ggeom, gtags), (wgeom, wtags) in zip(got_feats, want_feats):
+                assert ggeom == wgeom
+                assert gtags == wtags
+                checked_feats += 1
+    assert checked_feats > 150

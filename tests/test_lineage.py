@@ -143,3 +143,18 @@ def test_run_metrics_in_manifest(ray_session):
         meta = _json.load(f)
     assert meta["metadata"]["run"]["partitions_written_this_run"] == 0
     assert meta["metadata"]["run"]["partitions_skipped_resume"] == 4
+
+
+def test_stale_tmp_file_recovery():
+    """A crash can leave .data.parquet.tmp behind; a rerun must overwrite
+    cleanly and produce a valid partition."""
+    w = LineageWriter(OUT, key="tile_id")
+    pdir = os.path.join(OUT, "part=00000")
+    os.makedirs(pdir, exist_ok=True)
+    with open(os.path.join(pdir, ".data.parquet.tmp"), "wb") as f:
+        f.write(b"garbage from a killed run")
+    t = pa.table({"tile_id": pa.array([2, 1], pa.int64())})
+    rec = w.write_partition(0, 0, 10, t)
+    assert rec.rows == 2
+    stored = pq.read_table(os.path.join(pdir, "data.parquet"))
+    assert stored["tile_id"].to_pylist() == [1, 2]

@@ -295,3 +295,13 @@ def test_strtree_three_levels():
             & (boxes[:, 1] <= qbox[3]) & (boxes[:, 3] >= qbox[1]))[0]
         got = tree.query_box(*qbox)
         assert sorted(got.tolist()) == sorted(want.tolist())
+
+
+def test_point_on_linestring_intersects():
+    line = parse_geojson_geometry(
+        {"type": "LineString", "coordinates": [[0, 0], [10, 10]]})
+    on = parse_geojson_geometry({"type": "Point", "coordinates": [5, 5]})
+    off = parse_geojson_geometry({"type": "Point", "coordinates": [5, 6]})
+    assert geoms_intersect(on, line)
+    assert geoms_intersect(line, on)
+    assert not geoms_intersect(off, line)

@@ -14,11 +14,63 @@ import os
 import sys
 
 
+def _main_images(argv):
+    """`python -m mvt_wrangler_ray images INPUT OUT_DIR [...]` — the
+    flagship image pipeline: read images table → geotag → cells → tiles →
+    filter join → resumable range-partitioned parquet with lineage."""
+    p = argparse.ArgumentParser(prog="mvt_wrangler_ray images")
+    p.add_argument("input", help="images table (parquet dir/file or .lance)")
+    p.add_argument("out_dir", help="output directory (range partitions + lineage)")
+    p.add_argument("-f", "--filter", help="GeoJSON filter collection")
+    p.add_argument("-z", "--zoom", type=int, default=12)
+    p.add_argument("-p", "--partitions", type=int, default=16)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+    filter_src = None
+    if args.filter:
+        with open(args.filter) as f:
+            filter_src = f.read()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+        from .config import EngineConfig
+        from .pipelines.wrangle import wrangle_write
+        from .sources.images import read_images, validate_images_schema
+
+        ds = read_images(args.input)
+        validate_images_schema(ds)
+        recs = wrangle_write(ds, args.out_dir, EngineConfig(zoom=args.zoom),
+                             filter_geojson=filter_src,
+                             num_partitions=args.partitions,
+                             resume=not args.no_resume)
+        total = sum(r["rows"] for r in recs)
+        print(f"Wrote {total} rows across {len(recs)} partitions to {args.out_dir}")
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None):
+    import sys as _sys
+
+    argv = list(_sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] == "images":
+        return _main_images(argv[1:])
     p = argparse.ArgumentParser(
         prog="mvt_wrangler_ray",
         description="Rewrite a PMTiles archive of vector tiles with "
-                    "spatially-scoped expression filters (Ray-Data engine).")
+                    "spatially-scoped expression filters (Ray-Data engine); "
+                    "or run the image pipeline: "
+                    "`python -m mvt_wrangler_ray images INPUT OUT_DIR`.")
     p.add_argument("input", help="Input PMTiles file")
     p.add_argument("output", help="Output PMTiles file (overwritten if exists)")
     p.add_argument("-f", "--filter", help="GeoJSON filter collection (see FILTERING semantics)")

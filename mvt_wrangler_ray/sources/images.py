@@ -106,6 +106,36 @@ def _block(row, kw):
     return t.to_pylist()  # flat_map wants rows; only used for small n
 
 
+REQUIRED_IMAGE_COLUMNS = {
+    "image_id": (pa.string(), pa.large_string()),
+    "bytes": (pa.binary(), pa.large_binary()),
+    "w": (pa.int32(), pa.int64()),
+    "h": (pa.int32(), pa.int64()),
+    "fmt": (pa.string(), pa.large_string()),
+    "caption": (pa.string(), pa.large_string()),
+    "phash": (pa.int64(),),
+}
+
+
+def validate_images_schema(ds) -> None:
+    """Assert the input matches the authoritative shape
+    (BASELINE.json input_hint). Raises ValueError listing every problem
+    at once — schema errors should surface before the cluster spends
+    anything."""
+    schema = ds.schema()
+    have = dict(zip(schema.names, schema.types))
+    problems = []
+    for name, accepted in REQUIRED_IMAGE_COLUMNS.items():
+        if name not in have:
+            problems.append(f"missing column {name!r}")
+        elif have[name] not in accepted:
+            problems.append(
+                f"column {name!r} has type {have[name]} "
+                f"(expected one of {[str(t) for t in accepted]})")
+    if problems:
+        raise ValueError("images table schema mismatch: " + "; ".join(problems))
+
+
 def read_images(path: str, columns=None):
     """Read an images table: Lance if available (the at-scale path),
     else parquet file/directory with the same schema."""

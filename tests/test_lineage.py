@@ -158,3 +158,30 @@ def test_stale_tmp_file_recovery():
     assert rec.rows == 2
     stored = pq.read_table(os.path.join(pdir, "data.parquet"))
     assert stored["tile_id"].to_pylist() == [1, 2]
+
+
+def test_images_cli_subcommand(ray_session, tmp_path):
+    """`python -m mvt_wrangler_ray images` end to end (in-process)."""
+    import pyarrow.parquet as _pq
+
+    from mvt_wrangler_ray.__main__ import main
+    from mvt_wrangler_ray.sources.images import synth_images_table
+
+    inp = str(tmp_path / "imgs.parquet")
+    _pq.write_table(synth_images_table(800).drop_columns(
+        ["geo_hint_lon", "geo_hint_lat"]), inp)
+    out = str(tmp_path / "out")
+    rc = main(["images", inp, out, "-z", "8", "-p", "4"])
+    assert rc == 0
+    assert len(os.listdir(os.path.join(out, "_lineage"))) == 4
+
+
+def test_validate_images_schema_errors(ray_session):
+    import ray.data as rd
+
+    from mvt_wrangler_ray.sources.images import validate_images_schema
+
+    bad = rd.from_arrow(pa.table({"image_id": pa.array(["a"], pa.string())}))
+    with pytest.raises(ValueError) as ei:
+        validate_images_schema(bad)
+    assert "missing column" in str(ei.value)

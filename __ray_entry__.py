@@ -479,6 +479,62 @@ def _q_hash_join(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_extent_agg(sf_dir: str):
+    """Spatial extent (ST_Extent-style bbox) per z6 tile: min/max lon/lat
+    via the two-phase aggregate."""
+    from mvt_wrangler_ray.stages.shuffle import two_phase_aggregate
+
+    ds = (_docs(sf_dir, ["doc_id"]).map_batches(_geotag_docs, batch_format="pyarrow")
+          .map_batches(lambda b: _assign(b, 6).select(["x", "y", "lon", "lat"]),
+                       batch_format="pyarrow"))
+    out = two_phase_aggregate(
+        ds, keys=["x", "y"],
+        partial_aggs=[("lon", "min"), ("lon", "max"), ("lat", "min"), ("lat", "max")],
+        partial_names=["lon_min", "lon_max", "lat_min", "lat_max"],
+        final_aggs=[("lon_min", "min"), ("lon_max", "max"),
+                    ("lat_min", "min"), ("lat_max", "max")],
+        final_names=["lon_min", "lon_max", "lat_min", "lat_max"],
+        num_buckets=16)
+    return out  # raw stored doubles pass through both engines unchanged
+
+
+def _q_sliding_window(sf_dir: str):
+    """Sliding windows (24 h window, 6 h slide) per event_type: each
+    event replicates into the 4 windows covering it (flat-map-shaped
+    map_batches), then the two-phase count. Window_start is the slide
+    grid."""
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.shuffle import two_phase_aggregate
+
+    W = 24 * 3600 * 1_000_000   # window µs
+    S = 6 * 3600 * 1_000_000    # slide µs
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ts = batch[
+            "ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pandas(), dtype=object)
+        n_win = W // S
+        outs_ts, outs_et = [], []
+        for k in range(n_win):
+            # windows starting at slide-grid points ≤ ts, covering ts
+            start = ((ts - k * S) // S) * S
+            m = (ts >= start) & (ts < start + W)
+            outs_ts.append(start[m])
+            outs_et.append(et[m])
+        return pa.table({
+            "event_type": pa.array(np.concatenate(outs_et), pa.string()),
+            "window_start": pa.array(
+                np.concatenate(outs_ts).astype("datetime64[us]")),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    rep = ds.map_batches(replicate, batch_format="pyarrow")
+    return two_phase_aggregate(
+        rep, keys=["event_type", "window_start"],
+        partial_aggs=[("event_type", "count")], partial_names=["pc"],
+        final_aggs=[("pc", "sum")], final_names=["n"], num_buckets=16)
+
+
 def _q_sample(sf_dir: str):
     """Deterministic 10% sample: hash-bucket the id (same multiplicative
     hash as the geotag — SQL-reproducible), keep bucket < 10."""
@@ -720,6 +776,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_limit": _q_sort_limit,
         "image_tiles": _q_image_tiles,
         "hash_join": _q_hash_join,
+        "extent_agg": _q_extent_agg,
+        "sliding_window": _q_sliding_window,
         "sample": _q_sample,
         "median_qty": _q_median_qty,
         "normalize_text": _q_normalize_text,
@@ -867,6 +925,24 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
         "distinct":
             "SELECT DISTINCT event_type FROM events",
+        "extent_agg": (
+            lambda tx, ty: (
+                f"SELECT {tx} AS x, {ty} AS y, "
+                "min(lon) AS lon_min, max(lon) AS lon_max, "
+                "min(lat) AS lat_min, max(lat) AS lat_max "
+                f"FROM ({geo}) GROUP BY 1, 2")
+        )(*_sql_tile(6, "lon", "lat")),
+        "sliding_window":
+            # each event joins every 6h-grid window start covering it
+            "WITH ev AS (SELECT event_type, epoch_us(ts) AS tus FROM events), "
+            "rep AS (SELECT event_type, "
+            "  (tus - k * 21600000000) // 21600000000 * 21600000000 AS ws "
+            "  FROM ev CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) "
+            "  WHERE tus >= (tus - k * 21600000000) // 21600000000 * 21600000000 "
+            "    AND tus < (tus - k * 21600000000) // 21600000000 * 21600000000 "
+            "        + 86400000000) "
+            "SELECT event_type, make_timestamp(ws) AS window_start, "
+            "CAST(count(*) AS BIGINT) AS n FROM rep GROUP BY 1, 2",
         "hash_join":
             "SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
             "round(sum(o.o_totalprice) * 1e2) / 1e2 AS revenue_f "

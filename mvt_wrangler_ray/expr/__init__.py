@@ -19,6 +19,7 @@ from .values import (
     vnull,
     vbool,
     vint,
+    vfloat_from_f32,
     vfloat_from_f64,
     vfloat_from_json,
     vstr,
@@ -35,7 +36,7 @@ from .vector import VBatch, VectorContext, ColumnTagContext, evaluate_vector
 
 __all__ = [
     "V_NULL", "V_BOOL", "V_INT", "V_FLOAT", "V_STR", "V_ARRAY",
-    "Value", "vnull", "vbool", "vint", "vfloat_from_f64",
+    "Value", "vnull", "vbool", "vint", "vfloat_from_f32", "vfloat_from_f64",
     "vfloat_from_json", "vstr", "varray", "to_bool", "display",
     "compare_values", "fmt_float_rust", "fmt_float_serde",
     "compile_expression", "ExpressionCompileError",

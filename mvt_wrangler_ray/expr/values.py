@@ -123,6 +123,27 @@ def vfloat_from_f64(x: float) -> Value:
     return (V_FLOAT, fmt_float_rust(x))
 
 
+def fmt_float32_rust(x) -> str:
+    """Rust ``f32::Display`` — shortest round-trip at FLOAT32 precision,
+    integral without ``.0``, positional notation. An mvt float (Value
+    field 2) of 0.1f32 renders "0.1" in the reference; widening to f64
+    first would render "0.10000000149011612" and break ==/in/truthiness
+    against expression literals (expression_compiler.rs:85-86)."""
+    import numpy as np
+
+    x32 = np.float32(x)
+    if np.isnan(x32):
+        return "NaN"
+    if np.isinf(x32):
+        return "inf" if x32 > 0 else "-inf"
+    return np.format_float_positional(x32, unique=True, trim="-")
+
+
+def vfloat_from_f32(x) -> Value:
+    """A float sourced from a typed float32 (mvt Value field 2) column."""
+    return (V_FLOAT, fmt_float32_rust(x))
+
+
 def vfloat_from_json(x: float) -> Value:
     """A float sourced from a JSON literal in an expression."""
     return (V_FLOAT, fmt_float_serde(x))

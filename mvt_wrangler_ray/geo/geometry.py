@@ -284,21 +284,31 @@ def geoms_intersect(g1: Geom, g2: Geom) -> bool:
         for e2 in _edges(g2):
             if _edge_arrays_cross(e1, e2):
                 return True
-    # containment (one fully inside the other)
+    # containment (one fully inside the other). With no edge crossings a
+    # part is either entirely inside or entirely outside the polygon, so one
+    # representative vertex PER PART decides it — testing only the first
+    # vertex of the whole geometry would miss a Multi* whose non-first part
+    # lies inside (geo crate returns true there).
     if g1.kind in ("Polygon", "MultiPolygon"):
-        p2 = _first_vertex(g2)
-        if p2 is not None and points_in_polygon(p2[:1, 0], p2[:1, 1], g1)[0]:
+        p2 = _part_vertices(g2)
+        if p2 is not None and points_in_polygon(p2[:, 0], p2[:, 1], g1).any():
             return True
     if g2.kind in ("Polygon", "MultiPolygon"):
-        p1 = _first_vertex(g1)
-        if p1 is not None and points_in_polygon(p1[:1, 0], p1[:1, 1], g2)[0]:
+        p1 = _part_vertices(g1)
+        if p1 is not None and points_in_polygon(p1[:, 0], p1[:, 1], g2).any():
             return True
     return False
 
 
-def _first_vertex(g: Geom):
-    arr = _all_coords(g.kind, g.parts)
-    return arr if len(arr) else None
+def _part_vertices(g: Geom):
+    """One representative vertex per part (per polygon: exterior-ring first
+    vertex; per line/point part: first coordinate)."""
+    if g.kind in ("Polygon", "MultiPolygon"):
+        polys = [g.parts[0]] if g.kind == "Polygon" else g.parts
+        pts = [rings[0][0] for rings in polys if rings and len(rings[0])]
+    else:
+        pts = [p[0] for p in g.parts if len(p)]
+    return np.asarray(pts, dtype=np.float64) if pts else None
 
 
 def rect_within_polygon(w: float, s: float, e: float, n: float, geom: Geom) -> bool:
@@ -312,6 +322,20 @@ def rect_within_polygon(w: float, s: float, e: float, n: float, geom: Geom) -> b
     cy = np.array([s, n, s, n])
     if not points_in_polygon(cx, cy, geom).all():
         return False
+    # Any polygon vertex inside the rect defeats full coverage: an interior
+    # ring (hole) strictly inside the rect has no edge crossing the rect
+    # boundary and all four corners inside the polygon, yet the rect is NOT
+    # entirely within the polygon.
+    verts = _all_coords(geom.kind, geom.parts)
+    if len(verts):
+        inside = (
+            (verts[:, 0] > w)
+            & (verts[:, 0] < e)
+            & (verts[:, 1] > s)
+            & (verts[:, 1] < n)
+        )
+        if inside.any():
+            return False
     rect = np.array([[w, s], [e, s], [e, n], [w, n], [w, s]])
     for ring in _edges(geom):
         if _edge_arrays_cross(rect, ring):

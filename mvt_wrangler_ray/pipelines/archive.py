@@ -47,7 +47,9 @@ import pyarrow as pa
 
 from ..config import EngineConfig, apply_metadata_overrides
 from ..expr.rowexec import EvaluationContext
-from ..expr.values import Value, vbool, vfloat_from_f64, vint, vnull, vstr
+from ..expr.values import (
+    Value, vbool, vfloat_from_f32, vfloat_from_f64, vint, vnull, vstr,
+)
 from ..filters import CompiledFilterCollection
 from ..geo.geometry import Geom, geoms_intersect, transform_geom
 from ..geo.tilemath import bbox_intersects_tile, lonlat_to_tile_frac, tile_id_to_zxy
@@ -67,8 +69,11 @@ def _mvt_value_to_expr(v) -> Value:
         return vnull()
     if isinstance(v, bool):
         return vbool(v)
-    if isinstance(v, int):
+    if isinstance(v, (int, np.integer)):
         return vint(v)
+    if isinstance(v, np.float32):
+        # mvt Value field 2 (float): reference Displays at f32 precision
+        return vfloat_from_f32(v)
     if isinstance(v, float):
         return vfloat_from_f64(v)
     return vstr(str(v))
@@ -189,13 +194,22 @@ def _transform_tile(tile_blob: bytes, z: int, x: int, y: int,
             from ..geo.geometry import rect_within_polygon
             from ..geo.tilemath import tile_bounds
 
-            tw, ts, te, tn = tile_bounds(z, np.array([x]), np.array([y]))
+            # BUFFERED tile rect: MVT features may carry coordinates outside
+            # [0, extent]^2 (tile buffer). A mask covering only the bare tile
+            # rect does NOT intersect a feature living wholly in the buffer
+            # zone, so the shortcut must require coverage of the buffered
+            # envelope. B = 0.5 tile spans per side (>= 8x the spec-typical
+            # 256/4096 buffer); tile-local projection is linear in tile
+            # fractions, so buffer in fraction space, not degrees.
+            B = 0.5
+            tw, _, _, tn_ = tile_bounds(z, np.array([x - B]), np.array([y - B]))
+            _, ts, te, _ = tile_bounds(z, np.array([x + B]), np.array([y + B]))
             for f in candidates:
-                # a mask that fully covers the tile intersects EVERY
-                # feature — the per-feature geometry test is skippable
-                # with identical output (intersects is then always true)
+                # a mask that fully covers the buffered tile intersects EVERY
+                # in-buffer feature — the per-feature geometry test is
+                # skippable with identical output
                 covers_tile[id(f)] = rect_within_polygon(
-                    float(tw[0]), float(ts[0]), float(te[0]), float(tn[0]),
+                    float(tw[0]), float(ts[0]), float(te[0]), float(tn_[0]),
                     f.geometry)
 
     # per-(filter, layer, key) cache for tag expressions that depend on

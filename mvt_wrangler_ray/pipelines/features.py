@@ -56,6 +56,14 @@ def tag_value(v) -> dict:
         return {"type": 1, "s": None, "i": None, "f": None, "b": v}
     if isinstance(v, (int, np.integer)):
         return {"type": 2, "s": None, "i": int(v), "f": None, "b": None}
+    if isinstance(v, np.float32):
+        # The reference carries floats as their Display STRING (parsed back
+        # to f64 for ordering), so storing the f64 that parses from the f32
+        # Display string is exact: fmt_float_rust(float("0.1")) == "0.1",
+        # while float(v) would widen to 0.10000000149011612.
+        from ..expr.values import fmt_float32_rust
+        return {"type": 3, "s": None, "i": None,
+                "f": float(fmt_float32_rust(v)), "b": None}
     if isinstance(v, (float, np.floating)):
         return {"type": 3, "s": None, "i": None, "f": float(v), "b": None}
     return {"type": 4, "s": str(v), "i": None, "f": None, "b": None}

@@ -27,6 +27,8 @@ from __future__ import annotations
 import struct
 from typing import Iterator, List, Optional, Tuple
 
+import numpy as np
+
 
 # ---- varint primitives -------------------------------------------------
 
@@ -107,7 +109,9 @@ def decode_value(buf: bytes):
     if 6 in fields:
         return zigzag_decode(fields[6][1])
     if 2 in fields:
-        return struct.unpack("<f", fields[2][1])[0]
+        # preserve float32 provenance: the reference keeps this as f32 and
+        # Displays it at f32 precision ("0.1", not "0.10000000149011612")
+        return np.float32(struct.unpack("<f", fields[2][1])[0])
     if 3 in fields:
         return struct.unpack("<d", fields[3][1])[0]
     if 7 in fields:
@@ -125,13 +129,18 @@ def encode_value(v) -> bytes:
         out.append((1 << 3) | 2)
         write_varint(len(b), out)
         out.extend(b)
-    elif isinstance(v, int):
+    elif isinstance(v, (int, np.integer)):
+        v = int(v)
         if v >= 0:
             out.append((4 << 3) | 0)
             write_varint(v, out)
         else:
             out.append((6 << 3) | 0)
             write_varint(zigzag_encode(v), out)
+    elif isinstance(v, np.float32):
+        # f32 stays f32 on re-encode (bit-exact round trip, field 2)
+        out.append((2 << 3) | 5)
+        out.extend(struct.pack("<f", v))
     elif isinstance(v, float):
         out.append((3 << 3) | 1)
         out.extend(struct.pack("<d", v))

@@ -151,16 +151,33 @@ def bucketed_hash_join(left, right, left_key: str, right_key: str,
     l_tagged = left.map_batches(tag_left, batch_format="pyarrow")
     r_tagged = right.map_batches(tag_right, batch_format="pyarrow")
 
+    # deterministic output schema: a bucket whose side column is all-null
+    # would otherwise come back from pandas as Arrow `null` type and break
+    # schema unification across buckets
+    lschema0, rschema0 = left.schema(), right.schema()
+    ltype = dict(zip(lschema0.names, lschema0.types))
+    rtype = dict(zip(rschema0.names, rschema0.types))
+    out_fields = [(c, ltype[c]) for c in lschema0.names]
+    for c in rschema0.names:
+        if c == right_key:
+            continue
+        out_fields.append((c if c not in ltype else c + "_r", rtype[c]))
+    out_schema = pa.schema(out_fields)
+
     def join_bucket(g: pa.Table) -> pa.Table:
+        # Select side columns from the KNOWN lcols/rcols lists — align()
+        # null-aligns every batch to the union schema, so inferring side
+        # columns via dropna(axis=1, how="all") would drop a genuine column
+        # that happens to be all-null within one bucket, yielding
+        # bucket-dependent schemas and inconsistent "_r" suffixing.
         df = g.to_pandas()
-        lhs = df[df["_side"] == 0].dropna(axis=1, how="all")
-        rhs = df[df["_side"] == 1].dropna(axis=1, how="all")
-        lhs = lhs[[c for c in lcols if c in lhs.columns]]
-        rhs = rhs[[left_key] + [c for c in rcols
-                                if c != right_key and c in rhs.columns]]
+        lhs = df.loc[df["_side"] == 0, list(lcols)]
+        rhs = df.loc[df["_side"] == 1,
+                     [left_key] + [c for c in rcols if c != right_key]]
         out = lhs.merge(rhs, on=left_key, how=how,
                         suffixes=("", "_r"))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out[out_schema.names],
+                                    schema=out_schema, preserve_index=False)
 
     # union requires identical schemas: align columns (missing → typed null)
     lschema, rschema = left.schema(), right.schema()

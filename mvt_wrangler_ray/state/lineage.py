@@ -135,10 +135,32 @@ class LineageWriter:
 
 
 def resume_plan(out_dir: str, bounds: Sequence[tuple], key: str = "tile_id"):
-    """Partitions still to compute: manifest minus completed lineage."""
+    """Partitions still to compute: manifest minus completed lineage.
+
+    A marker alone is NOT trusted: the recorded (key_lo, key_hi) must equal
+    the current plan's range for that partition. Resuming with a different
+    num_partitions / key range would otherwise silently skip partitions
+    whose recorded range no longer matches, corrupting the output — such
+    partitions are recomputed (with a warning) instead."""
+    import warnings
+
     w = LineageWriter(out_dir, key)
-    return [(pid, lo, hi) for pid, (lo, hi) in enumerate(bounds)
-            if not w.partition_done(pid)]
+    todo = []
+    for pid, (lo, hi) in enumerate(bounds):
+        if w.partition_done(pid):
+            try:
+                with open(w._lineage_path(pid)) as f:
+                    rec = json.load(f)
+                if int(rec["key_lo"]) == lo and int(rec["key_hi"]) == hi:
+                    continue  # genuinely complete for THIS plan
+                warnings.warn(
+                    f"lineage part {pid}: recorded range "
+                    f"[{rec['key_lo']}, {rec['key_hi']}) != current "
+                    f"[{lo}, {hi}) — recomputing")
+            except (OSError, ValueError, KeyError):
+                warnings.warn(f"lineage part {pid}: unreadable record — recomputing")
+        todo.append((pid, lo, hi))
+    return todo
 
 
 def write_partitioned(ds, out_dir: str, key: str = "tile_id",

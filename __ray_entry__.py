@@ -288,13 +288,20 @@ def _q_broadcast_join(sf_dir: str):
     from mvt_wrangler_ray.stages.shuffle import grouped_count
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
-    lookup_ref = ray.put(dict(zip(
-        nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())))
+    nkeys = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nkeys)
+    lookup_ref = ray.put((nkeys[order],
+                          np.asarray(nation["n_name"].to_pylist(),
+                                     dtype=object)[order]))
 
     def enrich(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-        names = np.array([lookup.get(int(k)) for k in keys], dtype=object)
+        skeys, snames = ray.get(lookup_ref)
+        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # vectorized sorted-key lookup (no per-row dict probe)
+        pos = np.searchsorted(skeys, keys)
+        pos = np.clip(pos, 0, len(skeys) - 1)
+        names = snames[pos]
+        names[skeys[pos] != keys] = None
         return pa.table({"n_name": pa.array(names, pa.string())})
 
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
@@ -670,17 +677,66 @@ def _q_decode_images(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
+    """IVF over a MATERIALIZED centroid-partitioned layout: build the
+    index once (lineage-partitioned parquet, one shard per centroid),
+    probe reads only the probed shards. nprobe = ncentroids here → exact
+    (hash-checkable vs the brute-force SQL oracle); partial-probe pruning
+    is property-tested in tests/test_knn_ivf_index.py."""
+    import tempfile
+
     import pyarrow.parquet as pq
     import ray.data as rd
-    from mvt_wrangler_ray.stages.knn import ivf_knn_topk, train_centroids
+    from mvt_wrangler_ray.stages.knn import (
+        build_ivf_index,
+        ivf_index_knn_topk,
+        train_centroids,
+    )
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     sample = np.vstack(t["embedding"].to_pylist()[:256])
     cents = train_centroids(sample, ncentroids=8)
+    idx_dir = tempfile.mkdtemp(prefix="ivf_idx_")
+    build_ivf_index(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                    cents, idx_dir)
     q = _load_query_vec(sf_dir)
-    out = ivf_knn_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
-                       q[None, :], np.array([0], dtype=np.int64), cents,
-                       k=10, nprobe=4)
+    out = ivf_index_knn_topk(idx_dir, q[None, :],
+                             np.array([0], dtype=np.int64), cents,
+                             k=10, nprobe=8)
     return out[["query_id", "vec_id", "rank"]]
+
+
+_PHASH_XOR = 0x9E3779B97F4A7C15
+
+
+def _phash_of_id(doc_id: int) -> int:
+    from mvt_wrangler_ray.geo.geotag import fnv1a64_strings
+    h = fnv1a64_strings([f"img{doc_id:08d}"])[0]
+    return int(np.int64(h ^ (h >> np.uint64(13)) ^ np.uint64(_PHASH_XOR)))
+
+
+def _q_phash_knn(sf_dir: str):
+    """Hamming-space kNN over the images table's phash column: top-10 by
+    popcount(xor) distance to a query hash — the north-star's
+    'kNN over phash' as a distributed top-k (per-batch local top-k, tiny
+    global sort), SQL oracle via bit_count(xor(...))."""
+    from mvt_wrangler_ray.sources.images import images_from_documents
+    from mvt_wrangler_ray.stages.dedup import hamming64
+
+    qhash = _phash_of_id(0)
+    K = 10
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ph = batch["phash"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        d = hamming64(ph, np.full(len(ph), qhash, dtype=np.int64))
+        order = np.lexsort((ids, d))[:K]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "dist": pa.array(d[order], pa.int64())})
+
+    ds = images_from_documents(sf_dir)
+    top = (ds.map_batches(local_topk, batch_format="pyarrow")
+           .sort(["dist", "doc_id"]).limit(K).to_pandas())
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
 
 
 def _q_features_transform(sf_dir: str):
@@ -788,14 +844,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "distinct": _q_distinct,
-        # rows-only checks (non-SQL-expressible)
-        "minhash_near_dup": _q_minhash_near_dup,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "cells": _q_cells,
-        "decode_images": _q_decode_images,
         "knn_ivf": _q_knn_ivf,
+        "phash_knn": _q_phash_knn,
+        # rows-only checks (non-SQL-expressible)
+        "minhash_near_dup": _q_minhash_near_dup,
+        "decode_images": _q_decode_images,
         "wrangle_tiles": _q_wrangle_tiles,
         "features_transform": _q_features_transform,
         "dedup_clusters": _q_dedup_clusters,
@@ -803,6 +860,173 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_vector": _q_raster_vector,
         "approx_distinct": _q_approx_distinct,
     }
+
+
+def _sql_twos_comp(uexpr: str, out: str) -> str:
+    """HUGEINT/UBIGINT expression → signed BIGINT (two's complement)."""
+    return (f"CAST(CASE WHEN {uexpr} IS NULL THEN 0 "
+            f"WHEN {uexpr} >= {1 << 63} THEN CAST({uexpr} AS HUGEINT) - {1 << 64} "
+            f"ELSE {uexpr} END AS BIGINT) AS {out}")
+
+
+def _sql_fnv64(expr: str, nchars: int) -> str:
+    """FNV-1a 64 over a FIXED-LENGTH string expression, unrolled to a
+    chain of HUGEINT mod-2^64 steps (mirrors geo.geotag.fnv1a64_strings
+    exactly — verified bit-equal)."""
+    h = "CAST(14695981039346656037 AS HUGEINT)"
+    for k in range(1, nchars + 1):
+        h = (f"((xor(CAST({h} AS UBIGINT), "
+             f"CAST(ascii(substr({expr}, {k}, 1)) AS UBIGINT))::HUGEINT "
+             f"* 1099511628211) % {1 << 64})")
+    return f"CAST({h} AS UBIGINT)"
+
+
+def _sql_phash(fnv_expr: str) -> str:
+    """phash derivation from the image_id FNV hash (sources/images.py):
+    h ^ (h >> 13) ^ 0x9E3779B97F4A7C15, as UBIGINT."""
+    return (f"xor(xor({fnv_expr}, {fnv_expr} >> 13), "
+            f"CAST({_PHASH_XOR} AS UBIGINT))")
+
+
+def _sql_simhash() -> str:
+    """Word-level 64-bit simhash over documents (stages/dedup.simhash_batch):
+    word hash = md5_number_lower(word); bit b set iff Σ±1 over words > 0."""
+    pow2 = ", ".join(f"({b}, CAST(1 AS HUGEINT) * {1 << b})" for b in range(64))
+    uval = "v.uval"
+    return (
+        "WITH w AS (SELECT doc_id, md5_number_lower(tok) AS h FROM ("
+        "  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok "
+        "  FROM documents) WHERE tok <> ''), "
+        f"bits(bb, pw) AS (VALUES {pow2}), "
+        "acc AS (SELECT doc_id, bb, any_value(pw) AS pw, "
+        "  sum(CASE WHEN ((h >> bb) & 1) = 1 THEN 1 ELSE -1 END) AS a "
+        "  FROM w CROSS JOIN bits GROUP BY doc_id, bb), "
+        "v AS (SELECT doc_id, sum(CASE WHEN a > 0 THEN pw ELSE CAST(0 AS HUGEINT) END) "
+        "  AS uval FROM acc GROUP BY doc_id) "
+        "SELECT d.doc_id, " + _sql_twos_comp(uval, "simhash") +
+        " FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id")
+
+
+_SQL_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"),
+}
+
+
+def _sql_lang_id() -> str:
+    """stages/text.LangIdStage re-expressed: CJK block → zh; else argmax
+    stopword hits over the first 200 latin words (tie order en,de,fr,es;
+    zero hits → und)."""
+    hits = ", ".join(
+        "length(list_filter(ws, x -> x IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang)
+        for lang, words in _SQL_STOPWORDS.items())
+    return (
+        "SELECT doc_id, CASE "
+        "WHEN regexp_matches(text, '[一-鿿぀-ヿ]') THEN 'zh' "
+        "WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'und' "
+        "WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en' "
+        "WHEN h_de >= h_fr AND h_de >= h_es THEN 'de' "
+        "WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS predicted_lang "
+        f"FROM (SELECT doc_id, text, {hits} FROM ("
+        "  SELECT doc_id, text, "
+        "  list_transform(list_slice(regexp_extract_all(text, '[a-zA-ZÀ-ÿ]+'), 1, 200), "
+        "  x -> lower(x)) AS ws FROM documents))")
+
+
+def _sql_s2_cells(level: int, geo_sql: str, out_name: str = "s2_cell",
+                  select_extra: str = "") -> str:
+    """geo.cells.s2_cell_id unrolled to SQL: sphere → cube face →
+    quadratic (s,t) → leaf (i,j) → per-face Hilbert position via a
+    RECURSIVE CTE (the classic xy2d bit loop, one iteration per level) →
+    S2 bit layout, two's-complemented to BIGINT."""
+    n = 1 << level
+    s0 = 1 << (level - 1)
+    shift = 2 * (30 - level) + 1
+    return f"""
+WITH RECURSIVE
+geo AS ({geo_sql}),
+xyz AS (SELECT doc_id,
+  cos(radians(lat)) * cos(radians(lon)) AS x,
+  cos(radians(lat)) * sin(radians(lon)) AS y,
+  sin(radians(lat)) AS z FROM geo),
+fuv AS (SELECT doc_id, face,
+  CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+            WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+  CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+            WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM (SELECT doc_id, x, y, z,
+    (CASE WHEN abs(x) >= abs(y)
+          THEN (CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END)
+          ELSE (CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END) END)
+    + (CASE WHEN (CASE WHEN abs(x) >= abs(y)
+                       THEN (CASE WHEN abs(x) >= abs(z) THEN x ELSE z END)
+                       ELSE (CASE WHEN abs(y) >= abs(z) THEN y ELSE z END) END) < 0
+            THEN 3 ELSE 0 END) AS face
+    FROM xyz)),
+ij AS (SELECT doc_id, face,
+  CASE WHEN face % 2 = 0 THEN i0 ELSE j0 END AS x,
+  CASE WHEN face % 2 = 0 THEN j0 ELSE i0 END AS y
+  FROM (SELECT doc_id, face,
+    greatest(0, least({n - 1}, CAST(floor(s * {n}) AS BIGINT))) AS i0,
+    greatest(0, least({n - 1}, CAST(floor(t * {n}) AS BIGINT))) AS j0
+    FROM (SELECT doc_id, face,
+      CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u)
+           ELSE 1 - 0.5 * sqrt(1 - 3 * u) END AS s,
+      CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v)
+           ELSE 1 - 0.5 * sqrt(1 - 3 * v) END AS t
+      FROM fuv))),
+hil AS (
+  SELECT doc_id, face, x, y, CAST(0 AS HUGEINT) AS d, CAST({s0} AS BIGINT) AS s
+  FROM ij
+  UNION ALL
+  SELECT doc_id, face,
+    CASE WHEN (y & s) = 0
+         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END) ELSE x END,
+    CASE WHEN (y & s) = 0
+         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END) ELSE y END,
+    d + CAST(s AS HUGEINT) * s * (CASE WHEN (x & s) > 0
+        THEN (CASE WHEN (y & s) > 0 THEN 2 ELSE 3 END)
+        ELSE (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) END),
+    s // 2
+  FROM hil WHERE s > 0),
+s2cell AS (SELECT doc_id,
+  CAST(face AS HUGEINT) * {1 << 61} + d * {1 << shift} + {1 << (shift - 1)} AS ucell
+  FROM hil WHERE s = 0)
+SELECT c.doc_id, {_sql_twos_comp("ucell", out_name)}{select_extra}
+FROM s2cell c JOIN geo g ON c.doc_id = g.doc_id
+"""
+
+
+def _sql_hex_cell(res: int, lon: str = "lon", lat: str = "lat") -> str:
+    """geo.cells.hex_cell unrolled: Mercator plane → axial hex coords →
+    cube rounding (round-half-even, matching np.round) → bit-packed id.
+    Returns an expression usable in a SELECT over columns {lon}, {lat}."""
+    size = 22.5 / (2.0 ** res)
+    c1 = repr(float(np.sqrt(3.0) / 3.0))
+    third = repr(1.0 / 3.0)
+    two_third = repr(2.0 / 3.0)
+    Y = f"degrees(ln(tan(radians({lat})) + 1.0 / cos(radians({lat}))))"
+    q = f"(({c1} * {lon} - {third} * {Y}) / {size!r})"
+    r = f"(({two_third} * {Y}) / {size!r})"
+    off = 1 << 25
+    return (
+        f"(SELECT CAST({res} AS BIGINT) * {1 << 58} "
+        f" + (CASE WHEN fix_q THEN -ri0 - si0 ELSE qi0 END + {off}) * {1 << 26} "
+        f" + (CASE WHEN fix_r THEN -qi0 - si0 ELSE ri0 END + {off}) "
+        " FROM (SELECT qi0, ri0, si0, "
+        "   (dq > dr AND dq > ds) AS fix_q, "
+        "   (NOT (dq > dr AND dq > ds) AND dr > ds) AS fix_r "
+        "  FROM (SELECT "
+        "    CAST(round_even(q, 0) AS BIGINT) AS qi0, "
+        "    CAST(round_even(r, 0) AS BIGINT) AS ri0, "
+        "    CAST(round_even(-q - r, 0) AS BIGINT) AS si0, "
+        "    abs(round_even(q, 0) - q) AS dq, "
+        "    abs(round_even(r, 0) - r) AS dr, "
+        "    abs(round_even(-q - r, 0) - (-q - r)) AS ds "
+        f"   FROM (SELECT {q} AS q, {r} AS r))))")
 
 
 def _sql_nearest_site() -> str:
@@ -964,4 +1188,36 @@ def oracle_sql() -> dict[str, str]:
             "    PARTITION BY o_custkey "
             "    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) "
             "WHERE rn <= 2",
+        "fingerprint":
+            "SELECT doc_id, " + _sql_twos_comp(
+                "md5_number_lower(trim(regexp_replace(lower(text), "
+                "'\\s+', ' ', 'g')))", "fingerprint") + " FROM documents",
+        "simhash": _sql_simhash(),
+        "lang_id": _sql_lang_id(),
+        "cells": _sql_s2_cells(
+            12, geo,
+            select_extra=(", " + _sql_hex_cell(7, "g.lon", "g.lat")
+                          + " AS hex_cell")),
+        "cell_density": (
+            "SELECT s2_cell, CAST(count(*) AS BIGINT) AS n_docs FROM ("
+            + _sql_s2_cells(8, geo) + ") GROUP BY 1"),
+        "knn_ivf":
+            # nprobe = ncentroids → exact: the brute-force top-k oracle
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT CAST(0 AS BIGINT) AS query_id, vec_id, "
+            "CAST(row_number() OVER (ORDER BY "
+            "  list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, "
+            "  vec_id ASC) AS BIGINT) AS rank "
+            "FROM embeddings "
+            "ORDER BY rank LIMIT 10",
+        "phash_knn": (
+            lambda qh: (
+                "WITH ph AS (SELECT doc_id, " + _sql_twos_comp(
+                    _sql_phash(_sql_fnv64("printf('img%08d', doc_id)", 11)),
+                    "phash") + " FROM documents) "
+                f"SELECT doc_id, CAST(bit_count(xor(phash, {qh})) AS BIGINT) AS dist, "
+                "CAST(row_number() OVER (ORDER BY "
+                f"  bit_count(xor(phash, {qh})) ASC, doc_id ASC) AS BIGINT) AS rank "
+                "FROM ph ORDER BY dist, doc_id LIMIT 10")
+        )(_phash_of_id(0)),
     }

@@ -118,9 +118,10 @@ def run_headline() -> dict:
             "tiles_per_sec": n_tiles / sec}
 
 
-BENCH_QUERIES = ["tile_assign", "tile_density", "pip_join", "exact_dedup",
-                 "expr_filter", "knn", "groupby_agg", "events_window",
-                 "image_tiles", "minhash_near_dup", "sessionize", "semi_join"]
+# every registered query is benched (VERDICT r1 #10: per-query timings
+# for ALL queries so regressions are visible per pipeline); the driver
+# tables are small enough at sf0.1 that full coverage is cheap
+BENCH_QUERIES = None  # None → all of __ray_entry__.queries()
 
 REFERENCE_FIXTURE = "/root/reference/tests/fixtures/input.pmtiles"
 
@@ -158,9 +159,10 @@ def run_queries() -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    names = sorted(qs) if BENCH_QUERIES is None else BENCH_QUERIES
     # untimed warmup at the smallest sf: warms worker imports, actor pools
     # and the OS page cache so timed numbers measure compute + shuffle
-    for name in BENCH_QUERIES:
+    for name in names:
         try:
             res = qs[name]("/root/testdata/sf0.001")
             if hasattr(res, "count") and not isinstance(res, pd.DataFrame):
@@ -168,7 +170,7 @@ def run_queries() -> dict:
         except Exception:
             pass
     times = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         # consume: Datasets stream to completion; DataFrames are done

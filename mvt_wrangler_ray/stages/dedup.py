@@ -224,34 +224,48 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
 
 def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
                       id_col: str = "doc_id", **kw):
-    """Candidate pairs + exact-Jaccard verify. The verify stage broadcasts
-    the candidate texts (small: candidates ≪ corpus) — `ray.put` once,
-    read per task."""
-    import ray
+    """Candidate pairs + exact-Jaccard verify, Dataset-native end to end:
+    candidate TEXTS are attached with two bucketed hash joins (each
+    candidate row moves once, co-located with its doc text by id hash —
+    the corpus is never materialized on the driver and never filtered
+    with a per-row Python predicate), then jaccard is verified inside
+    map_batches. Only the verified pairs (tiny) reach the driver."""
+    from .shuffle import bucketed_hash_join
 
-    cand = minhash_candidate_pairs(ds_docs, col=col, id_col=id_col, **kw).to_pandas()
-    if len(cand) == 0:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                             "id_b": pd.Series([], dtype=np.int64),
-                             "jaccard": pd.Series([], dtype=np.float64)})
-    need_ids = set(cand["id_a"]) | set(cand["id_b"])
-    texts = (ds_docs
-             .map_batches(lambda b: b.select([id_col, col]), batch_format="pyarrow")
-             .filter(lambda r: r[id_col] in need_ids)
-             .to_pandas())
-    lookup_ref = ray.put(dict(zip(texts[id_col], texts[col])))
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=np.float64)})
+    # candidate pairs are narrow (two ids) and ≪ corpus: materializing THEM
+    # is cheap and guards the empty case; the corpus itself still streams
+    cand = minhash_candidate_pairs(ds_docs, col=col, id_col=id_col,
+                                   **kw).materialize()
+    if cand.count() == 0:
+        return empty
+    docs = ds_docs.map_batches(
+        lambda b: b.select([id_col, col]), batch_format="pyarrow")
 
-    @ray.remote
-    def verify(chunk: pd.DataFrame):
-        lookup = ray.get(lookup_ref)
-        js = [jaccard(lookup.get(a, ""), lookup.get(b, ""))
-              for a, b in zip(chunk["id_a"], chunk["id_b"])]
-        chunk = chunk.copy()
-        chunk["jaccard"] = js
-        return chunk[chunk["jaccard"] >= threshold]
+    ta_col = f"_{col}_a"
+    with_a = bucketed_hash_join(cand, docs, "id_a", id_col,
+                                num_buckets=16).map_batches(
+        lambda b: b.rename_columns(
+            [ta_col if c == col else c for c in b.column_names]),
+        batch_format="pyarrow")
+    with_ab = bucketed_hash_join(with_a, docs, "id_b", id_col, num_buckets=16)
 
-    chunks = np.array_split(cand, max(1, len(cand) // 2000))
-    out = pd.concat(ray.get([verify.remote(c) for c in chunks]), ignore_index=True)
+    def verify(b: pa.Table) -> pa.Table:
+        texts_a = b[ta_col].to_pylist()
+        texts_b = b[col].to_pylist()
+        js = np.fromiter(
+            (jaccard(x or "", y or "") for x, y in zip(texts_a, texts_b)),
+            dtype=np.float64, count=len(b))
+        out = pa.table({"id_a": b["id_a"].cast(pa.int64()),
+                        "id_b": b["id_b"].cast(pa.int64()),
+                        "jaccard": pa.array(js, pa.float64())})
+        return out.filter(pa.array(js >= threshold))
+
+    out = with_ab.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return empty
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -363,27 +377,40 @@ def label_propagation_round(edges_ds, labels_ds):
 # ---- simhash ----------------------------------------------------------
 
 
+_SIMHASH_SHIFTS = np.arange(64, dtype=np.uint64)
+_SIMHASH_POW2 = (np.uint64(1) << _SIMHASH_SHIFTS)
+
+
 def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    import zlib
+    """64-bit word-level simhash, vectorized batch-wide: explode words
+    with per-doc segment offsets, hash UNIQUE words once (md5 lower-64 —
+    DuckDB ``md5_number_lower``, so the driver oracle is exact SQL), bit
+    matrix ±1, per-doc accumulate via ``np.add.reduceat``, pack the sign
+    bits. Bit b of the result = 1 iff the accumulated weight of word-hash
+    bit b is > 0; empty/whitespace-only docs hash to 0."""
+    from .text import md5_lower64
 
     texts = batch[col].to_pylist()
-    out = np.empty(len(texts), dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        words = (t or "").lower().split()
-        if not words:
-            out[i] = 0
-            continue
-        hs = np.fromiter(
-            ((np.uint64(zlib.crc32(w.encode())) << np.uint64(32))
-             | np.uint64(zlib.crc32(w[::-1].encode())) for w in words),
-            dtype=np.uint64, count=len(words))
-        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-        acc = (2 * bits - 1).sum(axis=0)
-        val = np.uint64(0)
-        for b in (acc > 0).astype(np.uint8):
-            val = (val << np.uint64(1)) | np.uint64(b)
-        out[i] = np.int64(val)
+    n = len(texts)
+    words_per_doc = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=np.int64)
+    nz = lens > 0
+    if not nz.any():
+        return batch.append_column("simhash", pa.array(out, pa.int64()))
+    all_words = np.concatenate(
+        [np.asarray(w, dtype=object) for w in words_per_doc if w])
+    uniq, inv = np.unique(all_words.astype(str), return_inverse=True)
+    uh = np.fromiter((md5_lower64(w) for w in uniq),
+                     dtype=np.uint64, count=len(uniq))
+    hs = uh[inv]
+    # (nwords, 64) ±1 matrix, segment-summed per doc in one reduceat
+    pm = (((hs[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1))
+          .astype(np.int32) * 2 - 1)
+    starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+    acc = np.add.reduceat(pm, starts, axis=0)       # (n_nonzero, 64)
+    vals = ((acc > 0).astype(np.uint64) * _SIMHASH_POW2[None, :]).sum(axis=1)
+    out[nz] = vals.astype(np.int64)
     return batch.append_column("simhash", pa.array(out, pa.int64()))
 
 
@@ -456,16 +483,20 @@ def embedding_near_dups(ds_emb, threshold: float = 0.95,
 
     sig = ds_emb.map_batches(sig_batch, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pa.Table) -> pa.Table:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        order = np.argsort(g[id_col].to_numpy())
-        ids = g[id_col].to_numpy()[order]
-        mat = np.vstack(g["nvec"].to_numpy()[order])
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.vstack(g["nvec"].to_pylist())[order]
         sims = mat @ mat.T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sims[ia, ib] >= threshold
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
-                             "cosine": sims[ia, ib][keep]})
+        return pa.table({"id_a": pa.array(ids[ia][keep], pa.int64()),
+                         "id_b": pa.array(ids[ib][keep], pa.int64()),
+                         "cosine": pa.array(sims[ia, ib][keep], pa.float64())})
 
-    return sig.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    return sig.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")

@@ -17,36 +17,54 @@ import pyarrow as pa
 
 
 def sessionize(ds, gap_minutes: float = 30.0, user_col: str = "user_id",
-               ts_col: str = "ts"):
+               ts_col: str = "ts", num_buckets: int = 64):
     """Session windows: per user, a new session starts when the gap from
     the previous event exceeds `gap_minutes`. Emits one row per session:
     (user_id, session_start, n_events, duration_sec).
 
-    Plan: groupby(user) — users are many but small, so the per-group
-    Python cost is bounded by user count; inside the group the session
-    assignment is a vectorized diff/cumsum, not an event loop."""
+    Plan: bucket by USER HASH (distinct group count = num_buckets, not
+    user cardinality — a per-user groupby walks one Python group per
+    distinct user, millions at scale), sort within the bucket by
+    (user, ts), then sessionize EVERY user in one vectorized pass:
+    session breaks = user change OR gap exceeded; per-session aggregates
+    fall out of the break offsets (no per-session loop). Scales with
+    bucket count; a hot user stays one contiguous segment."""
+    from .shuffle import add_bucket_column
+
     gap = np.timedelta64(int(gap_minutes * 60 * 1_000_000), "us")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
-        ts = g[ts_col].to_numpy()
-        new = np.ones(len(ts), dtype=bool)
-        if len(ts) > 1:
-            new[1:] = (ts[1:] - ts[:-1]) > gap
-        sid = np.cumsum(new) - 1
-        out = []
-        for s in range(sid.max() + 1):
-            m = sid == s
-            out.append({
-                "user_id": g[user_col].iloc[0],
-                "session_start": ts[m][0],
-                "n_events": int(m.sum()),
-                "duration_sec": float((ts[m][-1] - ts[m][0])
-                                      / np.timedelta64(1, "s")),
-            })
-        return pd.DataFrame(out)
+    bucketed = ds.map_batches(
+        lambda b: add_bucket_column(b, [user_col], num_buckets),
+        batch_format="pyarrow")
 
-    return ds.groupby(user_col).map_groups(sessions, batch_format="pandas")
+    def sessions(g: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            g, sort_keys=[(user_col, "ascending"), (ts_col, "ascending")])
+        g = g.take(idx)
+        users = np.asarray(g[user_col].to_pandas())
+        ts = g[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        n = len(users)
+        if n == 0:
+            return pa.table({user_col: pa.array([], g.schema.field(user_col).type),
+                             "session_start": pa.array([], g.schema.field(ts_col).type),
+                             "n_events": pa.array([], pa.int64()),
+                             "duration_sec": pa.array([], pa.float64())})
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            same_user = users[1:] == users[:-1]
+            within = (ts[1:] - ts[:-1]) <= gap
+            new[1:] = ~(same_user & within)
+        starts = np.nonzero(new)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        dur = (ts[ends - 1] - ts[starts]) / np.timedelta64(1, "s")
+        return pa.table({
+            user_col: pa.array(users[starts]),
+            "session_start": pa.array(ts[starts]),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "duration_sec": pa.array(dur.astype(np.float64), pa.float64()),
+        })
+
+    return bucketed.groupby("bucket").map_groups(sessions, batch_format="pyarrow")
 
 
 def tumbling_window(ds, minutes: int, key_col: str = "event_type",

@@ -74,15 +74,17 @@ def knn_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
 
     local = ds.map_batches(probe, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        # deterministic tie-break: score desc, then id asc
-        g = g.sort_values(["score", id_col], ascending=[False, True],
-                          kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def merge(g: pa.Table) -> pa.Table:
+        # deterministic tie-break: score desc, then id asc; Arrow-native
+        # (the group is tiny — batches x k rows — but there's no reason
+        # to round-trip it through pandas)
+        idx = pa.compute.sort_indices(
+            g, sort_keys=[("score", "descending"), (id_col, "ascending")])
+        g = g.take(idx[:k])
+        return g.append_column(
+            "rank", pa.array(np.arange(1, len(g) + 1, dtype=np.int64)))
 
-    return (local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return (local.groupby("query_id").map_groups(merge, batch_format="pyarrow")
             .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
@@ -112,12 +114,62 @@ def ivf_assign_batch(batch: pa.Table, centroids: np.ndarray,
     return batch.append_column("ivf_partition", pa.array(part, pa.int32()))
 
 
+def build_ivf_index(ds, centroids: np.ndarray, out_dir: str,
+                    vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Materialize the centroid-partitioned layout ONCE (the 100-TB ANN
+    story): every vector is routed to its nearest centroid and written to
+    that partition's shard via the resumable lineage sink
+    (state/lineage.write_partitioned keyed by ivf_partition — one shard
+    per centroid). Queries then READ only the nprobe probed shards
+    instead of scanning and re-assigning the full dataset per query."""
+    from ..state.lineage import write_partitioned
+
+    c = np.asarray(centroids)
+    part_ds = ds.map_batches(
+        lambda b: ivf_assign_batch(b, c, vec_col), batch_format="pyarrow")
+    nc = len(c)
+    return write_partitioned(part_ds, out_dir, key="ivf_partition",
+                             num_partitions=nc, key_min=0, key_max=nc - 1,
+                             metadata={"ncentroids": nc, "vec_col": vec_col})
+
+
+def probe_partitions(queries: np.ndarray, centroids: np.ndarray,
+                     nprobe: int) -> np.ndarray:
+    """The union of each query's nprobe nearest centroid ids."""
+    c = np.asarray(centroids)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]
+    return np.unique(probe)
+
+
+def ivf_index_knn_topk(index_dir: str, queries: np.ndarray,
+                       query_ids: np.ndarray, centroids: np.ndarray,
+                       k: int = 10, nprobe: int = 4,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> pd.DataFrame:
+    """kNN over a MATERIALIZED IVF layout: read ONLY the probed
+    partitions' parquet shards (pruning at the read — the other shards
+    never leave storage), then brute-force top-k over the survivors."""
+    import os
+
+    import ray.data as rd
+
+    parts = probe_partitions(queries, centroids, nprobe)
+    paths = [os.path.join(index_dir, f"part={int(p):05d}", "data.parquet")
+             for p in parts]
+    paths = [p for p in paths if os.path.exists(p)]
+    ds = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return knn_topk(ds, queries, query_ids, k, vec_col, id_col)
+
+
 def ivf_knn_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
                  centroids: np.ndarray, k: int = 10, nprobe: int = 4,
                  vec_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
-    """Probe only the nprobe nearest centroid partitions per query:
-    the partition filter prunes at the read (vectorized mask per batch),
-    then the brute-force stage runs on the survivors only."""
+    """One-off variant (no materialized index): probe only the nprobe
+    nearest centroid partitions — the partition filter prunes per batch,
+    then the brute-force stage runs on the survivors only. For REPEATED
+    queries use build_ivf_index + ivf_index_knn_topk so pruning happens
+    at the read, not after a full scan."""
     c = np.asarray(centroids)
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]

@@ -29,33 +29,39 @@ from ..config import EngineConfig
 from ..geo.tilemath import tile_bounds, tile_y_to_lat
 
 
-def rasterize_tile_group(group: pd.DataFrame, res: int = 64,
-                         cfg: Optional[EngineConfig] = None) -> pd.DataFrame:
+def rasterize_tile_group(group: pa.Table, res: int = 64,
+                         cfg: Optional[EngineConfig] = None) -> pa.Table:
     """``groupby(tile_id).map_groups``: one row per tile with a count
-    raster over the tile's local grid. Input rows need lon/lat + z/x/y."""
+    raster over the tile's local grid. Input rows need lon/lat + z/x/y.
+    Arrow-native group body — the binning is numpy-on-columns anyway."""
     cfg = cfg or EngineConfig()
-    z = int(group["z"].iloc[0])
-    x = int(group["x"].iloc[0])
-    y = int(group["y"].iloc[0])
+    if isinstance(group, pd.DataFrame):
+        group = pa.Table.from_pandas(group, preserve_index=False)
+    z = int(group["z"][0].as_py())
+    x = int(group["x"][0].as_py())
+    y = int(group["y"][0].as_py())
     from ..geo.tilemath import lonlat_to_tile_frac
 
-    fx, fy = lonlat_to_tile_frac(group["lon"].to_numpy(), group["lat"].to_numpy(), z)
+    fx, fy = lonlat_to_tile_frac(
+        group["lon"].to_numpy(zero_copy_only=False),
+        group["lat"].to_numpy(zero_copy_only=False), z)
     cx = np.clip(((fx - x) * res).astype(np.int64), 0, res - 1)
     cy = np.clip(((fy - y) * res).astype(np.int64), 0, res - 1)
     raster = np.zeros((res, res), dtype=np.uint32)
     np.add.at(raster, (cy, cx), 1)
-    return pd.DataFrame({
-        "tile_id": [int(group["tile_id"].iloc[0])],
-        "z": [z], "x": [x], "y": [y],
-        "res": [res],
-        "n_points": [len(group)],
-        "raster": [raster.tobytes()],
+    return pa.table({
+        "tile_id": pa.array([int(group["tile_id"][0].as_py())], pa.int64()),
+        "z": pa.array([z], pa.int64()), "x": pa.array([x], pa.int64()),
+        "y": pa.array([y], pa.int64()),
+        "res": pa.array([res], pa.int64()),
+        "n_points": pa.array([len(group)], pa.int64()),
+        "raster": pa.array([raster.tobytes()], pa.binary()),
     })
 
 
 def rasterize(ds, res: int = 64, cfg: Optional[EngineConfig] = None):
     return ds.groupby("tile_id").map_groups(
-        lambda g: rasterize_tile_group(g, res, cfg), batch_format="pandas")
+        lambda g: rasterize_tile_group(g, res, cfg), batch_format="pyarrow")
 
 
 def _label_components(occ: np.ndarray, max_iters: int = 10_000) -> np.ndarray:

@@ -9,7 +9,6 @@ stopword tables built once per actor.
 from __future__ import annotations
 
 import re
-import zlib
 from typing import Dict
 
 import numpy as np
@@ -112,14 +111,23 @@ class LangIdStage:
         return batch.append_column("predicted_lang", pa.array(preds, pa.string()))
 
 
+def md5_lower64(s: str) -> int:
+    """The 64-bit md5 fold DuckDB exposes as ``md5_number_lower`` (bytes
+    8..16 of the digest, little-endian) — the hash primitive shared by
+    fingerprint and simhash so both have exact SQL oracles."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+
 def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    """Document fingerprint: crc32 rolling over normalized words folded
-    into 64 bits — a cheap stable content id for exact dedup at scale."""
-    texts = batch[col].to_pylist()
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        norm = " ".join((t or "").lower().split())
-        h = zlib.crc32(norm.encode())
-        h2 = zlib.crc32(norm[::-1].encode())
-        out[i] = np.int64(np.uint64(h) << np.uint64(32) | np.uint64(h2))
+    """Document fingerprint: 64-bit md5 fold of the whitespace-normalized
+    lowercased text — a cheap stable content id for exact dedup at scale.
+    SQL oracle: ``md5_number_lower(trim(regexp_replace(lower(text),
+    '\\s+', ' ', 'g')))`` two's-complemented to BIGINT."""
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(batch[col]),
+                                   pattern=r"\s+", replacement=" "))
+    out = np.fromiter((md5_lower64(s) for s in norm.to_pylist()),
+                      dtype=np.uint64, count=len(batch)).astype(np.int64)
     return batch.append_column("fingerprint", pa.array(out, pa.int64()))

@@ -40,11 +40,17 @@ def encode_tile_group(group: pd.DataFrame, cfg: EngineConfig = EngineConfig(),
     key_idx: Dict[str, int] = {}
     val_idx: Dict[object, int] = {}
     feats = []
-    for _, row in g.iterrows():
+    # columnar extraction ONCE (Series.tolist converts numpy scalars to
+    # python scalars) — pool re-encode is inherently row-ordered, but the
+    # per-cell access is plain list indexing, not iterrows' per-row
+    # Series construction (10-50x cheaper per feature)
+    ids = g[cfg.id_col].tolist()
+    col_vals = [g[c].tolist() for c in tag_cols]
+    for i in range(len(ids)):
         tags = []
-        for c in tag_cols:
-            v = row[c]
-            if v is None or (isinstance(v, float) and np.isnan(v)):
+        for j, c in enumerate(tag_cols):
+            v = col_vals[j][i]
+            if v is None or (isinstance(v, float) and v != v):
                 continue
             if isinstance(v, np.generic):
                 v = v.item()
@@ -58,7 +64,7 @@ def encode_tile_group(group: pd.DataFrame, cfg: EngineConfig = EngineConfig(),
                 vi = val_idx[vkey] = len(values_pool)
                 values_pool.append(v)
             tags.extend((ki, vi))
-        feats.append({"id": row[cfg.id_col], "tags": tags})
+        feats.append({"id": ids[i], "tags": tags})
     manifest = {
         "tile_id": int(g["tile_id"].iloc[0]),
         "z": int(g["z"].iloc[0]), "x": int(g["x"].iloc[0]), "y": int(g["y"].iloc[0]),

@@ -40,9 +40,9 @@ def test_rasterize_counts_conserved():
     df = t.to_pandas()
     one_tile = df[df["tile_id"] == df["tile_id"].mode().iloc[0]]
     out = rasterize_tile_group(one_tile, res=32, cfg=cfg)
-    raster = np.frombuffer(out["raster"].iloc[0], dtype=np.uint32)
+    raster = np.frombuffer(out["raster"][0].as_py(), dtype=np.uint32)
     assert raster.sum() == len(one_tile)
-    assert out["n_points"].iloc[0] == len(one_tile)
+    assert out["n_points"][0].as_py() == len(one_tile)
 
 
 def test_raster_vector_roundtrip(ray_session):

@@ -750,7 +750,18 @@ def _q_features_transform(sf_dir: str):
 
     t = synth_features_table(2000)
     out = transform_features(rd.from_arrow(t), FEATURE_FILTERS)
-    return out.select_columns(["feature_id", "z", "x", "y", "tile_id", "layer"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "feature_id": b["feature_id"],
+            "z": b["z"].cast(pa.int64()),
+            "x": b["x"].cast(pa.int64()),
+            "y": b["y"].cast(pa.int64()),
+            "tile_id": b["tile_id"].cast(pa.int64()),
+            "layer": b["layer"].cast(pa.string()),
+        })
+
+    return out.map_batches(norm, batch_format="pyarrow")
 
 
 def _q_dedup_clusters(sf_dir: str):
@@ -773,7 +784,9 @@ def _q_approx_distinct(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ds, "user_id")
-    return pd.DataFrame({"approx_distinct_users": [float(round(est, 1))]})
+    # floor-to-0.1 grid with the same IEEE ops as the SQL oracle
+    return pd.DataFrame({"approx_distinct_users":
+                         [float(np.floor(est * 10.0) / 10.0)]})
 
 
 def _q_raster_vector(sf_dir: str):
@@ -811,7 +824,14 @@ def _q_wrangle_tiles(sf_dir: str):
     tiles = wrangle_tiles(images_from_documents(sf_dir),
                           EngineConfig(zoom=8),
                           filter_geojson=FILTERS_GEOJSON)
-    return tiles.select_columns(["tile_id", "z", "x", "y", "n_features"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        # int64 across the board so the driver hash sees one dtype on
+        # both sides (z is int8 / x,y int32 in the engine schema)
+        return pa.table({c: b[c].cast(pa.int64())
+                         for c in ("tile_id", "z", "x", "y", "n_features")})
+
+    return tiles.map_batches(norm, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1029,6 +1049,419 @@ def _sql_hex_cell(res: int, lon: str = "lon", lat: str = "lat") -> str:
         f"   FROM (SELECT {q} AS q, {r} AS r))))")
 
 
+def _sql_mulmod64(a: str, c: int) -> str:
+    """(a * c) mod 2^64 without INT128 overflow: split a into 32-bit
+    halves — alo*c < 2^96 and the high half folds mod 2^32 first."""
+    M, M32 = 1 << 64, 1 << 32
+    return (f"(((CAST({a} AS HUGEINT) % {M32}) * {c} "
+            f"+ ((((CAST({a} AS HUGEINT) // {M32}) * {c % M32}) % {M32}) * {M32})) "
+            f"% {M})")
+
+
+def _sql_splitmix(u: str) -> str:
+    """stages/shuffle._splitmix unrolled (mod-2^64 arithmetic; the two
+    64x64-bit multiplies use the split form to stay inside INT128)."""
+    M = 1 << 64
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    v1 = f"CAST(((CAST({u} AS HUGEINT) + {c1}) % {M}) AS UBIGINT)"
+    x1 = f"xor({v1}, {v1} >> 30)"
+    v2 = f"CAST({_sql_mulmod64(x1, c2)} AS UBIGINT)"
+    x2 = f"xor({v2}, {v2} >> 27)"
+    v3 = f"CAST({_sql_mulmod64(x2, c3)} AS UBIGINT)"
+    return f"xor({v3}, {v3} >> 31)"
+
+
+def _sql_approx_distinct(p: int = 12) -> str:
+    """stages/sketch.HLL re-expressed: splitmix hash per user, register
+    index = top p bits, rank = leading-zero position of the shifted
+    remainder (sentinel bit set), registers = max rank per index, then the
+    HLL estimator with small-range correction — all closed-form."""
+    m = 1 << p
+    M = 1 << 64
+    h = "h"
+    idx = f"CAST({h} >> {64 - p} AS BIGINT)"
+    # (h << p) mod 2^64 == (h mod 2^(64-p)) * 2^p — DuckDB's << traps on
+    # overflow, so shift via the masked multiply
+    rest = (f"(CAST((CAST({h} % {1 << (64 - p)} AS HUGEINT) * {1 << p}) "
+            f"AS UBIGINT) | {1 << (p - 1)})")
+    # rank = 1 + leading zeros of rest = 65 - bit_length(rest)
+    rank = f"65 - length(bin({rest}))"
+    alpha = f"(0.7213 / (1.0 + 1.079 / {float(m)!r}))"
+    return (
+        "WITH hashed AS (SELECT DISTINCT "
+        + _sql_splitmix("CAST(user_id AS UBIGINT)") + " AS h FROM events), "
+        f"regs AS (SELECT {idx} AS idx, CAST(max({rank}) AS BIGINT) AS rank "
+        "  FROM hashed GROUP BY 1), "
+        "agg AS (SELECT sum(power(2.0, -rank)) AS sum_present, "
+        "  CAST(count(*) AS BIGINT) AS n_idx FROM regs), "
+        f"est AS (SELECT {alpha} * {float(m)!r} * {float(m)!r} "
+        f"  / (sum_present + ({m} - n_idx) * 1.0) AS e, {m} - n_idx AS zeros "
+        "  FROM agg) "
+        "SELECT floor((CASE WHEN e <= 2.5 * " + repr(float(m)) + " AND zeros > 0 "
+        f"  THEN {float(m)!r} * ln({float(m)!r} / zeros) ELSE e END) * 10.0) / 10.0 "
+        "  AS approx_distinct_users FROM est")
+
+
+def _sql_hilbert_tiles(level: int, tiles_sql: str, tail_select: str) -> str:
+    """Hilbert xy→d over a (small) tile table via the recursive bit loop
+    (geo.tilemath.hilbert_xy_to_d), then `tail_select` formats the output
+    (it can reference t.* from the tile table and p.d)."""
+    s0 = 1 << (level - 1)
+    return f"""
+WITH RECURSIVE
+tiles AS ({tiles_sql}),
+hil AS (
+  SELECT x AS tx, y AS ty, x, y, CAST(0 AS HUGEINT) AS d, CAST({s0} AS BIGINT) AS s
+  FROM tiles
+  UNION ALL
+  SELECT tx, ty,
+    CASE WHEN (y & s) = 0
+         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END) ELSE x END,
+    CASE WHEN (y & s) = 0
+         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END) ELSE y END,
+    d + CAST(s AS HUGEINT) * s * (CASE WHEN (x & s) > 0
+        THEN (CASE WHEN (y & s) > 0 THEN 2 ELSE 3 END)
+        ELSE (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) END),
+    s // 2
+  FROM hil WHERE s > 0),
+pos AS (SELECT tx, ty, d FROM hil WHERE s = 0)
+{tail_select}
+"""
+
+
+def _sql_wrangle_tiles(zoom: int = 8) -> str:
+    """pipelines/wrangle.wrangle_tiles over images_from_documents:
+    string-id geotag (FNV of 'img%08d' → the int mapping, UBIGINT
+    arithmetic so the mod stays positive), tile assign, the dense-mask
+    feature drop (keep rows NOT in the mask), per-tile counts, and the
+    Hilbert tile_id. The phash tag filter nulls a column that never
+    reaches this output."""
+    fnv = _sql_fnv64("printf('img%08d', doc_id)", 11)
+    lon = SQL_LON.format(id="CAST(h AS HUGEINT)")
+    lat = SQL_LAT.format(id="CAST(h AS HUGEINT)")
+    tx, ty = _sql_tile(zoom, "lon", "lat")
+    pip = _sql_pip("lon", "lat", PIP_POLY)
+    zoff = ((1 << (2 * zoom)) - 1) // 3
+    tiles_sql = (
+        f"SELECT {tx} AS x, {ty} AS y, CAST(count(*) AS BIGINT) AS n_features "
+        f"FROM (SELECT lon, lat FROM ("
+        f"  SELECT {lon} AS lon, {lat} AS lat FROM ("
+        f"    SELECT doc_id, {fnv} AS h FROM documents)) "
+        f"WHERE NOT {pip}) GROUP BY 1, 2")
+    tail = (
+        f"SELECT CAST({zoff} + p.d AS BIGINT) AS tile_id, "
+        f"CAST({zoom} AS BIGINT) AS z, t.x, t.y, t.n_features "
+        "FROM tiles t JOIN pos p ON t.x = p.tx AND t.y = p.ty")
+    return _sql_hilbert_tiles(zoom, tiles_sql, tail)
+
+
+def _sql_decode_images() -> str:
+    """stages/image.DecodeImageStage with the deterministic fake codec,
+    re-derived in closed form: payload body byte k = (k*seed + tail) mod
+    256 (sources/images._fake_payloads), pixels tile the 64-byte body,
+    phash = 8x8 block means vs their median packed MSB-first. Every
+    intermediate is an exact integer sum, so the float means/median are
+    bit-identical across engines."""
+    fnv = _sql_fnv64("printf('img%08d', doc_id)", 11)
+    med = "(ml[32] + ml[33]) / 2.0"
+    return f"""
+WITH img AS (SELECT doc_id, {fnv} AS h FROM documents),
+geom AS (SELECT doc_id,
+  CAST(32 + CAST(h % 97 AS BIGINT) AS BIGINT) AS w,
+  CAST(32 + CAST((h >> 8) % 97 AS BIGINT) AS BIGINT) AS hh,
+  CAST((h | 1) & 255 AS BIGINT) AS s8,
+  CAST((h >> 7) & 255 AS BIGINT) AS t8
+  FROM img),
+rows_r AS (SELECT doc_id, w, s8, t8, hh // 8 AS bh, w // 8 AS bw,
+  unnest(range(8 * (hh // 8))) AS r FROM geom),
+px AS (SELECT doc_id, r // bh AS br, c // bw AS bc,
+  (((r * w + c) % 64) * s8 + t8) % 256 AS val
+  FROM (SELECT doc_id, w, s8, t8, bh, bw, r,
+        unnest(range(8 * bw)) AS c FROM rows_r)),
+blocks AS (SELECT doc_id, br, bc,
+  CAST(sum(val) AS DOUBLE) / count(*) AS m
+  FROM px GROUP BY doc_id, br, bc),
+med AS (SELECT doc_id, list_sort(list(m)) AS ml FROM blocks GROUP BY doc_id),
+bits AS (SELECT b.doc_id,
+  sum(CASE WHEN b.m > {med} THEN CAST(1 AS HUGEINT) * pw ELSE CAST(0 AS HUGEINT) END)
+    AS uval
+  FROM blocks b JOIN med USING (doc_id)
+  JOIN (SELECT bb // 8 AS br, bb % 8 AS bc, pw
+        FROM (VALUES {", ".join(f"({b}, CAST({1 << (63 - b)} AS HUGEINT))"
+                                for b in range(64))}) v(bb, pw)) pwt
+    ON b.br = pwt.br AND b.bc = pwt.bc
+  GROUP BY b.doc_id)
+SELECT d.doc_id,
+  CASE CAST(d.doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+       ELSE 'webp' END AS sniffed_fmt,
+  {_sql_twos_comp("uval", "phash_recomputed")}
+FROM documents d JOIN bits ON d.doc_id = bits.doc_id
+"""
+
+
+def _sql_minhash_ctes(docs_sql: str, prefix: str = "mh") -> str:
+    """CTE chain reproducing stages/dedup minhash-LSH + exact-Jaccard
+    verify for the docs of `docs_sql` (must select doc_id, text):
+    word-3-gram shingles (md5 lower-64), the 64 seeded permutations as
+    literal VALUES, numpy-uint64-WRAPPING universal hash (split multiply
+    mod 2^64, then mod the Mersenne prime), 16x4 band fold, grouped
+    candidates with the bucket_cap skew guard, and shingle-set Jaccard.
+    Final CTE: {prefix}_pairs(id_a, id_b, j)."""
+    from mvt_wrangler_ray.stages.dedup import _perm_params
+
+    a, b = _perm_params(64, 42)
+    M61 = (1 << 61) - 1
+    M64, M32 = 1 << 64, 1 << 32
+    P = 1099511628211
+    perms = ", ".join(f"({i}, CAST({int(av)} AS HUGEINT), CAST({int(bv)} AS HUGEINT))"
+                      for i, (av, bv) in enumerate(zip(a, b)))
+    shm = f"CAST(sh & {M61} AS HUGEINT)"
+    prod = (f"((a * ({shm} % {M32}) + ((a * ({shm} // {M32})) % {M32}) * {M32})"
+            f" % {M64})")
+    val = f"((({prod} + b) % {M64}) % {M61})"
+    f = "l[1]"
+    for k in (2, 3, 4):
+        f = f"((({f}) * {P} + l[{k}]) % {M64})"
+    bands16 = ", ".join(f"({i})" for i in range(16))
+    return f"""
+{prefix}_docs AS ({docs_sql}),
+{prefix}_w AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM {prefix}_docs),
+{prefix}_grams AS (
+  SELECT doc_id, array_to_string(list_slice(ws, g + 1, g + 3), ' ') AS gram
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS g
+        FROM {prefix}_w WHERE len(ws) >= 3)
+  UNION ALL
+  SELECT doc_id, array_to_string(ws, ' ') AS gram
+  FROM {prefix}_w WHERE len(ws) > 0 AND len(ws) < 3),
+{prefix}_sh AS (SELECT DISTINCT doc_id, md5_number_lower(gram) AS sh
+  FROM {prefix}_grams),
+{prefix}_sigs AS (
+  SELECT doc_id, pi, min({val}) AS sig
+  FROM {prefix}_sh CROSS JOIN (VALUES {perms}) p(pi, a, b)
+  GROUP BY doc_id, pi),
+{prefix}_sigl AS (SELECT doc_id, pi // 4 AS band, list(sig ORDER BY pi) AS l
+  FROM {prefix}_sigs GROUP BY doc_id, pi // 4),
+{prefix}_bands AS (
+  SELECT doc_id, band, {f} AS bh FROM {prefix}_sigl
+  UNION ALL
+  -- docs with NO shingles carry an all-zero signature (numpy zeros),
+  -- so every band hash folds to 0
+  SELECT d.doc_id, bb.band, CAST(0 AS HUGEINT) AS bh
+  FROM (SELECT doc_id FROM {prefix}_docs
+        EXCEPT SELECT DISTINCT doc_id FROM {prefix}_sh) d
+  CROSS JOIN (VALUES {bands16}) bb(band)),
+{prefix}_bg AS (SELECT band, bh, count(*) AS cnt
+  FROM {prefix}_bands GROUP BY 1, 2),
+{prefix}_cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM {prefix}_bands x
+  JOIN {prefix}_bands y ON x.band = y.band AND x.bh = y.bh
+    AND x.doc_id < y.doc_id
+  JOIN {prefix}_bg g ON g.band = x.band AND g.bh = x.bh
+  WHERE g.cnt <= 1000),
+{prefix}_n AS (SELECT doc_id, count(*) AS nsh FROM {prefix}_sh GROUP BY 1),
+{prefix}_i AS (SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM {prefix}_cand c
+  JOIN {prefix}_sh sa ON sa.doc_id = c.id_a
+  JOIN {prefix}_sh sb ON sb.doc_id = c.id_b AND sa.sh = sb.sh
+  GROUP BY 1, 2),
+{prefix}_pairs AS (SELECT c.id_a, c.id_b,
+  CASE WHEN coalesce(na.nsh, 0) = 0 AND coalesce(nb.nsh, 0) = 0 THEN 1.0
+       WHEN coalesce(na.nsh, 0) = 0 OR coalesce(nb.nsh, 0) = 0 THEN 0.0
+       ELSE CAST(coalesce(i.ni, 0) AS DOUBLE)
+            / (na.nsh + nb.nsh - coalesce(i.ni, 0)) END AS j
+  FROM {prefix}_cand c
+  LEFT JOIN {prefix}_n na ON na.doc_id = c.id_a
+  LEFT JOIN {prefix}_n nb ON nb.doc_id = c.id_b
+  LEFT JOIN {prefix}_i i ON i.id_a = c.id_a AND i.id_b = c.id_b)
+"""
+
+
+def _sql_components(pairs_cte: str, out: str) -> str:
+    """Connected components of the (small) verified-pair graph as a
+    recursive reachability closure; label = min node id per component
+    (the same fixpoint driver-side union-find converges to)."""
+    return f"""
+{out}_nodes AS (SELECT DISTINCT node FROM (
+  SELECT id_a AS node FROM {pairs_cte}
+  UNION ALL SELECT id_b FROM {pairs_cte})),
+{out}_edges AS (SELECT id_a AS na, id_b AS nb FROM {pairs_cte}
+  UNION ALL SELECT id_b, id_a FROM {pairs_cte}),
+{out}_reach AS (
+  SELECT node, node AS lab FROM {out}_nodes
+  UNION
+  SELECT e.nb AS node, r.lab
+  FROM {out}_reach r JOIN {out}_edges e ON e.na = r.node),
+{out} AS (SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+  FROM {out}_reach GROUP BY 1)
+"""
+
+
+def _sql_minhash_near_dup(threshold: float = 0.5) -> str:
+    return ("WITH " + _sql_minhash_ctes("SELECT doc_id, text FROM documents")
+            + f" SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b "
+              f"FROM mh_pairs WHERE j >= {threshold!r}")
+
+
+def _sql_dedup_clusters(threshold: float = 0.35) -> str:
+    return ("WITH RECURSIVE "
+            + _sql_minhash_ctes("SELECT doc_id, text FROM documents")
+            + f", tp AS (SELECT id_a, id_b FROM mh_pairs WHERE j >= {threshold!r}), "
+            + _sql_components("tp", "comp")
+            + " SELECT doc_id, cluster_id FROM comp")
+
+
+def _sql_quality_score(text: str = "text") -> str:
+    """stages/text.quality_score_batch composite score, same IEEE op
+    order (a * (b * c))."""
+    nc = f"CAST(length({text}) AS DOUBLE)"
+    np_ = f"CAST(length(regexp_replace({text}, '[^.!?,;:]', '', 'g')) AS DOUBLE)"
+    nd = f"CAST(length(regexp_replace({text}, '[^0-9]', '', 'g')) AS DOUBLE)"
+    pr = f"({np_} / greatest({nc}, 1.0))"
+    dr = f"({nd} / greatest({nc}, 1.0))"
+    return (f"(least({nc} / 200.0, 1.0) * "
+            f"((1.0 - least({pr}, 1.0)) * (1.0 - least({dr}, 1.0))))")
+
+
+def _sql_clean_corpus(min_quality: float = 0.1,
+                      near_dup_threshold: float = 0.8) -> str:
+    """pipelines/corpus.clean_corpus: quality + language gates → exact
+    dedup min-id survivors → near-dup clusters (minhash over the exact
+    survivors) → drop non-minimum cluster members."""
+    langs = "'en', 'de', 'fr', 'es', 'zh', 'und'"
+    gate = f"""
+cc_gated AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN ({_sql_lang_id()}) l ON l.doc_id = d.doc_id
+  WHERE {_sql_quality_score("d.text")} >= {min_quality!r}
+    AND l.predicted_lang IN ({langs})),
+cc_exact AS (SELECT min(doc_id) AS doc_id FROM cc_gated GROUP BY md5(text)),
+cc_surv AS (SELECT g.doc_id, g.text FROM cc_gated g
+  JOIN cc_exact e ON e.doc_id = g.doc_id)"""
+    return ("WITH RECURSIVE " + gate + ", "
+            + _sql_minhash_ctes("SELECT doc_id, text FROM cc_surv", "cm")
+            + f", cc_tp AS (SELECT id_a, id_b FROM cm_pairs "
+              f"WHERE j >= {near_dup_threshold!r}), "
+            + _sql_components("cc_tp", "cc_comp")
+            + " SELECT s.doc_id FROM cc_surv s WHERE s.doc_id NOT IN "
+              "(SELECT doc_id FROM cc_comp WHERE doc_id != cluster_id)")
+
+
+def _sql_features_transform(n: int = 2000) -> str:
+    """pipelines/features.transform_features over the deterministic synth
+    table (sources/features.synth_features_table — pure hash synthesis,
+    regenerated with range()): the fixture filters reduce to two
+    layer-scoped mask drops (pois in poly A; buildings with kind=
+    'building', i.e. h%2=0, in poly B); the global filter only touches
+    tags, which are not in the output projection. Per-row-zoom tile
+    assignment and Hilbert tile_id via CASE-per-zoom + the recursive bit
+    loop."""
+    from mvt_wrangler_ray.fixtures import FEATURE_POLY_A, FEATURE_POLY_B
+    from mvt_wrangler_ray.sources.features import BOUNDS, LAYERS
+
+    w, s, e, nn = BOUNDS
+    fnv = _sql_fnv64("printf('feat%08d', i)", 12)
+    lon = (f"({w!r} + CAST(h % 1000000 AS DOUBLE) / 1000000.0"
+           f" * ({e!r} - {w!r}))")
+    lat = (f"({s!r} + CAST((h >> 20) % 1000000 AS DOUBLE) / 1000000.0"
+           f" * ({nn!r} - {s!r}))")
+    zmin, zmax = 9, 15
+    x_case = "CASE zz " + " ".join(
+        f"WHEN {z} THEN {_sql_tile(z, 'lon', 'lat')[0]}"
+        for z in range(zmin, zmax + 1)) + " END"
+    y_case = "CASE zz " + " ".join(
+        f"WHEN {z} THEN {_sql_tile(z, 'lon', 'lat')[1]}"
+        for z in range(zmin, zmax + 1)) + " END"
+    s0_case = "CASE zz " + " ".join(
+        f"WHEN {z} THEN {1 << (z - 1)}"
+        for z in range(zmin, zmax + 1)) + " END"
+    zoff_case = "CASE k.zz " + " ".join(
+        f"WHEN {z} THEN {((1 << (2 * z)) - 1) // 3}"
+        for z in range(zmin, zmax + 1)) + " END"
+    layer_case = "CASE CAST(i % 9 AS INTEGER) " + " ".join(
+        f"WHEN {idx} THEN '{name}'" for idx, name in enumerate(LAYERS)) + " END"
+    pip_a = _sql_pip("lon", "lat", FEATURE_POLY_A)
+    pip_b = _sql_pip("lon", "lat", FEATURE_POLY_B)
+    return f"""
+WITH RECURSIVE
+base AS (
+  SELECT i, h, lon, lat, 9 + CAST(h % 7 AS BIGINT) AS zz, {layer_case} AS layer
+  FROM (SELECT i, h, {lon} AS lon, {lat} AS lat
+        FROM (SELECT i, {fnv} AS h
+              FROM (SELECT unnest(range({n})) AS i)))),
+keep AS (
+  SELECT i, h, zz, layer, lon, lat, {x_case} AS x, {y_case} AS y
+  FROM base
+  WHERE NOT ((CAST(i % 9 AS INTEGER) = 6 AND {pip_a})
+          OR (CAST(i % 9 AS INTEGER) = 1 AND ((h & 1) = 0) AND {pip_b}))),
+tiles AS (SELECT DISTINCT zz, x, y FROM keep),
+hil AS (
+  SELECT zz, x AS tx, y AS ty, x, y, CAST(0 AS HUGEINT) AS d,
+         CAST({s0_case} AS BIGINT) AS s
+  FROM tiles
+  UNION ALL
+  SELECT zz, tx, ty,
+    CASE WHEN (y & s) = 0
+         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END) ELSE x END,
+    CASE WHEN (y & s) = 0
+         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END) ELSE y END,
+    d + CAST(s AS HUGEINT) * s * (CASE WHEN (x & s) > 0
+        THEN (CASE WHEN (y & s) > 0 THEN 2 ELSE 3 END)
+        ELSE (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) END),
+    s // 2
+  FROM hil WHERE s > 0),
+pos AS (SELECT zz, tx, ty, d FROM hil WHERE s = 0)
+SELECT printf('feat%08d', k.i) AS feature_id, CAST(k.zz AS BIGINT) AS z,
+  CAST(k.x AS BIGINT) AS x, CAST(k.y AS BIGINT) AS y,
+  CAST({zoff_case} + p.d AS BIGINT) AS tile_id, k.layer
+FROM keep k JOIN pos p ON p.zz = k.zz AND p.tx = k.x AND p.ty = k.y
+"""
+
+
+def _sql_raster_vector(zoom: int = 5, res: int = 32) -> str:
+    """stages/raster rasterize→vectorize over geotagged documents:
+    per-tile res x res count raster (closed-form cell binning), then
+    4-connected components as a recursive reachability closure with
+    label = min row-major cell index (the fixpoint _label_components
+    converges to), then per-component cell/count aggregates."""
+    lon = SQL_LON.format(id="doc_id")
+    lat = SQL_LAT.format(id="doc_id")
+    n = 1 << zoom
+    tx, ty = _sql_tile(zoom, "lon", "lat")
+    fx = f"((lon + 180.0) / 360.0 * {n})"
+    fy = (f"((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())"
+          f" / 2.0 * {n})")
+    cx = f"greatest(0, least({res - 1}, CAST(floor(({fx} - x) * {res}) AS BIGINT)))"
+    cy = f"greatest(0, least({res - 1}, CAST(floor(({fy} - y) * {res}) AS BIGINT)))"
+    return f"""
+WITH RECURSIVE
+geo AS (SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents),
+asg AS (SELECT lon, lat, {tx} AS x, {ty} AS y FROM geo),
+cells AS (SELECT x * {res} + y AS tile_id, {cy} * {res} + {cx} AS cell,
+  CAST(count(*) AS BIGINT) AS cnt
+  FROM asg GROUP BY 1, 2),
+edges AS (SELECT a.tile_id, a.cell AS na, b.cell AS nb
+  FROM cells a JOIN cells b ON a.tile_id = b.tile_id AND (
+       b.cell = a.cell + {res} OR b.cell = a.cell - {res}
+    OR (b.cell = a.cell + 1 AND a.cell // {res} = b.cell // {res})
+    OR (b.cell = a.cell - 1 AND a.cell // {res} = b.cell // {res}))),
+reach AS (
+  SELECT tile_id, cell AS node, cell AS lab FROM cells
+  UNION
+  SELECT e.tile_id, e.nb, r.lab
+  FROM reach r JOIN edges e ON e.tile_id = r.tile_id AND e.na = r.node),
+comp AS (SELECT tile_id, node, min(lab) AS lab
+  FROM reach GROUP BY 1, 2)
+SELECT c.tile_id, CAST(c.lab AS BIGINT) AS component,
+  CAST(count(*) AS BIGINT) AS n_cells,
+  CAST(sum(n.cnt) AS BIGINT) AS total_count
+FROM comp c JOIN cells n ON n.tile_id = c.tile_id AND n.cell = c.node
+GROUP BY 1, 2
+"""
+
+
 def _sql_nearest_site() -> str:
     """Generated VALUES table of the 64 deterministic sites + argmin via
     row_number over squared distance (ties broken by site id ascending —
@@ -1210,6 +1643,14 @@ def oracle_sql() -> dict[str, str]:
             "  vec_id ASC) AS BIGINT) AS rank "
             "FROM embeddings "
             "ORDER BY rank LIMIT 10",
+        "wrangle_tiles": _sql_wrangle_tiles(8),
+        "approx_distinct": _sql_approx_distinct(),
+        "decode_images": _sql_decode_images(),
+        "minhash_near_dup": _sql_minhash_near_dup(0.5),
+        "dedup_clusters": _sql_dedup_clusters(0.35),
+        "clean_corpus": _sql_clean_corpus(0.1, 0.8),
+        "features_transform": _sql_features_transform(2000),
+        "raster_vector": _sql_raster_vector(5, 32),
         "phash_knn": (
             lambda qh: (
                 "WITH ph AS (SELECT doc_id, " + _sql_twos_comp(

@@ -64,21 +64,18 @@ def _perm_params(num_perm: int, seed: int = 42):
 
 
 def _shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingle hashes. crc32 runs at C speed; two crcs (forward
-    and reversed gram) fold into a 64-bit id to keep collisions negligible."""
-    import zlib
+    """Word k-gram shingle hashes: 64-bit md5 fold per gram (the same
+    primitive DuckDB exposes as md5_number_lower, so minhash signatures
+    and Jaccard verification have an exact SQL oracle)."""
+    from .text import md5_lower64
 
     words = (text or "").lower().split()
     if len(words) < k:
         grams = [" ".join(words)] if words else []
     else:
         grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        b = g.encode()
-        out[i] = (np.uint64(zlib.crc32(b)) << np.uint64(32)) | np.uint64(
-            zlib.crc32(b[::-1]))
-    return out
+    return np.fromiter((md5_lower64(g) for g in grams),
+                       dtype=np.uint64, count=len(grams))
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -49,6 +49,46 @@ def _fake_payloads(h64: np.ndarray, fmt: np.ndarray, payload_bytes: int) -> pa.A
         [_MAGIC[fmt[i]] + mat[i].tobytes() for i in range(n)], pa.binary())
 
 
+def fake_pixel_field(h64: int, w: int, h: int, payload_bytes: int = 96) -> "np.ndarray":
+    """The deterministic (h, w) pixel field one image's fake payload
+    decodes to (matches stages.image._fake_decode on _fake_payloads)."""
+    seed = np.uint64(h64) | np.uint64(1)
+    tail = np.uint64(h64) >> np.uint64(7)
+    idx = np.arange(payload_bytes, dtype=np.uint64)
+    mat = ((idx * seed) + tail).astype(np.uint8)
+    reps = int(np.ceil(w * h / max(len(mat), 1)))
+    return np.tile(mat, reps)[: w * h].reshape(h, w)
+
+
+def synth_real_png_images(n: int, start: int = 0) -> pa.Table:
+    """Images table whose payloads are REAL spec-compliant PNGs (stdlib
+    codec) of the deterministic pixel field — same schema as
+    synth_images_table, fmt always 'png'. Exercises the genuine decode
+    path of stages.image.DecodeImageStage end to end."""
+    from ..codecs.png import encode_png
+
+    ids = np.arange(start, start + n, dtype=np.int64)
+    image_id = np.array([f"img{i:08d}" for i in ids], dtype=object)
+    h64 = fnv1a64_strings(image_id)
+    w = (32 + (h64 % np.uint64(97)).astype(np.int64)).astype(np.int32)
+    h = (32 + ((h64 >> np.uint64(8)) % np.uint64(97)).astype(np.int64)).astype(np.int32)
+    caption = np.array([f"a real png {int(i)}" for i in ids], dtype=object)
+    payloads = [
+        encode_png(fake_pixel_field(int(h64[i]), int(w[i]), int(h[i])))
+        for i in range(n)
+    ]
+    phash = (h64 ^ (h64 >> np.uint64(13)) ^ np.uint64(0x9E3779B97F4A7C15)).astype(np.int64)
+    return pa.table({
+        "image_id": pa.array(image_id, pa.string()),
+        "bytes": pa.array(payloads, pa.binary()),
+        "w": pa.array(w, pa.int32()),
+        "h": pa.array(h, pa.int32()),
+        "fmt": pa.array(np.full(n, "png", dtype=object), pa.string()),
+        "caption": pa.array(caption, pa.string()),
+        "phash": pa.array(phash, pa.int64()),
+    })
+
+
 def synth_images_table(n: int, start: int = 0, payload_bytes: int = 96,
                        hot_fraction: float = 0.1,
                        hot_lon: float = 130.66, hot_lat: float = 30.38) -> pa.Table:

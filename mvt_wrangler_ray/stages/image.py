@@ -103,6 +103,16 @@ class DecodeImageStage:
             from PIL import Image
 
             return np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
+        if sniff_format(payload) == "png":
+            # REAL spec-compliant PNG decode (stdlib zlib codec). The
+            # deterministic fake payloads carry only the magic, so they
+            # fail chunk validation and fall through to the fake decode.
+            try:
+                from ..codecs.png import decode_png
+
+                return decode_png(payload)
+            except ValueError:
+                pass
         return _fake_decode(payload, w, h)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -127,6 +137,44 @@ class DecodeImageStage:
         if self.compute_phash:
             out = out.append_column("phash_recomputed", pa.array(hashes, pa.int64()))
         return out
+
+
+class PngRecodeStage:
+    """Actor-pool stage: decode each image, optionally quantize (the
+    LOSSY path — step q maps pixels to q·round(px/q), a real fidelity
+    loss), re-encode as a genuine PNG, and record PSNR vs the source
+    pixels. With quant_step=0 the round trip is lossless (PSNR = inf);
+    with small steps PSNR stays ≥ 40 dB NON-trivially (asserted in
+    tests/test_png_codec.py) — the BASELINE.json per-row invariant."""
+
+    def __init__(self, quant_step: int = 0):
+        self.quant_step = int(quant_step)
+        self._inner = DecodeImageStage(compute_phash=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs.png import encode_png
+
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        n = len(payloads)
+        out_bytes = []
+        psnrs = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            px = self._inner._decode(payloads[i], int(ws[i]), int(hs[i]))
+            if self.quant_step > 1:
+                q = self.quant_step
+                lossy = np.clip(
+                    np.round(px.astype(np.float64) / q) * q, 0, 255
+                ).astype(np.uint8)
+            else:
+                lossy = px
+            blob = encode_png(lossy)
+            psnrs[i] = psnr(px, lossy)
+            out_bytes.append(blob)
+        return (batch
+                .append_column("png_bytes", pa.array(out_bytes, pa.binary()))
+                .append_column("psnr_db", pa.array(psnrs, pa.float64())))
 
 
 class ResizeStage:

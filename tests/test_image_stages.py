@@ -100,3 +100,13 @@ def test_decode_stage_in_ray_pipeline(ray_session):
         concurrency=2).to_pandas()
     assert len(out) == 500
     assert (out["sniffed_fmt"] == out["fmt"]).all()
+
+
+def test_lance_source_gated():
+    """BASELINE input_hint names a Lance table; pylance is absent from
+    this sandbox, so read_images must fail FAST with a clear remedy for
+    .lance paths (and keep working for parquet — covered above)."""
+    from mvt_wrangler_ray.sources.images import read_images
+
+    with pytest.raises(ImportError, match="pylance"):
+        read_images("/tmp/some_table.lance")

@@ -221,13 +221,23 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
 
 def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
                       id_col: str = "doc_id", **kw):
-    """Candidate pairs + exact-Jaccard verify, Dataset-native end to end:
-    candidate TEXTS are attached with two bucketed hash joins (each
-    candidate row moves once, co-located with its doc text by id hash —
-    the corpus is never materialized on the driver and never filtered
-    with a per-row Python predicate), then jaccard is verified inside
-    map_batches. Only the verified pairs (tiny) reach the driver."""
-    from .shuffle import bucketed_hash_join
+    """Candidate pairs + exact-Jaccard verify. The verify stage is
+    distributed and the corpus never materializes on the driver:
+
+      1. distinct candidate IDS are reduced per-batch (narrow: one int
+         column) and broadcast via ray.put — the small build side;
+      2. candidate TEXTS are fetched with broadcast_semi_join (vectorized
+         isin per batch — streaming, no per-row Python predicate, no
+         shuffle) and collected (bounded by candidate count ≪ corpus:
+         this IS the broadcast payload);
+      3. jaccard verification runs inside map_batches over the pairs
+         Dataset against the broadcast lookup.
+
+    Only verified pairs (tiny) and candidate texts (small) reach the
+    driver; payloads of non-candidates move zero times."""
+    import ray
+
+    from .events import broadcast_semi_join
 
     empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                           "id_b": pd.Series([], dtype=np.int64),
@@ -238,29 +248,38 @@ def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
                                    **kw).materialize()
     if cand.count() == 0:
         return empty
-    docs = ds_docs.map_batches(
-        lambda b: b.select([id_col, col]), batch_format="pyarrow")
 
-    ta_col = f"_{col}_a"
-    with_a = bucketed_hash_join(cand, docs, "id_a", id_col,
-                                num_buckets=16).map_batches(
-        lambda b: b.rename_columns(
-            [ta_col if c == col else c for c in b.column_names]),
-        batch_format="pyarrow")
-    with_ab = bucketed_hash_join(with_a, docs, "id_b", id_col, num_buckets=16)
+    def distinct_ids(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([b["id_a"].combine_chunks().cast(pa.int64()),
+                              b["id_b"].combine_chunks().cast(pa.int64())]).unique()
+        return pa.table({id_col: u})
+
+    need = np.unique(cand.map_batches(distinct_ids, batch_format="pyarrow")
+                     .to_pandas()[id_col].to_numpy())
+    id_ref = ray.put(set(need.tolist()))
+    texts = broadcast_semi_join(
+        ds_docs.map_batches(lambda b: b.select([id_col, col]),
+                            batch_format="pyarrow"),
+        id_col, id_ref).to_pandas()
+    lookup_ref = ray.put(dict(zip(texts[id_col], texts[col])))
+    lookup_cache: dict = {}
 
     def verify(b: pa.Table) -> pa.Table:
-        texts_a = b[ta_col].to_pylist()
-        texts_b = b[col].to_pylist()
+        lookup = lookup_cache.get("l")
+        if lookup is None:
+            lookup = lookup_cache["l"] = ray.get(lookup_ref)
+        ia = b["id_a"].to_numpy(zero_copy_only=False)
+        ib = b["id_b"].to_numpy(zero_copy_only=False)
         js = np.fromiter(
-            (jaccard(x or "", y or "") for x, y in zip(texts_a, texts_b)),
+            (jaccard(lookup.get(a, ""), lookup.get(bb, ""))
+             for a, bb in zip(ia, ib)),
             dtype=np.float64, count=len(b))
-        out = pa.table({"id_a": b["id_a"].cast(pa.int64()),
-                        "id_b": b["id_b"].cast(pa.int64()),
+        out = pa.table({"id_a": pa.array(ia.astype(np.int64), pa.int64()),
+                        "id_b": pa.array(ib.astype(np.int64), pa.int64()),
                         "jaccard": pa.array(js, pa.float64())})
         return out.filter(pa.array(js >= threshold))
 
-    out = with_ab.map_batches(verify, batch_format="pyarrow").to_pandas()
+    out = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
     if len(out) == 0:
         return empty
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

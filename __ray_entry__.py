@@ -834,6 +834,67 @@ def _q_wrangle_tiles(sf_dir: str):
     return tiles.map_batches(norm, batch_format="pyarrow")
 
 
+def _q_simhash_near_dup(sf_dir: str):
+    """Banded SimHash near-dup pairs (Hamming <= 3 via 4x16 pigeonhole
+    blocking + popcount verify)."""
+    from mvt_wrangler_ray.stages.dedup import simhash_near_dups
+    return simhash_near_dups(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+ROLLUP_Z_BOTTOM, ROLLUP_Z_TOP = 10, 8
+
+
+def _q_pyramid_rollup(sf_dir: str):
+    """Tile-pyramid count rollup z10 -> z8 (overview generation): counts
+    at the base zoom, parents aggregate 4 children per level."""
+    from mvt_wrangler_ray.stages.shuffle import grouped_count
+    from mvt_wrangler_ray.stages.tile_encode import rollup_pyramid_counts
+
+    ds = (_docs(sf_dir, ["doc_id"]).map_batches(_geotag_docs, batch_format="pyarrow")
+          .map_batches(lambda b: _assign(b, ROLLUP_Z_BOTTOM).select(["z", "x", "y"]),
+                       batch_format="pyarrow"))
+    base = grouped_count(ds, ["z", "x", "y"], out="n", num_buckets=16)
+    base = base.map_batches(
+        lambda b: pa.table({c: b[c].cast(pa.int64()) for c in ("z", "x", "y", "n")}),
+        batch_format="pyarrow")
+    return rollup_pyramid_counts(base, ROLLUP_Z_BOTTOM, ROLLUP_Z_TOP)
+
+
+def _sql_simhash_near_dup(max_hamming: int = 3) -> str:
+    ham = "bit_count(xor(sa.simhash, sb.simhash))"
+    return f"""
+WITH sims AS ({_sql_simhash()}),
+u AS (SELECT doc_id, CAST(CASE WHEN simhash < 0
+        THEN CAST(simhash AS HUGEINT) + {1 << 64} ELSE simhash END
+        AS UBIGINT) AS us FROM sims),
+bands AS (SELECT doc_id, bb AS band, CAST((us >> (16 * bb)) & 65535 AS BIGINT) AS bv
+  FROM u CROSS JOIN (VALUES (0), (1), (2), (3)) t(bb)),
+bg AS (SELECT band, bv, count(*) AS cnt FROM bands GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+    AND a.doc_id < b.doc_id
+  JOIN bg g ON g.band = a.band AND g.bv = a.bv
+  WHERE g.cnt <= 1000)
+SELECT c.id_a, c.id_b, CAST({ham} AS BIGINT) AS hamming
+FROM cand c JOIN sims sa ON sa.doc_id = c.id_a
+JOIN sims sb ON sb.doc_id = c.id_b
+WHERE {ham} <= {max_hamming}
+"""
+
+
+def _sql_pyramid_rollup() -> str:
+    lon = SQL_LON.format(id="doc_id")
+    lat = SQL_LAT.format(id="doc_id")
+    geo = f"SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents"
+    parts = []
+    for z in range(ROLLUP_Z_TOP, ROLLUP_Z_BOTTOM + 1):
+        tx, ty = _sql_tile(z, "lon", "lat")
+        parts.append(
+            f"SELECT CAST({z} AS BIGINT) AS z, {tx} AS x, {ty} AS y, "
+            f"CAST(count(*) AS BIGINT) AS n FROM ({geo}) GROUP BY 2, 3")
+    return " UNION ALL ".join(parts)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tile_assign": _q_tile_assign,
@@ -870,7 +931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cells": _q_cells,
         "knn_ivf": _q_knn_ivf,
         "phash_knn": _q_phash_knn,
-        # rows-only checks (non-SQL-expressible)
+        "simhash_near_dup": _q_simhash_near_dup,
+        "pyramid_rollup": _q_pyramid_rollup,
         "minhash_near_dup": _q_minhash_near_dup,
         "decode_images": _q_decode_images,
         "wrangle_tiles": _q_wrangle_tiles,
@@ -1651,6 +1713,8 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": _sql_clean_corpus(0.1, 0.8),
         "features_transform": _sql_features_transform(2000),
         "raster_vector": _sql_raster_vector(5, 32),
+        "simhash_near_dup": _sql_simhash_near_dup(3),
+        "pyramid_rollup": _sql_pyramid_rollup(),
         "phash_knn": (
             lambda qh: (
                 "WITH ph AS (SELECT doc_id, " + _sql_twos_comp(

@@ -123,8 +123,11 @@ def wrangle_tiles(ds: rd.Dataset, cfg: Optional[EngineConfig] = None,
 
         tiles = encode_tiles_salted(rows, cfg)
     else:
-        tiles = rows.groupby("tile_id").map_groups(
-            lambda g: encode_tile_group(g, cfg), batch_format="pandas")
+        # bucketed: Ray walks num_buckets Python groups, not one per tile
+        # (tile cardinality is millions at pyramid depth)
+        from ..stages.tile_encode import encode_tiles_bucketed
+
+        tiles = encode_tiles_bucketed(rows, cfg)
     return tiles.sort("tile_id")
 
 

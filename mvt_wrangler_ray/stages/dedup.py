@@ -442,6 +442,105 @@ def simhash_bands(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
                      "doc_id": pa.array(np.tile(ids, 4))})
 
 
+def simhash_near_dups(ds_docs, max_hamming: int = 3, col: str = "text",
+                      id_col: str = "doc_id", num_buckets: int = 64,
+                      bucket_cap: int = 1000):
+    """SimHash near-dup pairs, Ray-Data-first: 64-bit simhash per doc →
+    4×16-bit band blocking (pigeonhole: any pair within Hamming ≤ 3
+    shares ≥ 1 band) → bucketed candidate generation (same segment-pair
+    pattern as minhash — bounded Python group count, per-(band,value)
+    cap against degenerate bands) → popcount verify against a broadcast
+    signature lookup. Returns (id_a, id_b, hamming) sorted."""
+    import ray
+
+    from .events import broadcast_semi_join
+    from .shuffle import add_bucket_column
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "hamming": pd.Series([], dtype=np.int64)})
+    sh = ds_docs.map_batches(
+        lambda b: simhash_batch(b, col).select([id_col, "simhash"]),
+        batch_format="pyarrow").materialize()
+    bands = sh.map_batches(
+        lambda b: simhash_bands(b, id_col), batch_format="pyarrow")
+    bucketed = bands.map_batches(
+        lambda b: add_bucket_column(b, ["band", "band_val"], num_buckets),
+        batch_format="pyarrow")
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        df = g.select(["band", "band_val", "doc_id"]).to_pandas()
+        df = df.sort_values(["band", "band_val", "doc_id"], kind="stable")
+        key = df["band"].to_numpy().astype(np.int64) * np.int64(1 << 32) ^ \
+            df["band_val"].to_numpy().astype(np.int64)
+        ids = df["doc_id"].to_numpy()
+        cuts = np.nonzero(np.diff(key))[0] + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(key)]])
+        out_a, out_b = [], []
+        for st, en in zip(starts, ends):
+            m = en - st
+            if m < 2 or m > bucket_cap:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(ids[st + ia])
+            out_b.append(ids[st + ib])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "id_b": pa.array(np.concatenate(out_b), pa.int64())})
+
+    cand = bucketed.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    pair_bucketed = cand.map_batches(
+        lambda b: add_bucket_column(b, ["id_a", "id_b"], num_buckets),
+        batch_format="pyarrow")
+
+    def distinct(g: pa.Table) -> pa.Table:
+        df = g.select(["id_a", "id_b"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = (pair_bucketed.groupby("bucket")
+            .map_groups(distinct, batch_format="pyarrow").materialize())
+    if cand.count() == 0:
+        return empty
+
+    # broadcast the (8-byte) signatures of candidate ids only; verify in
+    # map_batches over the pairs Dataset
+    def distinct_ids(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([b["id_a"].combine_chunks().cast(pa.int64()),
+                              b["id_b"].combine_chunks().cast(pa.int64())]).unique()
+        return pa.table({id_col: u})
+
+    need = np.unique(cand.map_batches(distinct_ids, batch_format="pyarrow")
+                     .to_pandas()[id_col].to_numpy())
+    id_ref = ray.put(set(need.tolist()))
+    sigs = broadcast_semi_join(sh, id_col, id_ref).to_pandas()
+    sig_ref = ray.put(dict(zip(sigs[id_col], sigs["simhash"])))
+    cache: dict = {}
+
+    def verify(b: pa.Table) -> pa.Table:
+        lookup = cache.get("l")
+        if lookup is None:
+            lookup = cache["l"] = ray.get(sig_ref)
+        ia = b["id_a"].to_numpy(zero_copy_only=False)
+        ib = b["id_b"].to_numpy(zero_copy_only=False)
+        sa = np.fromiter((lookup.get(a, 0) for a in ia), np.int64, len(b))
+        sb = np.fromiter((lookup.get(x, 0) for x in ib), np.int64, len(b))
+        d = hamming64(sa, sb)
+        keep = d <= max_hamming
+        return pa.table({"id_a": pa.array(ia.astype(np.int64), pa.int64()),
+                         "id_b": pa.array(ib.astype(np.int64), pa.int64()),
+                         "hamming": pa.array(d, pa.int64())}
+                        ).filter(pa.array(keep))
+
+    out = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return empty
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = (np.asarray(a).astype(np.uint64) ^ np.asarray(b).astype(np.uint64))
     cnt = np.zeros(len(x), dtype=np.int64)

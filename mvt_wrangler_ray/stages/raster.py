@@ -59,9 +59,39 @@ def rasterize_tile_group(group: pa.Table, res: int = 64,
     })
 
 
-def rasterize(ds, res: int = 64, cfg: Optional[EngineConfig] = None):
-    return ds.groupby("tile_id").map_groups(
-        lambda g: rasterize_tile_group(g, res, cfg), batch_format="pyarrow")
+def rasterize(ds, res: int = 64, cfg: Optional[EngineConfig] = None,
+              num_buckets: int = 64):
+    """Bucketed: tiles route to num_buckets hash buckets; each bucket
+    rasterizes all its tiles (Arrow-native per-tile slices) — bounded
+    Python group count instead of one group per tile."""
+    from .shuffle import add_bucket_column
+
+    bucketed = ds.map_batches(
+        lambda b: add_bucket_column(b, ["tile_id"], num_buckets),
+        batch_format="pyarrow")
+
+    _EMPTY = pa.table({
+        "tile_id": pa.array([], pa.int64()), "z": pa.array([], pa.int64()),
+        "x": pa.array([], pa.int64()), "y": pa.array([], pa.int64()),
+        "res": pa.array([], pa.int64()), "n_points": pa.array([], pa.int64()),
+        "raster": pa.array([], pa.binary())})
+
+    def raster_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _EMPTY
+        tid = g["tile_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(tid, kind="stable")
+        g = g.take(order)
+        tid = tid[order]
+        cuts = np.nonzero(np.diff(tid))[0] + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(tid)]])
+        outs = [rasterize_tile_group(g.slice(int(s), int(e - s)), res, cfg)
+                for s, e in zip(starts, ends)]
+        return pa.concat_tables(outs)
+
+    return bucketed.groupby("bucket").map_groups(
+        raster_bucket, batch_format="pyarrow")
 
 
 def _label_components(occ: np.ndarray, max_iters: int = 10_000) -> np.ndarray:

@@ -204,6 +204,81 @@ def encode_tiles_salted(ds, cfg: EngineConfig = EngineConfig(),
     return partials.groupby("tile_id").map_groups(merge, batch_format="pandas")
 
 
+def encode_tiles_bucketed(ds, cfg: EngineConfig = EngineConfig(),
+                          num_buckets: int = 64):
+    """Tile-blob encode with a BOUNDED group count: tiles are routed to
+    num_buckets hash buckets (one shuffle, like the unsalted path), and
+    each bucket encodes ALL of its tiles in one map_groups call via a
+    local pandas groupby — Ray crosses the Python boundary num_buckets
+    times, not once per tile (millions at depth-12+ pyramid scale).
+    Output rows identical to groupby(tile_id) + encode_tile_group."""
+    import pandas as pd
+
+    from .shuffle import add_bucket_column
+
+    bucketed = ds.map_batches(
+        lambda b: add_bucket_column(b, ["tile_id"], num_buckets),
+        batch_format="pyarrow")
+
+    def encode_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [encode_tile_group(sub.drop(columns=["bucket"]), cfg)
+                for _, sub in g.groupby("tile_id", sort=True)]
+        if not outs:
+            return pd.DataFrame({"tile_id": pd.Series([], dtype=np.int64),
+                                 "z": pd.Series([], dtype=np.int64),
+                                 "x": pd.Series([], dtype=np.int64),
+                                 "y": pd.Series([], dtype=np.int64),
+                                 "quadkey": pd.Series([], dtype=object),
+                                 "n_features": pd.Series([], dtype=np.int64),
+                                 "blob": pd.Series([], dtype=object)})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed.groupby("bucket").map_groups(
+        encode_bucket, batch_format="pandas")
+
+
+def rollup_pyramid_counts(counts_ds, z_bottom: int, z_top: int,
+                          num_buckets: int = 16):
+    """Tile-pyramid rollup: per-tile counts (z, x, y, n) at z_bottom
+    aggregated up the pyramid to z_top (parent = x//2, y//2; counts
+    sum). Each level aggregates the PREVIOUS level's output, so the
+    exchanges shrink 4x per level — the standard tile-service
+    overview-generation aggregate. Returns the union of all levels
+    z_top..z_bottom."""
+    from .shuffle import two_phase_aggregate
+
+    levels = [counts_ds]
+    cur = counts_ds
+    for z in range(z_bottom - 1, z_top - 1, -1):
+        def to_parent(b: pa.Table, _z=z) -> pa.Table:
+            x = b["x"].to_numpy(zero_copy_only=False) // 2
+            y = b["y"].to_numpy(zero_copy_only=False) // 2
+            return pa.table({
+                "z": pa.array(np.full(len(b), _z, np.int64), pa.int64()),
+                "x": pa.array(x.astype(np.int64), pa.int64()),
+                "y": pa.array(y.astype(np.int64), pa.int64()),
+                "n": b["n"].cast(pa.int64()),
+            })
+
+        cur = two_phase_aggregate(
+            cur.map_batches(to_parent, batch_format="pyarrow"),
+            keys=["z", "x", "y"],
+            partial_aggs=[("n", "sum")], partial_names=["n"],
+            final_aggs=[("n", "sum")], final_names=["n"],
+            num_buckets=num_buckets)
+        cur = cur.map_batches(
+            lambda b: pa.table({"z": b["z"].cast(pa.int64()),
+                                "x": b["x"].cast(pa.int64()),
+                                "y": b["y"].cast(pa.int64()),
+                                "n": b["n"].cast(pa.int64())}),
+            batch_format="pyarrow").materialize()
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
 def top_k_tiles(ds, k: int = 20, key: str = "tile_id"):
     """Top-k dense tiles from the two-phase counts (small result)."""
     counted = tile_counts_two_phase(ds, key=key)

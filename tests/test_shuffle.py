@@ -85,3 +85,33 @@ def test_label_propagation_round(ray_session):
     by = dict(zip(out["node"], out["label"]))
     assert by[1] == by[2] == by[3] == 1
     assert by[10] == by[11] == 10
+
+
+def test_pyramid_rollup_conserves_counts(ray_session):
+    """Every rollup level must sum to the base level's total; parents
+    aggregate exactly their 4 children."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.tile_encode import rollup_pyramid_counts
+
+    rng = np.random.default_rng(11)
+    n = 300
+    x = rng.integers(0, 1 << 10, n)
+    y = rng.integers(0, 1 << 10, n)
+    base = rd.from_arrow(pa.table({
+        "z": pa.array(np.full(n, 10, np.int64)),
+        "x": pa.array(x.astype(np.int64)),
+        "y": pa.array(y.astype(np.int64)),
+        "n": pa.array(rng.integers(1, 50, n).astype(np.int64)),
+    }))
+    out = rollup_pyramid_counts(base, 10, 7).to_pandas()
+    totals = out.groupby("z")["n"].sum()
+    assert set(totals.index) == {7, 8, 9, 10}
+    assert totals.nunique() == 1  # conservation at every level
+    lv9 = out[out.z == 9].set_index(["x", "y"])["n"]
+    lv10 = out[out.z == 10]
+    child_sum = lv10.assign(px=lv10.x // 2, py=lv10.y // 2).groupby(
+        ["px", "py"])["n"].sum()
+    assert dict(child_sum) == dict(lv9)

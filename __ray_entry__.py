@@ -895,6 +895,197 @@ def _sql_pyramid_rollup() -> str:
     return " UNION ALL ".join(parts)
 
 
+CHUNK_WORDS, CHUNK_OVERLAP = 50, 10
+
+
+def _q_chunk_docs(sf_dir: str):
+    """Overlapping word-window chunking (flat-map stage) with
+    content-hash verification."""
+    from mvt_wrangler_ray.stages.text import chunk_docs_batch
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: chunk_docs_batch(b, CHUNK_WORDS, CHUNK_OVERLAP),
+        batch_format="pyarrow")
+
+
+STRAT_K = 20
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: top STRAT_K docs per predicted
+    language by splitmix(doc_id) hash order (a reproducible per-stratum
+    subsample — bucketed per-group head, no per-language groupby)."""
+    from mvt_wrangler_ray.stages.shuffle import _splitmix, add_bucket_column
+    from mvt_wrangler_ray.stages.text import lang_id_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow").map_batches(
+        lambda b: b.select(["doc_id", "predicted_lang"]),
+        batch_format="pyarrow")
+    bucketed = ds.map_batches(
+        lambda b: add_bucket_column(b, ["predicted_lang"], 8),
+        batch_format="pyarrow")
+
+    def head_per_lang(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        h = _splitmix(df["doc_id"].to_numpy().astype(np.uint64))
+        df = df.assign(_h=h.astype(np.uint64))
+        df = df.sort_values(["predicted_lang", "_h", "doc_id"], kind="stable")
+        out = df.groupby("predicted_lang", sort=False).head(STRAT_K)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "predicted_lang": pa.array(out["predicted_lang"], pa.string())})
+
+    return bucketed.groupby("bucket").map_groups(
+        head_per_lang, batch_format="pyarrow")
+
+
+TOP_TERMS_K = 5
+
+
+def _q_top_terms(sf_dir: str):
+    """Top-K terms per language by frequency: explode words (flat map),
+    two-phase (lang, word) counts, bucketed per-group head — the corpus
+    vocabulary summary aggregate."""
+    from mvt_wrangler_ray.stages.shuffle import add_bucket_column, two_phase_aggregate
+    from mvt_wrangler_ray.stages.text import lang_id_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow")
+
+    def explode(b: pa.Table) -> pa.Table:
+        langs = np.asarray(b["predicted_lang"].to_pandas(), dtype=object)
+        texts = b["text"].to_pylist()
+        out_l, out_w = [], []
+        for i, t in enumerate(texts):
+            ws = (t or "").lower().split()
+            out_l.extend([langs[i]] * len(ws))
+            out_w.extend(ws)
+        return pa.table({"lang": pa.array(out_l, pa.string()),
+                         "word": pa.array(out_w, pa.string())})
+
+    counts = two_phase_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        keys=["lang", "word"],
+        partial_aggs=[("word", "count")], partial_names=["pc"],
+        final_aggs=[("pc", "sum")], final_names=["n"], num_buckets=32)
+    bucketed = counts.map_batches(
+        lambda b: add_bucket_column(b, ["lang"], 8), batch_format="pyarrow")
+
+    def head(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(
+            ["lang", "n", "word"], ascending=[True, False, True],
+            kind="stable")
+        out = df.groupby("lang", sort=False).head(TOP_TERMS_K)
+        return pa.table({"lang": pa.array(out["lang"], pa.string()),
+                         "word": pa.array(out["word"], pa.string()),
+                         "n": pa.array(out["n"].to_numpy(), pa.int64())})
+
+    return bucketed.groupby("bucket").map_groups(head, batch_format="pyarrow")
+
+
+SMOOTH_ZOOM = 8
+
+
+def _q_tile_smooth(sf_dir: str):
+    """3x3 neighborhood count smoothing over the z8 tile grid: each
+    tile's count scatters to its 9 neighbor positions (flat map), then a
+    two-phase sum — the raster convolution expressed as scatter+aggregate
+    (no all-pairs join)."""
+    from mvt_wrangler_ray.stages.shuffle import grouped_count, two_phase_aggregate
+
+    n_tiles = 1 << SMOOTH_ZOOM
+    ds = (_docs(sf_dir, ["doc_id"]).map_batches(_geotag_docs, batch_format="pyarrow")
+          .map_batches(lambda b: _assign(b, SMOOTH_ZOOM).select(["x", "y"]),
+                       batch_format="pyarrow"))
+    base = grouped_count(ds, ["x", "y"], out="n", num_buckets=16)
+
+    def scatter(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xs, ys, ns = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                xs.append(x + dx)
+                ys.append(y + dy)
+                ns.append(n)
+        X = np.concatenate(xs)
+        Y = np.concatenate(ys)
+        N = np.concatenate(ns)
+        ok = (X >= 0) & (X < n_tiles) & (Y >= 0) & (Y < n_tiles)
+        return pa.table({"x": pa.array(X[ok], pa.int64()),
+                         "y": pa.array(Y[ok], pa.int64()),
+                         "n": pa.array(N[ok], pa.int64())})
+
+    return two_phase_aggregate(
+        base.map_batches(scatter, batch_format="pyarrow"),
+        keys=["x", "y"],
+        partial_aggs=[("n", "sum")], partial_names=["pn"],
+        final_aggs=[("pn", "sum")], final_names=["n_smooth"],
+        num_buckets=16)
+
+
+def _sql_chunk_docs() -> str:
+    step = CHUNK_WORDS - CHUNK_OVERLAP
+    return f"""
+WITH w AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents),
+chunks AS (SELECT doc_id, k AS chunk_idx,
+  list_slice(ws, k * {step} + 1, k * {step} + {CHUNK_WORDS}) AS cw
+  FROM (SELECT doc_id, ws, unnest(range((len(ws) + {step} - 1) // {step})) AS k
+        FROM w WHERE len(ws) > 0))
+SELECT doc_id, chunk_idx, CAST(len(cw) AS BIGINT) AS n_words,
+  {_sql_twos_comp("md5_number_lower(array_to_string(cw, ' '))", "chunk_hash")}
+FROM chunks
+"""
+
+
+def _sql_stratified_sample() -> str:
+    h = _sql_splitmix("CAST(l.doc_id AS UBIGINT)")
+    return (
+        "SELECT doc_id, predicted_lang FROM ("
+        f"  SELECT l.doc_id, l.predicted_lang, row_number() OVER ("
+        f"    PARTITION BY l.predicted_lang ORDER BY {h} ASC, "
+        "    l.doc_id ASC) AS rn "
+        f"  FROM ({_sql_lang_id()}) l) WHERE rn <= {STRAT_K}")
+
+
+def _sql_top_terms() -> str:
+    return f"""
+WITH langs AS ({_sql_lang_id()}),
+words AS (SELECT l.predicted_lang AS lang, w.word
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents) w
+  JOIN langs l ON l.doc_id = w.doc_id
+  WHERE w.word <> ''),
+counts AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+  FROM words GROUP BY 1, 2)
+SELECT lang, word, n FROM (
+  SELECT lang, word, n, row_number() OVER (
+    PARTITION BY lang ORDER BY n DESC, word ASC) AS rn FROM counts)
+WHERE rn <= {TOP_TERMS_K}
+"""
+
+
+def _sql_tile_smooth() -> str:
+    lon = SQL_LON.format(id="doc_id")
+    lat = SQL_LAT.format(id="doc_id")
+    tx, ty = _sql_tile(SMOOTH_ZOOM, "lon", "lat")
+    n_tiles = 1 << SMOOTH_ZOOM
+    return f"""
+WITH geo AS (SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents),
+base AS (SELECT {tx} AS x, {ty} AS y, CAST(count(*) AS BIGINT) AS n
+  FROM geo GROUP BY 1, 2),
+scat AS (SELECT x + dx AS x, y + dy AS y, n
+  FROM base CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+  WHERE x + dx >= 0 AND x + dx < {n_tiles}
+    AND y + dy >= 0 AND y + dy < {n_tiles})
+SELECT x, y, CAST(sum(n) AS BIGINT) AS n_smooth FROM scat GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tile_assign": _q_tile_assign,
@@ -933,6 +1124,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_knn": _q_phash_knn,
         "simhash_near_dup": _q_simhash_near_dup,
         "pyramid_rollup": _q_pyramid_rollup,
+        "chunk_docs": _q_chunk_docs,
+        "stratified_sample": _q_stratified_sample,
+        "top_terms": _q_top_terms,
+        "tile_smooth": _q_tile_smooth,
         "minhash_near_dup": _q_minhash_near_dup,
         "decode_images": _q_decode_images,
         "wrangle_tiles": _q_wrangle_tiles,
@@ -1715,6 +1910,10 @@ def oracle_sql() -> dict[str, str]:
         "raster_vector": _sql_raster_vector(5, 32),
         "simhash_near_dup": _sql_simhash_near_dup(3),
         "pyramid_rollup": _sql_pyramid_rollup(),
+        "chunk_docs": _sql_chunk_docs(),
+        "stratified_sample": _sql_stratified_sample(),
+        "top_terms": _sql_top_terms(),
+        "tile_smooth": _sql_tile_smooth(),
         "phash_knn": (
             lambda qh: (
                 "WITH ph AS (SELECT doc_id, " + _sql_twos_comp(

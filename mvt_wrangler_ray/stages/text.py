@@ -111,6 +111,38 @@ class LangIdStage:
         return batch.append_column("predicted_lang", pa.array(preds, pa.string()))
 
 
+def chunk_docs_batch(batch: pa.Table, chunk_words: int = 50,
+                     overlap: int = 10, col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Training-data chunking: split each document into overlapping
+    word windows (size chunk_words, stride chunk_words - overlap) — the
+    flat-map-shaped stage every LLM-corpus pipeline runs before
+    tokenization. Emits (doc_id, chunk_idx, n_words, chunk_hash) — the
+    hash is the md5 lower-64 of the chunk text, so the driver oracle can
+    verify chunk CONTENT without shipping it."""
+    step = chunk_words - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than chunk_words")
+    texts = batch[col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    out_id, out_idx, out_n, out_h = [], [], [], []
+    for i, t in enumerate(texts):
+        words = (t or "").lower().split()
+        for k, start in enumerate(range(0, len(words), step)):
+            chunk = words[start:start + chunk_words]
+            out_id.append(int(ids[i]))
+            out_idx.append(k)
+            out_n.append(len(chunk))
+            out_h.append(md5_lower64(" ".join(chunk)))
+    return pa.table({
+        id_col: pa.array(out_id, pa.int64()),
+        "chunk_idx": pa.array(out_idx, pa.int64()),
+        "n_words": pa.array(out_n, pa.int64()),
+        "chunk_hash": pa.array(
+            np.array(out_h, dtype=np.uint64).astype(np.int64), pa.int64()),
+    })
+
+
 def md5_lower64(s: str) -> int:
     """The 64-bit md5 fold DuckDB exposes as ``md5_number_lower`` (bytes
     8..16 of the digest, little-endian) — the hash primitive shared by

@@ -76,10 +76,10 @@ def phash64(pixels: np.ndarray) -> np.int64:
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     blocks = pixels[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
     bits = (blocks > np.median(blocks)).ravel()
-    val = np.uint64(0)
-    for bit in bits:
-        val = (val << np.uint64(1)) | np.uint64(bool(bit))
-    return np.int64(val)
+    # MSB-first pack (bits[0] → bit 63), one packbits instead of a
+    # 64-iteration Python loop
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return np.int64(val - (1 << 64) if val >= 1 << 63 else val)
 
 
 class DecodeImageStage:

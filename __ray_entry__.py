@@ -895,6 +895,55 @@ def _sql_pyramid_rollup() -> str:
     return " UNION ALL ".join(parts)
 
 
+N_SITES_KD = 2000
+
+
+def _q_nearest_site_kd(sf_dir: str):
+    """nearest_site at a site count where the k-d-tree path engages
+    (m=2000 > threshold): exact NN via the from-scratch KDTree2D held in
+    the broadcast state, counts per site."""
+    import ray
+    from mvt_wrangler_ray.geo.geotag import geotag_ints
+    from mvt_wrangler_ray.stages.geospatial import nearest_site_batch
+    from mvt_wrangler_ray.stages.shuffle import grouped_count
+
+    site_ids = np.arange(N_SITES_KD, dtype=np.int64)
+    slon, slat = geotag_ints(site_ids + 5_000_000)
+    ref = ray.put((slon, slat, site_ids))
+    cache = {}
+
+    def route(batch: pa.Table) -> pa.Table:
+        s = cache.get("s")
+        if s is None:
+            s = cache["s"] = ray.get(ref)
+        return nearest_site_batch(batch, *s).select(["doc_id", "nearest_site"])
+
+    ds = (_docs(sf_dir, ["doc_id"]).map_batches(_geotag_docs, batch_format="pyarrow")
+          .map_batches(route, batch_format="pyarrow"))
+    return grouped_count(ds, ["nearest_site"], out="n_docs", num_buckets=8)
+
+
+def _sql_nearest_site_kd() -> str:
+    """Sites GENERATED in SQL (range + the geotag formulas at the +5M id
+    offset) — no literal VALUES table at m=2000; argmin via row_number
+    with the lowest-site-id tie rule."""
+    slon = SQL_LON.format(id="(s + 5000000)")
+    slat = SQL_LAT.format(id="(s + 5000000)")
+    lon = SQL_LON.format(id="doc_id")
+    lat = SQL_LAT.format(id="doc_id")
+    return (
+        f"WITH sites AS (SELECT s AS site_id, {slon} AS slon, {slat} AS slat "
+        f"  FROM (SELECT unnest(range({N_SITES_KD})) AS s)), "
+        f"geo AS (SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents), "
+        "ranked AS (SELECT g.doc_id, s.site_id, row_number() OVER ("
+        "  PARTITION BY g.doc_id ORDER BY "
+        "  (g.lon - s.slon) * (g.lon - s.slon) + (g.lat - s.slat) * (g.lat - s.slat) ASC, "
+        "  s.site_id ASC) AS rn FROM geo g CROSS JOIN sites s) "
+        "SELECT CAST(site_id AS BIGINT) AS nearest_site, "
+        "CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM ranked WHERE rn = 1 GROUP BY 1")
+
+
 CHUNK_WORDS, CHUNK_OVERLAP = 50, 10
 
 
@@ -1124,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_knn": _q_phash_knn,
         "simhash_near_dup": _q_simhash_near_dup,
         "pyramid_rollup": _q_pyramid_rollup,
+        "nearest_site_kd": _q_nearest_site_kd,
         "chunk_docs": _q_chunk_docs,
         "stratified_sample": _q_stratified_sample,
         "top_terms": _q_top_terms,
@@ -1910,6 +1960,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_vector": _sql_raster_vector(5, 32),
         "simhash_near_dup": _sql_simhash_near_dup(3),
         "pyramid_rollup": _sql_pyramid_rollup(),
+        "nearest_site_kd": _sql_nearest_site_kd(),
         "chunk_docs": _sql_chunk_docs(),
         "stratified_sample": _sql_stratified_sample(),
         "top_terms": _sql_top_terms(),

@@ -70,7 +70,8 @@ def tile_assign_batch(batch: pa.Table, cfg: EngineConfig = EngineConfig()) -> pa
 
 def nearest_site_batch(batch: pa.Table, site_lon: np.ndarray,
                        site_lat: np.ndarray, site_ids: np.ndarray,
-                       chunk_cells: int = 4_000_000) -> pa.Table:
+                       chunk_cells: int = 4_000_000,
+                       kdtree_threshold: int = 512) -> pa.Table:
     """Nearest-neighbor spatial join against a broadcast site set: each
     row gets the id of its closest site (squared-euclidean in lon/lat —
     deterministic and SQL-reproducible; switch to haversine for true
@@ -86,14 +87,25 @@ def nearest_site_batch(batch: pa.Table, site_lon: np.ndarray,
     m = len(site_lon)
     best = np.empty(n, dtype=np.int64)
     bestd = np.empty(n, dtype=np.float64)
-    ch = max(1, chunk_cells // max(m, 1))
-    for s in range(0, n, ch):
-        sl = slice(s, min(s + ch, n))
-        d2 = ((lon[sl, None] - site_lon[None, :]) ** 2
-              + (lat[sl, None] - site_lat[None, :]) ** 2)
-        idx = np.argmin(d2, axis=1)      # ties → lowest index (SQL parity:
-        best[sl] = site_ids[idx]         # order sites by id ascending)
-        bestd[sl] = d2[np.arange(d2.shape[0]), idx]
+    if m > kdtree_threshold:
+        # large site set: exact k-d-tree NN (bbox-pruned vectorized leaf
+        # checks — work scales with TOUCHED leaves, not site count). The
+        # tree is built per call here; callers with a fixed site set
+        # should hold a KDTree2D in actor state (the ST4 pattern).
+        from ..geo.kdtree import KDTree2D
+
+        tree = KDTree2D(np.stack([site_lon, site_lat], axis=1),
+                        np.asarray(site_ids, dtype=np.int64))
+        best, bestd = tree.nearest(lon, lat)
+    else:
+        ch = max(1, chunk_cells // max(m, 1))
+        for s in range(0, n, ch):
+            sl = slice(s, min(s + ch, n))
+            d2 = ((lon[sl, None] - site_lon[None, :]) ** 2
+                  + (lat[sl, None] - site_lat[None, :]) ** 2)
+            idx = np.argmin(d2, axis=1)      # ties → lowest index (SQL parity:
+            best[sl] = site_ids[idx]         # order sites by id ascending)
+            bestd[sl] = d2[np.arange(d2.shape[0]), idx]
     return (batch
             .append_column("nearest_site", pa.array(best, pa.int64()))
             .append_column("site_dist2", pa.array(bestd, pa.float64())))

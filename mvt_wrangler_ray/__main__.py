@@ -59,12 +59,66 @@ def _main_images(argv):
     return 0
 
 
+def _main_corpus(argv):
+    """`python -m mvt_wrangler_ray corpus INPUT OUT_DIR [...]` — the
+    composed corpus-cleaning pipeline (quality gate → language gate →
+    exact + near dedup) to a resumable range-partitioned parquet sink."""
+    import json
+
+    p = argparse.ArgumentParser(prog="mvt_wrangler_ray corpus")
+    p.add_argument("input", help="documents table (parquet file or dir "
+                                 "with doc_id + text columns)")
+    p.add_argument("out_dir", help="output directory (range partitions + lineage)")
+    p.add_argument("--min-quality", type=float, default=0.2)
+    p.add_argument("--langs", default="en",
+                   help="comma-separated language allowlist")
+    p.add_argument("--near-dup-threshold", type=float, default=0.7)
+    p.add_argument("-p", "--partitions", type=int, default=16)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+        import ray.data as rd
+
+        from .pipelines.corpus import clean_corpus
+        from .state.lineage import write_partitioned
+
+        ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+        survivors, stats = clean_corpus(
+            ds, min_quality=args.min_quality,
+            langs=tuple(s.strip() for s in args.langs.split(",") if s.strip()),
+            near_dup_threshold=args.near_dup_threshold)
+        recs = write_partitioned(survivors, args.out_dir, key="doc_id",
+                                 num_partitions=args.partitions,
+                                 metadata={"stats": stats},
+                                 resume=not args.no_resume)
+        total = sum(r["rows"] for r in recs)
+        print(json.dumps(stats))
+        print(f"Wrote {total} surviving documents across {len(recs)} "
+              f"partitions to {args.out_dir}")
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None):
     import sys as _sys
 
     argv = list(_sys.argv[1:]) if argv is None else list(argv)
     if argv and argv[0] == "images":
         return _main_images(argv[1:])
+    if argv and argv[0] == "corpus":
+        return _main_corpus(argv[1:])
     p = argparse.ArgumentParser(
         prog="mvt_wrangler_ray",
         description="Rewrite a PMTiles archive of vector tiles with "

@@ -137,13 +137,16 @@ def synth_images_dataset(n: int, blocks: int = 32, **kw):
 
     per = (n + blocks - 1) // blocks
     starts = list(range(0, n, per))
-    ds = rd.from_items([{"start": s, "count": min(per, n - s)} for s in starts])
-    return ds.flat_map(lambda row: _block(row, kw))
+    ds = rd.from_items([{"start": s, "count": min(per, n - s)} for s in starts],
+                       override_num_blocks=len(starts))
 
+    def gen(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            synth_images_table(int(c), start=int(s), **kw)
+            for s, c in zip(batch["start"].to_pylist(),
+                            batch["count"].to_pylist())])
 
-def _block(row, kw):
-    t = synth_images_table(row["count"], start=row["start"], **kw)
-    return t.to_pylist()  # flat_map wants rows; only used for small n
+    return ds.map_batches(gen, batch_format="pyarrow")
 
 
 REQUIRED_IMAGE_COLUMNS = {

@@ -895,6 +895,100 @@ def _sql_pyramid_rollup() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _q_events_asof(sf_dir: str):
+    """Backward as-of join: each event gets the latest checkpoint
+    timestamp <= its own per user (checkpoints = the deterministic
+    splitmix%5 sample of events). The brief's named custom operator."""
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.joins import asof_join_bucketed
+    from mvt_wrangler_ray.stages.shuffle import _splitmix
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def checkpoints(b: pa.Table) -> pa.Table:
+        t = b["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        keep = (_splitmix(t.astype(np.uint64)) % np.uint64(5)) == 0
+        return b.filter(pa.array(keep))
+
+    cps = ds.map_batches(checkpoints, batch_format="pyarrow")
+    out = asof_join_bucketed(ds, cps, by="user_id", on="ts",
+                             right_cols=("ts",), suffix="_asof",
+                             num_buckets=16)
+
+    def norm(b: pa.Table) -> pa.Table:
+        # epoch sentinel instead of null so the driver's value hash is
+        # null-free on both sides (SQL coalesces identically)
+        asof = pa.compute.fill_null(
+            b["ts_asof"].combine_chunks(),
+            pa.scalar(0, pa.timestamp("us")))
+        return pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                         "ts_asof": asof})
+
+    return out.map_batches(norm, batch_format="pyarrow")
+
+
+N_RANGES, RANGE_LEN_US = 100, 6 * 3600 * 1_000_000
+
+
+def _q_range_count(sf_dir: str):
+    """Range join: 100 deterministic intervals over the event span; each
+    interval counts the events it contains (intervals replicate to
+    coarse time buckets; per-bucket vectorized containment)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.joins import range_join_bucketed
+    from mvt_wrangler_ray.stages.shuffle import _splitmix, grouped_count
+
+    ts = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"]
+    tvals = ts.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    tmin, tmax = int(tvals.min()), int(tvals.max())
+    span = max(tmax - tmin, 1)
+    rid = np.arange(N_RANGES, dtype=np.int64)
+    lo = tmin + (_splitmix(rid.astype(np.uint64)) % np.uint64(span)).astype(np.int64)
+    ranges = rd.from_arrow(pa.table({
+        "range_id": pa.array(rid, pa.int64()),
+        "lo": pa.array(lo, pa.int64()),
+        "hi": pa.array(lo + RANGE_LEN_US, pa.int64()),
+    }))
+    pts = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"]).map_batches(
+        lambda b: pa.table({"t": pa.array(
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            .astype(np.int64), pa.int64())}),
+        batch_format="pyarrow")
+    joined = range_join_bucketed(pts, ranges, on="t", lo_col="lo",
+                                 hi_col="hi", range_cols=("range_id",),
+                                 bucket_span=RANGE_LEN_US)
+    return grouped_count(joined, ["range_id"], out="n_events", num_buckets=8)
+
+
+def _sql_events_asof() -> str:
+    h = _sql_splitmix("CAST(epoch_us(c.ts) AS UBIGINT)")
+    return (
+        "WITH cp AS (SELECT c.user_id, c.ts FROM events c "
+        f"  WHERE CAST({h} AS HUGEINT) % 5 = 0) "
+        "SELECT e.user_id, e.ts, "
+        "COALESCE((SELECT max(cp.ts) FROM cp WHERE cp.user_id = e.user_id "
+        " AND cp.ts <= e.ts), make_timestamp(0)) AS ts_asof "
+        "FROM events e")
+
+
+def _sql_range_count() -> str:
+    h = _sql_splitmix("CAST(s AS UBIGINT)")
+    return (
+        "WITH b AS (SELECT epoch_us(min(ts)) AS tmin, epoch_us(max(ts)) AS tmax "
+        "  FROM events), "
+        f"r AS (SELECT s AS range_id, tmin + CAST(CAST({h} AS HUGEINT) "
+        "  % greatest(tmax - tmin, 1) AS BIGINT) AS lo "
+        f"  FROM (SELECT unnest(range({N_RANGES})) AS s), b), "
+        f"r2 AS (SELECT range_id, lo, lo + {RANGE_LEN_US} AS hi FROM r) "
+        "SELECT CAST(r2.range_id AS BIGINT) AS range_id, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM r2 JOIN (SELECT epoch_us(ts) AS t FROM events) e "
+        "  ON e.t >= r2.lo AND e.t < r2.hi "
+        "GROUP BY 1")
+
+
 N_SITES_KD = 2000
 
 
@@ -1174,6 +1268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "pyramid_rollup": _q_pyramid_rollup,
         "nearest_site_kd": _q_nearest_site_kd,
+        "events_asof": _q_events_asof,
+        "range_count": _q_range_count,
         "chunk_docs": _q_chunk_docs,
         "stratified_sample": _q_stratified_sample,
         "top_terms": _q_top_terms,
@@ -1961,6 +2057,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _sql_simhash_near_dup(3),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
+        "events_asof": _sql_events_asof(),
+        "range_count": _sql_range_count(),
         "chunk_docs": _sql_chunk_docs(),
         "stratified_sample": _sql_stratified_sample(),
         "top_terms": _sql_top_terms(),

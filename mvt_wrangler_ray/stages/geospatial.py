@@ -85,6 +85,15 @@ def nearest_site_batch(batch: pa.Table, site_lon: np.ndarray,
     lat = batch["lat"].to_numpy(zero_copy_only=False)
     n = len(lon)
     m = len(site_lon)
+    # canonicalize to ascending site id so BOTH paths break distance ties
+    # to the lowest id (brute argmin = lowest index; kd = lexicographic
+    # (dist, id) — identical once sites are id-sorted)
+    site_ids = np.asarray(site_ids, dtype=np.int64)
+    order = np.argsort(site_ids, kind="stable")
+    if not np.array_equal(order, np.arange(m)):
+        site_ids = site_ids[order]
+        site_lon = np.asarray(site_lon)[order]
+        site_lat = np.asarray(site_lat)[order]
     best = np.empty(n, dtype=np.int64)
     bestd = np.empty(n, dtype=np.float64)
     if m > kdtree_threshold:

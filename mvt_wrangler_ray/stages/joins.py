@@ -102,12 +102,8 @@ def asof_join_bucketed(left, right, by: str, on: str,
         t = add_bucket_column(t, [by], num_buckets)
         return t.append_column("_side", pa.array(np.ones(len(t), np.int8)))
 
-    cols_order = None
-
     def reorder(b: pa.Table) -> pa.Table:
-        nonlocal cols_order
-        names = sorted(b.column_names)
-        return b.select(names)
+        return b.select(sorted(b.column_names))
 
     l_tagged = left.map_batches(tag_left, batch_format="pyarrow").map_batches(
         reorder, batch_format="pyarrow")
@@ -132,8 +128,7 @@ def asof_join_bucketed(left, right, by: str, on: str,
 
 
 def range_join_bucketed(points, ranges, on: str, lo_col: str, hi_col: str,
-                        range_cols=("range_id",), bucket_span: int = None,
-                        num_buckets_hash: int = 0):
+                        range_cols=("range_id",), bucket_span: int = None):
     """Inner join point rows to interval rows with lo <= on < hi.
     Intervals replicate to every `bucket_span`-sized time bucket they
     overlap; points route to one bucket; per-bucket vectorized

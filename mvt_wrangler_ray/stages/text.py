@@ -160,6 +160,8 @@ def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     norm = pc.utf8_trim_whitespace(
         pc.replace_substring_regex(pc.utf8_lower(batch[col]),
                                    pattern=r"\s+", replacement=" "))
-    out = np.fromiter((md5_lower64(s) for s in norm.to_pylist()),
-                      dtype=np.uint64, count=len(batch)).astype(np.int64)
+    # null text → 0, matching the SQL oracle's NULL-md5 → 0 coalesce
+    out = np.fromiter(
+        (md5_lower64(s) if s is not None else 0 for s in norm.to_pylist()),
+        dtype=np.uint64, count=len(batch)).astype(np.int64)
     return batch.append_column("fingerprint", pa.array(out, pa.int64()))

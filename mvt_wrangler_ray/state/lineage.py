@@ -157,7 +157,7 @@ def resume_plan(out_dir: str, bounds: Sequence[tuple], key: str = "tile_id"):
                     f"lineage part {pid}: recorded range "
                     f"[{rec['key_lo']}, {rec['key_hi']}) != current "
                     f"[{lo}, {hi}) — recomputing")
-            except (OSError, ValueError, KeyError):
+            except (OSError, ValueError, KeyError, TypeError):
                 warnings.warn(f"lineage part {pid}: unreadable record — recomputing")
         todo.append((pid, lo, hi))
     return todo

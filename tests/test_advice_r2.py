@@ -193,3 +193,53 @@ class TestResumePlanValidation:
         with pytest.warns(UserWarning):
             todo = resume_plan(out, bounds, key="k")
         assert [pid for pid, _, _ in todo] == [0]
+
+
+class TestCodeReviewR2Fixes:
+    """Round-2 self-review findings (latent bugs fixed before they bite)."""
+
+    def test_fingerprint_null_text_is_zero(self):
+        from mvt_wrangler_ray.stages.text import fingerprint_batch
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["hello", None], pa.string())})
+        out = fingerprint_batch(t)
+        assert out["fingerprint"][1].as_py() == 0
+        assert out["fingerprint"][0].as_py() != 0
+
+    def test_nearest_site_tie_break_consistent_across_paths(self):
+        from mvt_wrangler_ray.stages.geospatial import nearest_site_batch
+
+        # sites passed UNSORTED with two co-located: lowest ID must win
+        # on both the brute (m<=thresh) and kd (m>thresh) paths
+        m = 600
+        rng = np.random.default_rng(1)
+        slon = rng.uniform(-10, 10, m)
+        slat = rng.uniform(-10, 10, m)
+        slon[0] = slon[1] = 5.0
+        slat[0] = slat[1] = 5.0
+        ids = np.arange(m, dtype=np.int64)[::-1].copy()  # descending ids
+        batch = pa.table({"lon": pa.array([5.0]), "lat": pa.array([5.0])})
+        kd = nearest_site_batch(batch, slon, slat, ids)
+        brute = nearest_site_batch(batch, slon, slat, ids,
+                                   kdtree_threshold=10**9)
+        want = min(ids[0], ids[1])
+        assert kd["nearest_site"][0].as_py() == want
+        assert brute["nearest_site"][0].as_py() == want
+
+    def test_resume_plan_nondict_json_recomputes(self, tmp_path):
+        from mvt_wrangler_ray.state.lineage import (
+            LineageWriter,
+            partition_bounds,
+            resume_plan,
+        )
+
+        out = str(tmp_path / "out")
+        w = LineageWriter(out, key="k")
+        bounds = partition_bounds(0, 9, 1)
+        w.write_partition(0, *bounds[0], pa.table({"k": pa.array([1], pa.int64())}))
+        with open(w._lineage_path(0), "w") as f:
+            f.write("null")  # valid JSON, wrong shape
+        with pytest.warns(UserWarning):
+            todo = resume_plan(out, bounds, key="k")
+        assert [p for p, _, _ in todo] == [0]

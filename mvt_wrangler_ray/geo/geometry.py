@@ -228,6 +228,8 @@ def _edge_arrays_cross(e1: np.ndarray, e2: np.ndarray) -> bool:
         e1, e2 = e2, e1
     bx0, by0 = e2[:-1, 0], e2[:-1, 1]
     bx1, by1 = e2[1:, 0], e2[1:, 1]
+    bminx, bmaxx = np.minimum(bx0, bx1), np.maximum(bx0, bx1)
+    bminy, bmaxy = np.minimum(by0, by1), np.maximum(by0, by1)
     for i in range(len(e1) - 1):
         ax0, ay0 = e1[i]
         ax1, ay1 = e1[i + 1]
@@ -235,17 +237,24 @@ def _edge_arrays_cross(e1: np.ndarray, e2: np.ndarray) -> bool:
         d2 = (bx1 - bx0) * (ay1 - by0) - (by1 - by0) * (ax1 - bx0)
         d3 = (ax1 - ax0) * (by0 - ay0) - (ay1 - ay0) * (bx0 - ax0)
         d4 = (ax1 - ax0) * (by1 - ay0) - (ay1 - ay0) * (bx1 - ax0)
-        proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
-        touch = (d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)
-        # conservative: treat collinear touch as intersection (geo does too)
-        hit = proper | (
-            touch
-            & (np.minimum(bx0, bx1) <= max(ax0, ax1))
-            & (np.maximum(bx0, bx1) >= min(ax0, ax1))
-            & (np.minimum(by0, by1) <= max(ay0, ay1))
-            & (np.maximum(by0, by1) >= min(ay0, ay1))
-        )
-        if hit.any():
+        proper = (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+                  & (d1 != 0) & (d2 != 0))
+        # boundary contact EXACTLY (the vectorized _segments_cross): a
+        # zero orientation only counts when that endpoint lies ON the
+        # other SEGMENT, not merely on its infinite line — the previous
+        # "collinear touch + bbox overlap" shortcut reported non-touching
+        # segment pairs as intersecting (e.g. (0,0)-(3,3) x (0,3)-(2,3))
+        on_a0 = ((d1 == 0) & (bminx <= ax0) & (ax0 <= bmaxx)
+                 & (bminy <= ay0) & (ay0 <= bmaxy))
+        on_a1 = ((d2 == 0) & (bminx <= ax1) & (ax1 <= bmaxx)
+                 & (bminy <= ay1) & (ay1 <= bmaxy))
+        aminx, amaxx = min(ax0, ax1), max(ax0, ax1)
+        aminy, amaxy = min(ay0, ay1), max(ay0, ay1)
+        on_b0 = ((d3 == 0) & (aminx <= bx0) & (bx0 <= amaxx)
+                 & (aminy <= by0) & (by0 <= amaxy))
+        on_b1 = ((d4 == 0) & (aminx <= bx1) & (bx1 <= amaxx)
+                 & (aminy <= by1) & (by1 <= amaxy))
+        if (proper | on_a0 | on_a1 | on_b0 | on_b1).any():
             return True
     return False
 
@@ -266,7 +275,15 @@ def geoms_intersect(g1: Geom, g2: Geom) -> bool:
         if a.kind in ("Point", "MultiPoint"):
             pts = np.vstack(a.parts)
             if b.kind in ("Polygon", "MultiPolygon"):
-                return bool(points_in_polygon(pts[:, 0], pts[:, 1], b).any())
+                if points_in_polygon(pts[:, 0], pts[:, 1], b).any():
+                    return True
+                # boundary contact: geo's intersects includes a point
+                # exactly ON a polygon edge, which even-odd ray casting
+                # may classify either side
+                for ring in _edges(b):
+                    if _points_on_polyline(pts, ring):
+                        return True
+                return False
             if b.kind in ("Point", "MultiPoint"):
                 bp = np.vstack(b.parts)
                 return bool(
@@ -296,6 +313,22 @@ def geoms_intersect(g1: Geom, g2: Geom) -> bool:
     if g2.kind in ("Polygon", "MultiPolygon"):
         p1 = _part_vertices(g1)
         if p1 is not None and points_in_polygon(p1[:, 0], p1[:, 1], g2).any():
+            return True
+    return False
+
+
+def _points_on_polyline(pts: np.ndarray, line: np.ndarray) -> bool:
+    """Any of the points exactly on a segment of the polyline
+    (zero orientation + bbox containment), vectorized over points."""
+    px, py = pts[:, 0], pts[:, 1]
+    for i in range(len(line) - 1):
+        ax, ay = line[i]
+        bx, by = line[i + 1]
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        on = ((cross == 0)
+              & (np.minimum(ax, bx) <= px) & (px <= np.maximum(ax, bx))
+              & (np.minimum(ay, by) <= py) & (py <= np.maximum(ay, by)))
+        if on.any():
             return True
     return False
 

@@ -71,7 +71,7 @@ def encode_tile_group(group: pd.DataFrame, cfg: EngineConfig = EngineConfig(),
         "keys": keys_pool, "values": values_pool, "features": feats,
     }
     raw = json.dumps(manifest, separators=(",", ":"), default=str).encode()
-    blob = gzip.compress(raw) if compress else raw
+    blob = gzip.compress(raw, mtime=0) if compress else raw
     return pd.DataFrame({
         "tile_id": [int(g["tile_id"].iloc[0])],
         "z": [int(g["z"].iloc[0])], "x": [int(g["x"].iloc[0])], "y": [int(g["y"].iloc[0])],
@@ -191,7 +191,7 @@ def encode_tiles_salted(ds, cfg: EngineConfig = EngineConfig(),
                     "y": m0["y"], "keys": keys, "values": values,
                     "features": out_feats}
         blob = gzip.compress(json.dumps(manifest, separators=(",", ":"),
-                                        default=str).encode())
+                                        default=str).encode(), mtime=0)
         return pd.DataFrame({
             "tile_id": [m0["tile_id"]], "z": [m0["z"]], "x": [m0["x"]],
             "y": [m0["y"]], "quadkey": [g["quadkey"].iloc[0]],

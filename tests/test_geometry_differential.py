@@ -227,3 +227,27 @@ def test_rect_within_polygon_vs_oracle(gj, x0, y0, w, h):
             assert _pip_exact(ix, iy, rings4), (
                 f"rect_within_polygon claimed coverage but grid point "
                 f"({ix / 4}, {iy / 4}) is outside")
+
+
+@settings(max_examples=300, deadline=None)
+@given(poly_geom, st.lists(
+    st.tuples(st.integers(0, 35), st.integers(0, 35),
+              st.integers(1, 8), st.integers(1, 8)),
+    min_size=1, max_size=8))
+def test_rects_intersect_polygon_matches_scalar(gj, rects):
+    """The vectorized tile-candidate cull must agree with the scalar
+    (oracle-verified) geoms_intersect on each rect-as-polygon."""
+    from mvt_wrangler_ray.geo.geometry import rects_intersect_polygon
+
+    geom = parse_geojson_geometry(gj)
+    w = np.array([r[0] for r in rects], dtype=np.float64)
+    s = np.array([r[1] for r in rects], dtype=np.float64)
+    e = w + np.array([r[2] for r in rects], dtype=np.float64)
+    n = s + np.array([r[3] for r in rects], dtype=np.float64)
+    got = rects_intersect_polygon(w, s, e, n, geom)
+    for i in range(len(rects)):
+        rect_gj = {"type": "Polygon", "coordinates": [[
+            [w[i], s[i]], [e[i], s[i]], [e[i], n[i]], [w[i], n[i]],
+            [w[i], s[i]]]]}
+        want = geoms_intersect(parse_geojson_geometry(rect_gj), geom)
+        assert bool(got[i]) == want, (rects[i], gj)

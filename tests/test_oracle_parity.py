@@ -81,3 +81,13 @@ def test_entry_smoke(ray_session):
     out = _to_pandas(entrymod.entry())
     assert len(out) > 0
     assert "n_images" in out.columns
+
+
+def test_every_query_has_an_oracle():
+    """The driver contract: queries() and oracle_sql() keys must match
+    exactly — a query without an oracle silently downgrades to a
+    rows-only check; an oracle without a query is dead SQL."""
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert q == o, (f"queries without oracle: {sorted(q - o)}; "
+                    f"oracles without query: {sorted(o - q)}")

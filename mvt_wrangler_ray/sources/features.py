@@ -61,11 +61,12 @@ def synth_features_table(n: int, start: int = 0, zmin: int = 9, zmax: int = 15) 
              ("area", tag_value((hid % 1000) / 10.0)),
              ("public", tag_value(hid % 3 == 0)),
              ("capacity", tag_value(hid % 5000))]
-        for lang in LANGS:
-            if hid % len(LANGS) != (hash_lang := LANGS.index(lang)):  # noqa
-                key = "name" if lang == "" else f"name:{lang}"
-                if key != "name":
-                    t.append((key, tag_value(f"Feature {int(ids[i])} ({lang})")))
+        # lang index 0 is "" (the bare name key, already emitted above) —
+        # only the name:<lang> variants are appended here
+        for j, lang in enumerate(LANGS[1:], 1):
+            if hid % len(LANGS) != j:
+                t.append((f"name:{lang}",
+                          tag_value(f"Feature {int(ids[i])} ({lang})")))
         if hid % 4 == 0:
             t.append(("pgf:name:ja", tag_value("ラベル")))
         tags_rows.append(t)

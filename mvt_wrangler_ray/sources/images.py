@@ -49,6 +49,19 @@ def _fake_payloads(h64: np.ndarray, fmt: np.ndarray, payload_bytes: int) -> pa.A
         [_MAGIC[fmt[i]] + mat[i].tobytes() for i in range(n)], pa.binary())
 
 
+def derive_image_fields(ids: np.ndarray, h64: np.ndarray):
+    """The deterministic (w, h, fmt, phash) derivation shared by
+    synth_images_table and images_from_documents — ONE definition so the
+    fixture determinism contract (stages/image recomputes phash against
+    these formulas; the SQL oracles unroll them) cannot desynchronize."""
+    w = (32 + (h64 % np.uint64(97)).astype(np.int64)).astype(np.int32)
+    h = (32 + ((h64 >> np.uint64(8)) % np.uint64(97)).astype(np.int64)).astype(np.int32)
+    fmt = _FMTS[(ids % 3)]
+    phash = (h64 ^ (h64 >> np.uint64(13))
+             ^ np.uint64(0x9E3779B97F4A7C15)).astype(np.int64)
+    return w, h, fmt, phash
+
+
 def fake_pixel_field(h64: int, w: int, h: int, payload_bytes: int = 96) -> "np.ndarray":
     """The deterministic (h, w) pixel field one image's fake payload
     decodes to (matches stages.image._fake_decode on _fake_payloads)."""
@@ -70,14 +83,12 @@ def synth_real_png_images(n: int, start: int = 0) -> pa.Table:
     ids = np.arange(start, start + n, dtype=np.int64)
     image_id = np.array([f"img{i:08d}" for i in ids], dtype=object)
     h64 = fnv1a64_strings(image_id)
-    w = (32 + (h64 % np.uint64(97)).astype(np.int64)).astype(np.int32)
-    h = (32 + ((h64 >> np.uint64(8)) % np.uint64(97)).astype(np.int64)).astype(np.int32)
+    w, h, _, phash = derive_image_fields(ids, h64)
     caption = np.array([f"a real png {int(i)}" for i in ids], dtype=object)
     payloads = [
         encode_png(fake_pixel_field(int(h64[i]), int(w[i]), int(h[i])))
         for i in range(n)
     ]
-    phash = (h64 ^ (h64 >> np.uint64(13)) ^ np.uint64(0x9E3779B97F4A7C15)).astype(np.int64)
     return pa.table({
         "image_id": pa.array(image_id, pa.string()),
         "bytes": pa.array(payloads, pa.binary()),
@@ -102,17 +113,17 @@ def synth_images_table(n: int, start: int = 0, payload_bytes: int = 96,
     image_id = np.array([f"img{i:08d}" for i in ids], dtype=object)
     h64 = fnv1a64_strings(image_id)
 
-    w = (32 + (h64 % np.uint64(97)).astype(np.int64)).astype(np.int32)
-    h = (32 + ((h64 >> np.uint64(8)) % np.uint64(97)).astype(np.int64)).astype(np.int32)
-    fmt = _FMTS[(ids % 3)]
+    w, h, fmt, phash = derive_image_fields(ids, h64)
     caption = np.array(
         [f"a photo of {_NOUNS[i % len(_NOUNS)]} near {_PLACES[i % len(_PLACES)]}"
          for i in ids], dtype=object)
-    phash = (h64 ^ (h64 >> np.uint64(13)) ^ np.uint64(0x9E3779B97F4A7C15)).astype(np.int64)
 
     bytes_col = _fake_payloads(h64, fmt, payload_bytes)
 
-    hot = (ids % np.int64(max(round(1.0 / max(hot_fraction, 1e-9)), 1))) == 0
+    if hot_fraction <= 0:
+        hot = np.zeros(n, dtype=bool)   # explicitly no skew cluster
+    else:
+        hot = (ids % np.int64(max(round(1.0 / hot_fraction), 1))) == 0
     jitter = (h64 % np.uint64(10_000)).astype(np.float64) / 10_000.0 * 0.02 - 0.01
     geo_hint_lon = np.where(hot, hot_lon + jitter, np.nan)
     geo_hint_lat = np.where(hot, hot_lat + jitter * 0.7, np.nan)
@@ -135,6 +146,8 @@ def synth_images_dataset(n: int, blocks: int = 32, **kw):
     range independently (no driver-side materialization)."""
     import ray.data as rd
 
+    if n <= 0:
+        return rd.from_arrow(synth_images_table(0))
     per = (n + blocks - 1) // blocks
     starts = list(range(0, n, per))
     ds = rd.from_items([{"start": s, "count": min(per, n - s)} for s in starts],
@@ -209,10 +222,7 @@ def images_from_documents(sf_dir: str, payload_bytes: int = 64):
         n = len(ids)
         image_id = np.array([f"img{i:08d}" for i in ids], dtype=object)
         h64 = fnv1a64_strings(image_id)
-        w = (32 + (h64 % np.uint64(97)).astype(np.int64)).astype(np.int32)
-        h = (32 + ((h64 >> np.uint64(8)) % np.uint64(97)).astype(np.int64)).astype(np.int32)
-        fmt = _FMTS[(ids % 3)]
-        phash = (h64 ^ (h64 >> np.uint64(13)) ^ np.uint64(0x9E3779B97F4A7C15)).astype(np.int64)
+        w, h, fmt, phash = derive_image_fields(ids, h64)
         return pa.table({
             "image_id": pa.array(image_id, pa.string()),
             "bytes": _fake_payloads(h64, fmt, payload_bytes),

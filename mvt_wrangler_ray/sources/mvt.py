@@ -46,6 +46,10 @@ def read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
 
 
 def write_varint(value: int, out: bytearray):
+    if value < 0:
+        # python's arithmetic shift never terminates for negatives; a
+        # caller passing a raw (non-zigzagged) negative must fail fast
+        raise ValueError(f"varint value must be non-negative, got {value}")
     while True:
         b = value & 0x7F
         value >>= 7
@@ -79,6 +83,10 @@ def _iter_fields(buf: bytes) -> Iterator[Tuple[int, int, object]]:
             pos += 8
         elif wt == 2:
             ln, pos = read_varint(buf, pos)
+            if pos + ln > n:
+                raise ValueError(
+                    f"truncated protobuf buffer: field {field} declares "
+                    f"{ln} bytes, {n - pos} remain")
             v = buf[pos:pos + ln]
             pos += ln
         elif wt == 5:
@@ -105,7 +113,10 @@ def decode_value(buf: bytes):
         v = fields[4][1]
         return v - (1 << 64) if v >= (1 << 63) else v  # int64 two's complement
     if 5 in fields:
-        return fields[5][1]
+        # uint (field 5) keeps its provenance as np.uint64 so re-encode
+        # writes field 5 again (and values >= 2^63 survive the round trip
+        # instead of being reinterpreted through the int64 field)
+        return np.uint64(fields[5][1])
     if 6 in fields:
         return zigzag_decode(fields[6][1])
     if 2 in fields:
@@ -129,6 +140,10 @@ def encode_value(v) -> bytes:
         out.append((1 << 3) | 2)
         write_varint(len(b), out)
         out.extend(b)
+    elif isinstance(v, np.uint64):
+        # uint stays uint on re-encode (wire field 5)
+        out.append((5 << 3) | 0)
+        write_varint(int(v), out)
     elif isinstance(v, (int, np.integer)):
         v = int(v)
         if v >= 0:
@@ -194,9 +209,20 @@ def decode_geometry(geom: List[int]) -> List[List[Tuple[int, int]]]:
 
 def encode_geometry(paths: List[List[Tuple[int, int]]], geom_type: int) -> List[int]:
     """Inverse of decode_geometry (ClosePath emitted for polygons when the
-    path is explicitly closed)."""
+    path is explicitly closed). POINT geometry encodes as the spec's
+    single MoveTo command with count = number of points (4.3.4.2) — a
+    per-point MoveTo(1) stream is invalid MVT for multipoints."""
     out: List[int] = []
     x = y = 0
+    if geom_type == GEOM_POINT:
+        pts = [p for path in paths for p in path]
+        if not pts:
+            return out
+        out.append((len(pts) << 3) | 1)  # MoveTo n
+        for px, py in pts:
+            out.extend([zigzag_encode(px - x), zigzag_encode(py - y)])
+            x, y = px, py
+        return out
     for path in paths:
         closed = geom_type == GEOM_POLYGON and len(path) > 1 and path[0] == path[-1]
         pts = path[:-1] if closed else path

@@ -152,7 +152,13 @@ def _decode_directory(data: bytes) -> List[DirEntry]:
     entries: List[DirEntry] = []
     for i in range(n):
         off, pos = read_varint(data, pos)
-        if off == 0 and i > 0:
+        if off == 0:
+            if i == 0:
+                # offset 0 means "previous offset + length", undefined for
+                # the first entry — reject instead of yielding offset -1
+                # and silently reading garbage one byte early
+                raise ValueError("malformed PMTiles directory: first entry "
+                                 "has offset 0 (delta with no predecessor)")
             offset = entries[i - 1].offset + entries[i - 1].length
         else:
             offset = off - 1
@@ -189,6 +195,7 @@ class PmTilesReader:
         self._f = open(path, "rb")
         self.header = _parse_header(self._f.read(127))
         self._root = self._read_dir(self.header.root_offset, self.header.root_length)
+        self._leaf_cache: dict = {}
 
     def _read_dir(self, offset: int, length: int) -> List[DirEntry]:
         self._f.seek(offset)
@@ -208,7 +215,7 @@ class PmTilesReader:
         """All tile entries (leaf directories resolved), ascending id."""
         for e in self._root:
             if e.run_length == 0:
-                for le in self._read_dir(self.header.leaf_offset + e.offset, e.length):
+                for le in self._leaf_entries(e):
                     yield le
             else:
                 yield e
@@ -227,10 +234,39 @@ class PmTilesReader:
     def get_tile_decompressed(self, entry: DirEntry) -> bytes:
         return _decompress(self.get_tile_bytes(entry), self.header.tile_compression)
 
+    def _leaf_entries(self, root_entry: DirEntry) -> List[DirEntry]:
+        key = (root_entry.offset, root_entry.length)
+        hit = self._leaf_cache.get(key)
+        if hit is None:
+            hit = self._leaf_cache[key] = self._read_dir(
+                self.header.leaf_offset + root_entry.offset, root_entry.length)
+        return hit
+
+    @staticmethod
+    def _bisect_entries(entries: List[DirEntry], tile_id: int) -> Optional[DirEntry]:
+        """Rightmost entry with e.tile_id <= tile_id (entries ascending)."""
+        lo, hi = 0, len(entries)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if entries[mid].tile_id <= tile_id:
+                lo = mid + 1
+            else:
+                hi = mid
+        return entries[lo - 1] if lo else None
+
     def get_by_id(self, tile_id: int) -> Optional[bytes]:
-        for e in self.entries():
-            if e.tile_id <= tile_id < e.tile_id + e.run_length:
-                return self.get_tile_decompressed(e)
+        """Spec-shaped random lookup: binary-search the root, read (and
+        cache) exactly one leaf directory, binary-search it — O(log n)
+        instead of scanning and decompressing every leaf."""
+        e = self._bisect_entries(self._root, tile_id)
+        if e is None:
+            return None
+        if e.run_length == 0:  # leaf pointer
+            e = self._bisect_entries(self._leaf_entries(e), tile_id)
+            if e is None:
+                return None
+        if e.tile_id <= tile_id < e.tile_id + e.run_length:
+            return self.get_tile_decompressed(e)
         return None
 
     def close(self):

@@ -3,6 +3,7 @@ encode → decode fixpoint), geometry command-stream round trips, value
 oneof coercion."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -204,3 +205,81 @@ def test_near_dup_recall_planted(ray_session):
     # no found pair is actually below threshold (verify stage guarantees)
     for a, b in list(found)[:50]:
         assert jaccard(docs[a], docs[b]) >= 0.55
+
+
+# ---- round-2 sources review fixes -------------------------------------
+
+
+def test_multipoint_single_moveto_spec_encoding():
+    """MVT 2.1 §4.3.4.2: POINT geometry is ONE MoveTo with count = n."""
+    paths = [[(5, 5)], [(10, 10)], [(2, 8)]]
+    enc = mvt.encode_geometry(paths, mvt.GEOM_POINT)
+    assert enc[0] == (3 << 3) | 1          # MoveTo, count 3
+    assert len(enc) == 1 + 6               # one command + 3 delta pairs
+    assert mvt.decode_geometry(enc) == paths
+    # byte-exact round trip of a spec-encoded multipoint
+    assert mvt.encode_geometry(mvt.decode_geometry(enc), mvt.GEOM_POINT) == enc
+
+
+def test_uint_value_roundtrip_preserves_field_and_value():
+    import numpy as np
+
+    big = (1 << 63) + 7                     # exceeds int64
+    buf = bytearray([(5 << 3) | 0])
+    mvt.write_varint(big, buf)
+    v = mvt.decode_value(bytes(buf))
+    assert isinstance(v, np.uint64) and int(v) == big
+    assert mvt.encode_value(v) == bytes(buf)   # stays wire field 5
+
+
+def test_write_varint_rejects_negative():
+    with pytest.raises(ValueError, match="non-negative"):
+        mvt.write_varint(-1, bytearray())
+
+
+def test_truncated_buffer_raises():
+    buf = bytearray()
+    mvt._write_field(buf, 1, 2, b"hello")
+    with pytest.raises(ValueError, match="truncated"):
+        list(mvt._iter_fields(bytes(buf[:-2])))
+
+
+def test_malformed_directory_offset_zero_first_entry():
+    from mvt_wrangler_ray.sources.pmtiles import _decode_directory
+
+    out = bytearray()
+    mvt.write_varint(1, out)   # one entry
+    mvt.write_varint(5, out)   # tile id delta
+    mvt.write_varint(1, out)   # run length
+    mvt.write_varint(10, out)  # length
+    mvt.write_varint(0, out)   # offset 0 on FIRST entry: malformed
+    with pytest.raises(ValueError, match="malformed"):
+        _decode_directory(bytes(out))
+
+
+def test_get_by_id_binary_search_matches_scan(tmp_path):
+    """Random lookups through the bisect path agree with a linear scan
+    (incl. run-length interior hits and misses), on a leaf-split archive."""
+    from mvt_wrangler_ray.sources.pmtiles import PmHeader, PmTilesReader, PmTilesWriter
+
+    path = str(tmp_path / "lookup.pmtiles")
+    w = PmTilesWriter(path, PmHeader(min_zoom=0, max_zoom=12))
+    blobs = {}
+    tid = 0
+    import random
+    rnd = random.Random(7)
+    for i in range(900):                   # > MAX_ROOT_ENTRIES → leaves
+        tid += rnd.randint(1, 5)
+        blob = f"tile-{i % 37}".encode()   # shared content → dedup + runs
+        w.add_tile(tid, blob)
+        blobs[tid] = blob
+    w.finalize()
+    r = PmTilesReader(path)
+    scan = {}
+    for e in r.entries():
+        for k in range(e.run_length):
+            scan[e.tile_id + k] = r.get_tile_decompressed(e)
+    for t in list(blobs)[::17] + [0, tid + 100, tid + 1]:
+        want = scan.get(t)
+        assert r.get_by_id(t) == want, t
+    r.close()

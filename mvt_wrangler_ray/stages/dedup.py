@@ -152,6 +152,80 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _segment_pairs_table(g: pa.Table, key_cols, id_col: str,
+                         bucket_cap: int) -> pa.Table:
+    """All within-group id pairs (id_a < id_b) for the equal-key segments
+    of one hash bucket, vectorized. Group boundaries come from comparing
+    the key COLUMNS directly — a packed/XOR composite of two 64-bit
+    columns is not injective and a (vanishingly rare but silent)
+    collision would merge adjacent groups. Groups larger than bucket_cap
+    are skipped (the degenerate-band skew guard)."""
+    df = g.select([*key_cols, id_col]).to_pandas()
+    df = df.sort_values([*key_cols, id_col], kind="stable")
+    ids = df[id_col].to_numpy()
+    n = len(ids)
+    boundary = np.zeros(n, dtype=bool)
+    for c in key_cols:
+        v = df[c].to_numpy()
+        boundary[1:] |= v[1:] != v[:-1]
+    cuts = np.nonzero(boundary)[0]
+    starts = np.concatenate([[0], cuts])
+    ends = np.concatenate([cuts, [n]])
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2 or m > bucket_cap:
+            continue
+        ia, ib = np.triu_indices(m, k=1)
+        out_a.append(ids[s + ia])
+        out_b.append(ids[s + ib])
+    if not out_a:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                     "id_b": pa.array(np.concatenate(out_b), pa.int64())})
+
+
+def _distinct_pairs(cand, num_buckets: int):
+    """Global (id_a, id_b) dedup via one bucketed exchange."""
+    from .shuffle import add_bucket_column
+
+    bucketed = cand.map_batches(
+        lambda b: add_bucket_column(b, ["id_a", "id_b"], num_buckets),
+        batch_format="pyarrow")
+
+    def distinct(g: pa.Table) -> pa.Table:
+        df = g.select(["id_a", "id_b"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return bucketed.groupby("bucket").map_groups(
+        distinct, batch_format="pyarrow")
+
+
+def _broadcast_candidate_column(cand, ds_rows, id_col: str, val_col: str):
+    """Fetch `val_col` for every id appearing in the candidate pairs:
+    distinct ids reduce per batch → broadcast id set → vectorized
+    semi-join over the row source → small driver dict (the broadcast
+    build side; the full source never materializes)."""
+    import ray
+
+    from .events import broadcast_semi_join
+
+    def distinct_ids(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays([b["id_a"].combine_chunks().cast(pa.int64()),
+                              b["id_b"].combine_chunks().cast(pa.int64())]).unique()
+        return pa.table({id_col: u})
+
+    need = np.unique(cand.map_batches(distinct_ids, batch_format="pyarrow")
+                     .to_pandas()[id_col].to_numpy())
+    id_ref = ray.put(set(need.tolist()))
+    rows = broadcast_semi_join(
+        ds_rows.map_batches(lambda b: b.select([id_col, val_col]),
+                            batch_format="pyarrow"),
+        id_col, id_ref).to_pandas()
+    return ray.put(dict(zip(rows[id_col], rows[val_col])))
+
+
 def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
                             col: str = "text", id_col: str = "doc_id",
                             bucket_cap: int = 1000, num_buckets: int = 64):
@@ -181,42 +255,11 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
     bucketed = exploded.map_batches(
         lambda b: add_bucket_column(b, ["band", "band_hash"], num_buckets),
         batch_format="pyarrow")
-
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        df = g.select(["band", "band_hash", "doc_id"]).to_pandas()
-        df = df.sort_values(["band", "band_hash", "doc_id"], kind="stable")
-        key = df["band"].to_numpy().astype(np.int64) * np.int64(1 << 32) ^ \
-            df["band_hash"].to_numpy().astype(np.int64)
-        ids = df["doc_id"].to_numpy()
-        # segment boundaries of equal band keys
-        cuts = np.nonzero(np.diff(key))[0] + 1
-        starts = np.concatenate([[0], cuts])
-        ends = np.concatenate([cuts, [len(key)]])
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2 or m > bucket_cap:  # skew guard: degenerate buckets
-                continue                 # (identical band for huge sets)
-            ia, ib = np.triu_indices(m, k=1)
-            out_a.append(ids[s + ia])
-            out_b.append(ids[s + ib])
-        if not out_a:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                         "id_b": pa.array(np.concatenate(out_b), pa.int64())})
-
-    cand = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-
-    pair_bucketed = cand.map_batches(
-        lambda b: add_bucket_column(b, ["id_a", "id_b"], num_buckets),
+    cand = bucketed.groupby("bucket").map_groups(
+        lambda g: _segment_pairs_table(g, ["band", "band_hash"], "doc_id",
+                                       bucket_cap),
         batch_format="pyarrow")
-
-    def distinct(g: pa.Table) -> pa.Table:
-        df = g.select(["id_a", "id_b"]).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return pair_bucketed.groupby("bucket").map_groups(distinct, batch_format="pyarrow")
+    return _distinct_pairs(cand, num_buckets)
 
 
 def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
@@ -248,20 +291,7 @@ def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
                                    **kw).materialize()
     if cand.count() == 0:
         return empty
-
-    def distinct_ids(b: pa.Table) -> pa.Table:
-        u = pa.concat_arrays([b["id_a"].combine_chunks().cast(pa.int64()),
-                              b["id_b"].combine_chunks().cast(pa.int64())]).unique()
-        return pa.table({id_col: u})
-
-    need = np.unique(cand.map_batches(distinct_ids, batch_format="pyarrow")
-                     .to_pandas()[id_col].to_numpy())
-    id_ref = ray.put(set(need.tolist()))
-    texts = broadcast_semi_join(
-        ds_docs.map_batches(lambda b: b.select([id_col, col]),
-                            batch_format="pyarrow"),
-        id_col, id_ref).to_pandas()
-    lookup_ref = ray.put(dict(zip(texts[id_col], texts[col])))
+    lookup_ref = _broadcast_candidate_column(cand, ds_docs, id_col, col)
     lookup_cache: dict = {}
 
     def verify(b: pa.Table) -> pa.Table:

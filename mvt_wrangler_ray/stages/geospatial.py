@@ -30,7 +30,10 @@ def geotag_batch(batch: pa.Table, cfg: EngineConfig = EngineConfig()) -> pa.Tabl
     if "geo_hint_lon" in batch.column_names:
         hlon = batch["geo_hint_lon"].to_numpy(zero_copy_only=False)
         hlat = batch["geo_hint_lat"].to_numpy(zero_copy_only=False)
-        use = ~np.isnan(hlon)
+        # a hint only applies when BOTH coordinates are present — a
+        # partial hint would inject NaN lat and silently clamp the row
+        # into an edge tile
+        use = ~np.isnan(hlon) & ~np.isnan(hlat)
         lon = np.where(use, hlon, lon)
         lat = np.where(use, hlat, lat)
         batch = batch.drop_columns(["geo_hint_lon", "geo_hint_lat"])

@@ -71,8 +71,16 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
 
 def phash64(pixels: np.ndarray) -> np.int64:
     """Perceptual-hash-like 64-bit signature: 8×8 block means vs their
-    median (a DCT-free aHash — deterministic, vectorized)."""
+    median (a DCT-free aHash — deterministic, vectorized). Images smaller
+    than 8 pixels on a side are edge-tiled up to 8×8 first (tiny icons /
+    tracking pixels are common in scraped corpora and must hash, not
+    crash)."""
     h, w = pixels.shape
+    if h < 8 or w < 8:
+        pixels = np.tile(pixels,
+                         ((8 + h - 1) // h, (8 + w - 1) // w))[:max(h, 8),
+                                                               :max(w, 8)]
+        h, w = pixels.shape
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     blocks = pixels[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
     bits = (blocks > np.median(blocks)).ravel()
@@ -178,23 +186,36 @@ class PngRecodeStage:
 
 
 class ResizeStage:
-    """Resize/thumbnail stub: emits the TARGET geometry and (with PIL)
-    the resized payload; without codecs it passes bytes through and
-    records the intended size — the schema contract downstream stages
-    rely on."""
+    """REAL resize/thumbnail stage: decode (PNG via the stdlib codec, or
+    the deterministic fake payloads), nearest-neighbor resample to the
+    target geometry (pure numpy index gather — no codecs needed), and
+    re-encode as a genuine PNG. thumb_w/thumb_h always describe the
+    actual thumb_bytes content."""
 
     def __init__(self, target: Tuple[int, int] = (64, 64)):
         self.target = target
-        try:
-            from PIL import Image  # noqa: F401
-            self._pil = True
-        except ImportError:
-            self._pil = False
+        self._decoder = DecodeImageStage(compute_phash=False)
+
+    @staticmethod
+    def _nearest_resample(px: np.ndarray, tw: int, th: int) -> np.ndarray:
+        h, w = px.shape
+        rows = np.minimum((np.arange(th) * h) // th, h - 1)
+        cols = np.minimum((np.arange(tw) * w) // tw, w - 1)
+        return px[rows[:, None], cols[None, :]]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs.png import encode_png
+
         n = len(batch)
         tw, th = self.target
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        thumbs = []
+        for i in range(n):
+            px = self._decoder._decode(payloads[i], int(ws[i]), int(hs[i]))
+            thumbs.append(encode_png(self._nearest_resample(px, tw, th)))
         return (batch
                 .append_column("thumb_w", pa.array(np.full(n, tw, np.int32), pa.int32()))
                 .append_column("thumb_h", pa.array(np.full(n, th, np.int32), pa.int32()))
-                .append_column("thumb_bytes", batch["bytes"]))
+                .append_column("thumb_bytes", pa.array(thumbs, pa.binary())))

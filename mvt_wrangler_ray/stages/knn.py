@@ -21,7 +21,10 @@ import pyarrow as pa
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.vstack(col.to_pylist()).astype(np.float64)
+    rows = col.to_pylist()
+    if not rows:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.vstack(rows).astype(np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -40,6 +43,13 @@ class BruteForceKnnStage:
         self.vec_col, self.id_col = vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            # pruned-away block (e.g. IVF partition filter): empty result
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                self.id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            })
         mat = _normalize(_as_matrix(batch[self.vec_col]))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         sims = self.q @ mat.T                      # (nq, nbatch)
@@ -67,10 +77,17 @@ def knn_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     import ray
 
     qref = ray.put((np.asarray(queries, dtype=np.float64), np.asarray(query_ids), k))
+    _stage_cache: dict = {}
 
     def probe(batch: pa.Table) -> pa.Table:
-        q, qids, kk = ray.get(qref)
-        return BruteForceKnnStage(q, qids, kk, vec_col, id_col)(batch)
+        # per-worker cache: fetch + normalize the query matrix ONCE per
+        # worker process, not per batch (the package's broadcast pattern)
+        st = _stage_cache.get("s")
+        if st is None:
+            q, qids, kk = ray.get(qref)
+            st = _stage_cache["s"] = BruteForceKnnStage(
+                q, qids, kk, vec_col, id_col)
+        return st(batch)
 
     local = ds.map_batches(probe, batch_format="pyarrow")
 
@@ -109,6 +126,8 @@ def train_centroids(sample: np.ndarray, ncentroids: int = 16, iters: int = 10,
 
 def ivf_assign_batch(batch: pa.Table, centroids: np.ndarray,
                      vec_col: str = "embedding") -> pa.Table:
+    if len(batch) == 0:
+        return batch.append_column("ivf_partition", pa.array([], pa.int32()))
     mat = _normalize(_as_matrix(batch[vec_col]))
     part = np.argmax(mat @ np.asarray(centroids).T, axis=1).astype(np.int32)
     return batch.append_column("ivf_partition", pa.array(part, pa.int32()))

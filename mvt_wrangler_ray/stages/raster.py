@@ -133,7 +133,6 @@ def vectorize_raster_batch(batch: pa.Table, threshold: int = 1) -> pa.Table:
         if not occ.any():
             continue
         lab = _label_components(occ)
-        w, s, e, n = tile_bounds(z, np.array([tx]), np.array([ty]))
         nval = np.float64(2.0) ** z
         for comp in np.unique(lab[occ]):
             m = lab == comp

@@ -84,11 +84,23 @@ def test_caption_equality_through_flagship(ray_session):
         assert src[iid] == cap
 
 
-def test_resize_stage_schema():
+def test_resize_stage_real_thumbnails():
+    from mvt_wrangler_ray.codecs.png import decode_png
+
     t = synth_images_table(10)
     out = ResizeStage((32, 32))(t)
     assert out["thumb_w"].to_pylist() == [32] * 10
-    assert out["thumb_bytes"].to_pylist() == t["bytes"].to_pylist()
+    assert out["thumb_h"].to_pylist() == [32] * 10
+    stage = DecodeImageStage(compute_phash=False)
+    for i, thumb in enumerate(out["thumb_bytes"].to_pylist()):
+        px = decode_png(thumb)
+        assert px.shape == (32, 32)
+        # a thumbnail of the source, not a passthrough: nearest-neighbor
+        # resample of the decoded source must reproduce it exactly
+        src = stage._decode(t["bytes"][i].as_py(),
+                            t["w"][i].as_py(), t["h"][i].as_py())
+        expect = ResizeStage._nearest_resample(src, 32, 32)
+        assert np.array_equal(px, expect)
 
 
 def test_decode_stage_in_ray_pipeline(ray_session):

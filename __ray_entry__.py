@@ -630,6 +630,15 @@ def _q_minhash_near_dup(sf_dir: str):
     return out
 
 
+def _q_jaccard_near_dup(sf_dir: str):
+    """EXACT n-gram-Jaccard near-dup join (prefix-filter candidates +
+    exact verify) — the ground-truth member of the dedup family; its
+    oracle is brute-force all-pairs Jaccard in SQL."""
+    from mvt_wrangler_ray.stages.dedup import ngram_jaccard_near_dups
+    return ngram_jaccard_near_dups(_docs(sf_dir, ["doc_id", "text"]),
+                                   threshold=0.5)
+
+
 def _q_simhash(sf_dir: str):
     from mvt_wrangler_ray.stages.dedup import simhash_batch
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -1279,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "tile_smooth": _q_tile_smooth,
         "minhash_near_dup": _q_minhash_near_dup,
+        "jaccard_near_dup": _q_jaccard_near_dup,
         "decode_images": _q_decode_images,
         "wrangle_tiles": _q_wrangle_tiles,
         "features_transform": _q_features_transform,
@@ -1607,6 +1617,53 @@ FROM documents d JOIN bits ON d.doc_id = bits.doc_id
 """
 
 
+def _sql_shingle_ctes(docs_sql: str, prefix: str) -> str:
+    """CTE chain for stages/dedup._shingles over the docs of `docs_sql`
+    (must select doc_id, text): whitespace split, word 3-grams (single
+    joined gram below 3 words), md5 lower-64 fold. Final CTE:
+    {prefix}_sh(doc_id, sh) — the DISTINCT shingle-hash set per doc."""
+    return f"""
+{prefix}_docs AS ({docs_sql}),
+{prefix}_w AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM {prefix}_docs),
+{prefix}_grams AS (
+  SELECT doc_id, array_to_string(list_slice(ws, g + 1, g + 3), ' ') AS gram
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS g
+        FROM {prefix}_w WHERE len(ws) >= 3)
+  UNION ALL
+  SELECT doc_id, array_to_string(ws, ' ') AS gram
+  FROM {prefix}_w WHERE len(ws) > 0 AND len(ws) < 3),
+{prefix}_sh AS (SELECT DISTINCT doc_id, md5_number_lower(gram) AS sh
+  FROM {prefix}_grams)"""
+
+
+def _sql_jaccard_near_dup(threshold: float = 0.5) -> str:
+    """Exhaustive all-pairs shingle-Jaccard oracle for the EXACT
+    prefix-filter join (stages/dedup.ngram_jaccard_near_dups): because
+    the prefix filter is lossless and no sf0.01 gram group exceeds
+    bucket_cap, the engine's output must equal brute force."""
+    return f"""WITH {_sql_shingle_ctes("SELECT doc_id, text FROM documents", "jd")},
+jd_n AS (SELECT doc_id, count(*) AS nsh FROM jd_sh GROUP BY 1),
+jd_all AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM jd_docs a JOIN jd_docs b ON a.doc_id < b.doc_id),
+jd_i AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS ni
+  FROM jd_sh sa JOIN jd_sh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2),
+jd_pairs AS (SELECT p.id_a, p.id_b,
+  CASE WHEN coalesce(na.nsh, 0) = 0 AND coalesce(nb.nsh, 0) = 0 THEN 1.0
+       WHEN coalesce(na.nsh, 0) = 0 OR coalesce(nb.nsh, 0) = 0 THEN 0.0
+       ELSE CAST(coalesce(i.ni, 0) AS DOUBLE)
+            / (na.nsh + nb.nsh - coalesce(i.ni, 0)) END AS j
+  FROM jd_all p
+  LEFT JOIN jd_n na ON na.doc_id = p.id_a
+  LEFT JOIN jd_n nb ON nb.doc_id = p.id_b
+  LEFT JOIN jd_i i ON i.id_a = p.id_a AND i.id_b = p.id_b)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       j AS jaccard
+FROM jd_pairs WHERE j >= {threshold!r}"""
+
+
 def _sql_minhash_ctes(docs_sql: str, prefix: str = "mh") -> str:
     """CTE chain reproducing stages/dedup minhash-LSH + exact-Jaccard
     verify for the docs of `docs_sql` (must select doc_id, text):
@@ -1632,19 +1689,7 @@ def _sql_minhash_ctes(docs_sql: str, prefix: str = "mh") -> str:
         f = f"((({f}) * {P} + l[{k}]) % {M64})"
     bands16 = ", ".join(f"({i})" for i in range(16))
     return f"""
-{prefix}_docs AS ({docs_sql}),
-{prefix}_w AS (SELECT doc_id,
-  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
-  FROM {prefix}_docs),
-{prefix}_grams AS (
-  SELECT doc_id, array_to_string(list_slice(ws, g + 1, g + 3), ' ') AS gram
-  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS g
-        FROM {prefix}_w WHERE len(ws) >= 3)
-  UNION ALL
-  SELECT doc_id, array_to_string(ws, ' ') AS gram
-  FROM {prefix}_w WHERE len(ws) > 0 AND len(ws) < 3),
-{prefix}_sh AS (SELECT DISTINCT doc_id, md5_number_lower(gram) AS sh
-  FROM {prefix}_grams),
+{_sql_shingle_ctes(docs_sql, prefix)},
 {prefix}_sigs AS (
   SELECT doc_id, pi, min({val}) AS sig
   FROM {prefix}_sh CROSS JOIN (VALUES {perms}) p(pi, a, b)
@@ -2055,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct": _sql_approx_distinct(),
         "decode_images": _sql_decode_images(),
         "minhash_near_dup": _sql_minhash_near_dup(0.5),
+        "jaccard_near_dup": _sql_jaccard_near_dup(0.5),
         "dedup_clusters": _sql_dedup_clusters(0.35),
         "clean_corpus": _sql_clean_corpus(0.1, 0.8),
         "features_transform": _sql_features_transform(2000),

@@ -278,10 +278,6 @@ def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
 
     Only verified pairs (tiny) and candidate texts (small) reach the
     driver; payloads of non-candidates move zero times."""
-    import ray
-
-    from .events import broadcast_semi_join
-
     empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                           "id_b": pd.Series([], dtype=np.int64),
                           "jaccard": pd.Series([], dtype=np.float64)})
@@ -291,6 +287,20 @@ def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
                                    **kw).materialize()
     if cand.count() == 0:
         return empty
+    return _verify_jaccard_pairs(cand, ds_docs, threshold, col, id_col)
+
+
+def _verify_jaccard_pairs(cand, ds_docs, threshold: float, col: str,
+                          id_col: str, k: int = 3) -> pd.DataFrame:
+    """Exact-Jaccard verification of a candidate-pair Dataset against the
+    docs Dataset: candidate texts fetched with a broadcast semi-join (the
+    small side), verification inside map_batches over the pairs. Shared
+    by the minhash-LSH and prefix-filter candidate generators."""
+    import ray
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=np.float64)})
     lookup_ref = _broadcast_candidate_column(cand, ds_docs, id_col, col)
     lookup_cache: dict = {}
 
@@ -301,7 +311,7 @@ def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
         ia = b["id_a"].to_numpy(zero_copy_only=False)
         ib = b["id_b"].to_numpy(zero_copy_only=False)
         js = np.fromiter(
-            (jaccard(lookup.get(a, ""), lookup.get(bb, ""))
+            (jaccard(lookup.get(a, ""), lookup.get(bb, ""), k)
              for a, bb in zip(ia, ib)),
             dtype=np.float64, count=len(b))
         out = pa.table({"id_a": pa.array(ia.astype(np.int64), pa.int64()),
@@ -313,6 +323,88 @@ def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
     if len(out) == 0:
         return empty
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---- exact n-gram Jaccard (prefix-filter join) ------------------------
+
+# sentinel gram for documents with NO shingles (empty / whitespace-only
+# text): J(∅, ∅) = 1.0 by definition, so such docs must still meet in
+# candidate generation. A hash collision with a real gram only creates a
+# spurious CANDIDATE, which the exact verify discards.
+_EMPTY_DOC_GRAM = np.uint64(0)
+
+
+def ngram_prefix_rows(texts, ids, threshold: float, k: int = 3) -> pa.Table:
+    """AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
+    public literature — no reference-repo counterpart): order each
+    document's DISTINCT gram-hash set by a fixed global total order (the
+    hash value), and emit only the first  m - ceil(t*m) + 1  grams. Any
+    pair with Jaccard >= t is guaranteed to share at least one emitted
+    prefix gram, so the inverted-index join over prefix rows is a
+    LOSSLESS candidate generator — at a fraction of the index size, and
+    the narrow (gram, doc_id) rows are all that shuffles."""
+    out_g: list = []
+    out_id: list = []
+    for t, i in zip(texts, ids):
+        sh = np.unique(_shingles(t, k))  # distinct + ascending = global order
+        m = len(sh)
+        if m == 0:
+            out_g.append(np.array([_EMPTY_DOC_GRAM], dtype=np.uint64))
+            out_id.append(np.full(1, i, dtype=np.int64))
+            continue
+        p = m - int(np.ceil(threshold * m)) + 1
+        out_g.append(sh[:p])
+        out_id.append(np.full(p, i, dtype=np.int64))
+    grams = (np.concatenate(out_g) if out_g
+             else np.array([], dtype=np.uint64))
+    dids = (np.concatenate(out_id) if out_id
+            else np.array([], dtype=np.int64))
+    return pa.table({"gram": pa.array(grams.view(np.int64), pa.int64()),
+                     "doc_id": pa.array(dids, pa.int64())})
+
+
+def ngram_jaccard_near_dups(ds_docs, threshold: float = 0.5,
+                            col: str = "text", id_col: str = "doc_id",
+                            k: int = 3, bucket_cap: int = 10_000,
+                            num_buckets: int = 64) -> pd.DataFrame:
+    """EXACT n-gram-Jaccard near-duplicate pairs (id_a < id_b, jaccard):
+    every pair with shingle-set Jaccard >= threshold, no LSH recall loss.
+
+    Plan (each step a streaming Dataset stage):
+      1. map_batches: per-doc distinct gram hashes, keep only the
+         prefix-filter slice → narrow (gram, doc_id) rows;
+      2. bucket the gram space → per-bucket numpy segment pair-gen
+         (same machinery as the minhash band join) → distinct pairs;
+      3. exact-Jaccard verify via the shared broadcast verify stage.
+
+    Versus minhash_near_dups: exact recall, but candidate volume grows
+    with corpus self-similarity — minhash is the scale path when recall
+    loss is acceptable; this is the ground-truth path. bucket_cap only
+    guards stop-gram degeneracy (a gram shared by >cap docs generates
+    O(cap²) pairs; such grams are dropped with the same skew-guard
+    contract as the LSH bands)."""
+    from .shuffle import add_bucket_column
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=np.float64)})
+
+    def explode(b: pa.Table) -> pa.Table:
+        return ngram_prefix_rows(b[col].to_pylist(),
+                                 b[id_col].to_numpy(zero_copy_only=False),
+                                 threshold, k)
+
+    rows = ds_docs.map_batches(explode, batch_format="pyarrow")
+    bucketed = rows.map_batches(
+        lambda b: add_bucket_column(b, ["gram"], num_buckets),
+        batch_format="pyarrow")
+    cand = bucketed.groupby("bucket").map_groups(
+        lambda g: _segment_pairs_table(g, ["gram"], "doc_id", bucket_cap),
+        batch_format="pyarrow")
+    cand = _distinct_pairs(cand, num_buckets).materialize()
+    if cand.count() == 0:
+        return empty
+    return _verify_jaccard_pairs(cand, ds_docs, threshold, col, id_col, k)
 
 
 def cluster_pairs(pairs: pd.DataFrame, large_threshold: int = 2_000_000):

@@ -1,0 +1,82 @@
+"""Exact n-gram-Jaccard near-dup join: the prefix-filter candidate
+generator must be LOSSLESS — output equals brute-force all-pairs Jaccard
+at every threshold, including empty-text and sub-k-word documents."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mvt_wrangler_ray.stages.dedup import (
+    jaccard,
+    ngram_jaccard_near_dups,
+    ngram_prefix_rows,
+)
+
+
+def _brute_pairs(docs, threshold, k=3):
+    out = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            if jaccard(docs[a], docs[b], k) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def _corpus(rng, n_bg=120):
+    vocab = [f"w{i}" for i in range(200)]
+    docs = []
+    for c in range(12):                      # planted clusters of 3
+        words = [vocab[j] for j in rng.choice(200, 25, replace=False)]
+        docs.append(" ".join(words))
+        docs.append(" ".join(words[:-2] + ["zz1", "zz2"]))
+        docs.append(" ".join(["aa0"] + words[1:]))
+    for _ in range(n_bg):                    # background
+        words = [vocab[j] for j in rng.choice(200, 25, replace=False)]
+        docs.append(" ".join(words))
+    docs += ["", "   ", "one two", "one two", "solo"]  # degenerate texts
+    return docs
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_ngram_jaccard_equals_brute_force(ray_session, threshold):
+    import ray.data as rd
+
+    docs = _corpus(np.random.default_rng(7))
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    out = ngram_jaccard_near_dups(rd.from_arrow(t), threshold=threshold)
+    got = {tuple(p) for p in zip(out["id_a"], out["id_b"])}
+    expect = _brute_pairs(docs, threshold)
+    assert got == expect
+    # reported jaccard values are the exact per-pair values
+    for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"]):
+        assert j == jaccard(docs[a], docs[b])
+
+
+def test_prefix_rows_bounds():
+    """Prefix slice obeys m - ceil(t*m) + 1 and empty docs emit the
+    sentinel gram so J(∅,∅)=1 pairs still meet in candidate gen."""
+    texts = ["a b c d e f g h", "", "x y"]
+    rows = ngram_prefix_rows(texts, np.array([0, 1, 2]), threshold=0.5)
+    per_doc = {i: 0 for i in range(3)}
+    for d in rows["doc_id"].to_pylist():
+        per_doc[d] += 1
+    # doc 0: 6 distinct grams → prefix 6 - ceil(3) + 1 = 4
+    assert per_doc[0] == 4
+    assert per_doc[1] == 1                    # sentinel for empty
+    assert per_doc[2] == 1                    # single joined gram
+
+
+def test_stop_gram_cap_documented_drop(ray_session):
+    """A gram shared by more than bucket_cap docs is skipped by the skew
+    guard — candidate loss is the documented contract (same as the LSH
+    band cap), verified here so the behavior is intentional."""
+    import ray.data as rd
+
+    docs = [f"common common common unique{i}" for i in range(30)]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    out = ngram_jaccard_near_dups(rd.from_arrow(t), threshold=0.3,
+                                  bucket_cap=5)
+    # every pair's only shared grams sit in over-cap groups → no pairs
+    assert len(out) == 0

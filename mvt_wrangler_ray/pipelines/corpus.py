@@ -25,11 +25,20 @@ import pyarrow as pa
 
 def clean_corpus(ds, min_quality: float = 0.2, langs=("en",),
                  near_dup_threshold: float = 0.7,
-                 id_col: str = "doc_id", text_col: str = "text"):
-    """→ (survivors_ds, stats dict). Requires columns id_col, text_col."""
+                 id_col: str = "doc_id", text_col: str = "text",
+                 broadcast_id_limit: int = 5_000_000):
+    """→ (survivors_ds, stats dict). Requires columns id_col, text_col.
+
+    `broadcast_id_limit` is the exact-dedup plan cutover: below it the
+    narrow (hash, id) aggregate's survivor ids are broadcast and payloads
+    move ZERO times (the fast path); above it the survivor id set would
+    not fit on the driver/workers, so dedup switches to the one-payload-
+    exchange plan (stages/dedup.exact_dedup_rows) — same output, no
+    driver state, the 100-TB path."""
     import ray
 
-    from ..stages.dedup import cluster_pairs, exact_dedup, minhash_near_dups
+    from ..stages.dedup import (cluster_pairs, exact_dedup,
+                                exact_dedup_rows, minhash_near_dups)
     from ..stages.events import broadcast_semi_join
     from ..stages.text import lang_id_batch, quality_score_batch
 
@@ -52,13 +61,19 @@ def clean_corpus(ds, min_quality: float = 0.2, langs=("en",),
     gated = scored.map_batches(gate, batch_format="pyarrow").materialize()
     stats["after_gates"] = gated.count()
 
-    # exact dedup: survivors = min id per content hash
-    exact_ids = set(
-        exact_dedup(gated, col=text_col, id_col=id_col)
-        .to_pandas()[id_col].tolist())
-    stats["after_exact_dedup"] = len(exact_ids)
-    ref = __import__("ray").put(exact_ids)
-    exact_survivors = broadcast_semi_join(gated, id_col, ref).materialize()
+    # exact dedup: survivors = min id per content hash. Count the narrow
+    # survivor pairs FIRST (an aggregate over (hash, id) — cheap) to pick
+    # the plan; only the broadcast path ever collects ids.
+    exact_pairs = exact_dedup(gated, col=text_col, id_col=id_col).materialize()
+    n_exact = exact_pairs.count()
+    stats["after_exact_dedup"] = n_exact
+    if n_exact <= broadcast_id_limit:
+        exact_ids = set(exact_pairs.to_pandas()[id_col].tolist())
+        ref = ray.put(exact_ids)
+        exact_survivors = broadcast_semi_join(gated, id_col, ref).materialize()
+    else:
+        exact_survivors = exact_dedup_rows(
+            gated, col=text_col, id_col=id_col).materialize()
 
     # near-dup: cluster verified pairs, drop everything but each
     # cluster's min id

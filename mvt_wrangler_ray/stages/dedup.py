@@ -51,6 +51,40 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
         final_aggs=[(id_col, "min")], final_names=[id_col])
 
 
+def exact_dedup_rows(ds, col: str = "text", id_col: str = "doc_id",
+                     num_buckets: int = 64):
+    """Full-ROW exact dedup with NO driver state: the scale path when the
+    survivor id set is too large to broadcast (clean_corpus cutover).
+
+    One payload exchange: rows gain a content hash (map-side), bucket by
+    hash (co-locating every copy of a document), and each bucket keeps
+    the min-id row per hash with a vectorized sort + segment-boundary
+    mask — no per-group Python, no id set anywhere. Contrast exact_dedup,
+    which shuffles only narrow (hash, id) pairs and leaves survivor
+    SELECTION to the caller — cheaper when a broadcast join is viable."""
+    from .shuffle import add_bucket_column
+
+    hashed = ds.map_batches(lambda b: content_hash_batch(b, col),
+                            batch_format="pyarrow")
+    bucketed = hashed.map_batches(
+        lambda b: add_bucket_column(b, ["content_hash"], num_buckets),
+        batch_format="pyarrow")
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            g, sort_keys=[("content_hash", "ascending"),
+                          (id_col, "ascending")])
+        g = g.take(order)
+        h = np.asarray(g["content_hash"].to_pandas(), dtype=object)
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        return g.filter(pa.array(first)).drop_columns(
+            ["content_hash", "bucket"])
+
+    return bucketed.groupby("bucket").map_groups(
+        keep_min, batch_format="pyarrow")
+
+
 # ---- minhash LSH ------------------------------------------------------
 
 _MERSENNE = np.uint64((1 << 61) - 1)

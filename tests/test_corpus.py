@@ -41,6 +41,54 @@ def test_clean_corpus_end_to_end(ray_session):
     assert stats["output"] == len(ids)
 
 
+def test_exact_dedup_rows_matches_broadcast_plan(ray_session):
+    """The payload-exchange dedup (no driver id set) must select exactly
+    the rows the narrow-aggregate + broadcast plan selects."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.dedup import exact_dedup, exact_dedup_rows
+
+    rng = np.random.default_rng(11)
+    texts = [f"document body {i % 40}" for i in range(600)]  # 40 distinct
+    ids = rng.permutation(600).astype(np.int64)              # shuffled ids
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "extra": pa.array(np.arange(600.0))})
+    ds = rd.from_arrow(t)
+    rows = exact_dedup_rows(ds).to_pandas().sort_values("doc_id")
+    narrow = exact_dedup(ds).to_pandas()
+    assert sorted(rows["doc_id"]) == sorted(narrow["doc_id"])
+    assert set(rows.columns) == {"doc_id", "text", "extra"}  # payload kept
+    # survivor is the MIN id of each duplicate class
+    src = {i: txt for i, txt in zip(ids, texts)}
+    by_text: dict = {}
+    for i, txt in src.items():
+        by_text.setdefault(txt, []).append(i)
+    expect = sorted(min(v) for v in by_text.values())
+    assert sorted(rows["doc_id"]) == expect
+
+
+def test_clean_corpus_cutover_plans_agree(ray_session):
+    """clean_corpus with broadcast_id_limit=0 (forcing the payload-
+    exchange dedup) returns the same survivor set as the broadcast plan."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.pipelines.corpus import clean_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "harbor town market every sunny morning with friends ") * 3
+    docs = [(i, base + f"variant tail {i % 7}") for i in range(40)]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs], pa.string())})
+    s1, st1 = clean_corpus(rd.from_arrow(t), min_quality=0.1, langs=("en",))
+    s2, st2 = clean_corpus(rd.from_arrow(t), min_quality=0.1, langs=("en",),
+                           broadcast_id_limit=0)
+    ids1 = sorted(s1.to_pandas()["doc_id"].tolist())
+    ids2 = sorted(s2.to_pandas()["doc_id"].tolist())
+    assert ids1 == ids2
+    assert st1["after_exact_dedup"] == st2["after_exact_dedup"]
+
+
 def test_ivf_recall_vs_bruteforce(ray_session):
     import ray.data as rd
 

@@ -752,6 +752,34 @@ def _q_phash_knn(sf_dir: str):
     return top
 
 
+def _q_audio_features(sf_dir: str):
+    """Audio feature extraction (real int16-PCM DSP: rms / zero
+    crossings / peak / duration) through a map_batches actor-pool stage
+    over the documents-derived audio table."""
+    from mvt_wrangler_ray.sources.media import audio_from_documents
+    from mvt_wrangler_ray.stages.media import AudioFeatureStage
+
+    # autoscaling pool (min 1): a FIXED pool of N actors on an N-cpu
+    # session would hold every slot and starve the upstream read tasks
+    return audio_from_documents(sf_dir).map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, 4), fn_constructor_kwargs={"id_col": "doc_id"})
+
+
+def _q_frame_sample(sf_dir: str):
+    """Video frame sampling: parse the FVID container, keep every 4th
+    frame, emit per-frame rows with the exact-integer frame mean (the
+    multimodal flat-map expansion as one actor-pool map_batches)."""
+    from mvt_wrangler_ray.sources.media import videos_from_documents
+    from mvt_wrangler_ray.stages.media import FrameSampleStage
+
+    return videos_from_documents(sf_dir).map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=128,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"every": 4, "encode_frames": False,
+                               "id_col": "doc_id"})
+
+
 def _q_features_transform(sf_dir: str):
     """Reference-shaped features table through the full map-tag filter
     semantics (deterministic synthetic extract; size independent of
@@ -1290,6 +1318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "jaccard_near_dup": _q_jaccard_near_dup,
         "decode_images": _q_decode_images,
+        "audio_features": _q_audio_features,
+        "frame_sample": _q_frame_sample,
         "wrangle_tiles": _q_wrangle_tiles,
         "features_transform": _q_features_transform,
         "dedup_clusters": _q_dedup_clusters,
@@ -1571,6 +1601,58 @@ def _sql_wrangle_tiles(zoom: int = 8) -> str:
         f"CAST({zoom} AS BIGINT) AS z, t.x, t.y, t.n_features "
         "FROM tiles t JOIN pos p ON t.x = p.tx AND t.y = p.ty")
     return _sql_hilbert_tiles(zoom, tiles_sql, tail)
+
+
+def _sql_audio_features() -> str:
+    """stages/media.AudioFeatureStage over the documents-derived PCM
+    (sources/media: sample[t] = ((t*s + tl) mod 65536) - 32768). Square
+    sums and crossing counts are exact integers, so rms and duration are
+    bit-identical doubles. The previous sample re-derives from the
+    closed form — no window function needed."""
+    fnv = _sql_fnv64("printf('aud%08d', doc_id)", 11)
+    return f"""
+WITH au AS (SELECT doc_id, {fnv} AS h FROM documents),
+par AS (SELECT doc_id,
+  CAST((h | CAST(1 AS UBIGINT)) % 65536 AS HUGEINT) AS s,
+  CAST(h >> 7 AS HUGEINT) AS tl FROM au),
+v AS (SELECT doc_id,
+  CAST((t * s + tl) % 65536 AS BIGINT) - 32768 AS x,
+  CASE WHEN t = 0 THEN NULL
+       ELSE CAST(((t - 1) * s + tl) % 65536 AS BIGINT) - 32768 END AS xp
+  FROM (SELECT doc_id, s, tl, unnest(range(4096)) AS t FROM par)),
+agg AS (SELECT doc_id, sum(x * x) AS ss,
+  sum(CASE WHEN xp IS NOT NULL AND ((x >= 0) != (xp >= 0))
+      THEN 1 ELSE 0 END) AS zc,
+  max(abs(x)) AS pk FROM v GROUP BY 1)
+SELECT doc_id, sqrt(CAST(ss AS DOUBLE) / 4096) AS rms,
+  CAST(zc AS BIGINT) AS zcr, CAST(pk AS BIGINT) AS peak,
+  CAST(4096 AS DOUBLE) / CAST(8000 AS DOUBLE) AS duration_s
+FROM agg"""
+
+
+def _sql_frame_sample() -> str:
+    """stages/media.FrameSampleStage(every=4, encode_frames=False) over
+    the documents-derived FVID videos: frame f pixel p =
+    ((p + f*7919)*s + tl) mod 256 on a 15x15 plane (sources/media);
+    frame_mean divides the exact integer pixel sum by 225."""
+    fnv = _sql_fnv64("printf('vid%08d', doc_id)", 11)
+    return f"""
+WITH vi AS (SELECT doc_id, {fnv} AS h FROM documents),
+par AS (SELECT doc_id,
+  CAST(8 + CAST(h % 9 AS BIGINT) AS BIGINT) AS nf,
+  CAST((h | CAST(1 AS UBIGINT)) % 256 AS BIGINT) AS s,
+  CAST((h >> 7) % 256 AS BIGINT) AS tl FROM vi),
+sf AS (SELECT doc_id, s, tl, f
+  FROM (SELECT doc_id, s, tl, unnest(range(nf)) AS f FROM par)
+  WHERE f % 4 = 0),
+px AS (SELECT doc_id, f,
+  CAST(sum(((p + f * 7919) * s + tl) % 256) AS DOUBLE) / 225 AS fm
+  FROM (SELECT doc_id, f, s, tl, unnest(range(225)) AS p FROM sf)
+  GROUP BY 1, 2)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+  CAST(15 AS INTEGER) AS frame_w, CAST(15 AS INTEGER) AS frame_h,
+  fm AS frame_mean
+FROM px"""
 
 
 def _sql_decode_images() -> str:
@@ -2099,6 +2181,8 @@ def oracle_sql() -> dict[str, str]:
         "wrangle_tiles": _sql_wrangle_tiles(8),
         "approx_distinct": _sql_approx_distinct(),
         "decode_images": _sql_decode_images(),
+        "audio_features": _sql_audio_features(),
+        "frame_sample": _sql_frame_sample(),
         "minhash_near_dup": _sql_minhash_near_dup(0.5),
         "jaccard_near_dup": _sql_jaccard_near_dup(0.5),
         "dedup_clusters": _sql_dedup_clusters(0.35),

@@ -609,7 +609,6 @@ def simhash_near_dups(ds_docs, max_hamming: int = 3, col: str = "text",
     signature lookup. Returns (id_a, id_b, hamming) sorted."""
     import ray
 
-    from .events import broadcast_semi_join
     from .shuffle import add_bucket_column
 
     empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
@@ -623,57 +622,17 @@ def simhash_near_dups(ds_docs, max_hamming: int = 3, col: str = "text",
     bucketed = bands.map_batches(
         lambda b: add_bucket_column(b, ["band", "band_val"], num_buckets),
         batch_format="pyarrow")
-
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        df = g.select(["band", "band_val", "doc_id"]).to_pandas()
-        df = df.sort_values(["band", "band_val", "doc_id"], kind="stable")
-        key = df["band"].to_numpy().astype(np.int64) * np.int64(1 << 32) ^ \
-            df["band_val"].to_numpy().astype(np.int64)
-        ids = df["doc_id"].to_numpy()
-        cuts = np.nonzero(np.diff(key))[0] + 1
-        starts = np.concatenate([[0], cuts])
-        ends = np.concatenate([cuts, [len(key)]])
-        out_a, out_b = [], []
-        for st, en in zip(starts, ends):
-            m = en - st
-            if m < 2 or m > bucket_cap:
-                continue
-            ia, ib = np.triu_indices(m, k=1)
-            out_a.append(ids[st + ia])
-            out_b.append(ids[st + ib])
-        if not out_a:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                         "id_b": pa.array(np.concatenate(out_b), pa.int64())})
-
     cand = bucketed.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    pair_bucketed = cand.map_batches(
-        lambda b: add_bucket_column(b, ["id_a", "id_b"], num_buckets),
+        lambda g: _segment_pairs_table(g, ["band", "band_val"], "doc_id",
+                                       bucket_cap),
         batch_format="pyarrow")
-
-    def distinct(g: pa.Table) -> pa.Table:
-        df = g.select(["id_a", "id_b"]).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    cand = (pair_bucketed.groupby("bucket")
-            .map_groups(distinct, batch_format="pyarrow").materialize())
+    cand = _distinct_pairs(cand, num_buckets).materialize()
     if cand.count() == 0:
         return empty
 
     # broadcast the (8-byte) signatures of candidate ids only; verify in
     # map_batches over the pairs Dataset
-    def distinct_ids(b: pa.Table) -> pa.Table:
-        u = pa.concat_arrays([b["id_a"].combine_chunks().cast(pa.int64()),
-                              b["id_b"].combine_chunks().cast(pa.int64())]).unique()
-        return pa.table({id_col: u})
-
-    need = np.unique(cand.map_batches(distinct_ids, batch_format="pyarrow")
-                     .to_pandas()[id_col].to_numpy())
-    id_ref = ray.put(set(need.tolist()))
-    sigs = broadcast_semi_join(sh, id_col, id_ref).to_pandas()
-    sig_ref = ray.put(dict(zip(sigs[id_col], sigs["simhash"])))
+    sig_ref = _broadcast_candidate_column(cand, sh, id_col, "simhash")
     cache: dict = {}
 
     def verify(b: pa.Table) -> pa.Table:
@@ -698,12 +657,11 @@ def simhash_near_dups(ds_docs, max_hamming: int = 3, col: str = "text",
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-element popcount(xor): one unpackbits over the byte view of
+    the whole vector (no 64-iteration shift loop)."""
     x = (np.asarray(a).astype(np.uint64) ^ np.asarray(b).astype(np.uint64))
-    cnt = np.zeros(len(x), dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    return cnt
+    by = np.ascontiguousarray(x)[:, None].view(np.uint8)   # (n, 8)
+    return np.unpackbits(by, axis=1).sum(axis=1).astype(np.int64)
 
 
 # ---- embedding near-dup ----------------------------------------------

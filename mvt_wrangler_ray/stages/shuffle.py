@@ -18,6 +18,15 @@ time. This module implements the scale pattern explicitly:
 At 256 nodes the same plan holds: phase-1 output is O(blocks × keys/block),
 the exchange is narrow (aggregate columns only), and bucket count scales
 with cluster size, not key count.
+
+Measured alternative (round 2, rejected): Ray 2.49's
+``ShuffleStrategy.HASH_SHUFFLE`` + ``repartition(keys=...)`` lets phase 2
+run as a plain per-block Arrow group_by with no sort — but at the
+headline's 2.85M-key tile-count exchange it measured 13.9 s vs 5.3 s for
+this sort-based bucketed plan (and 19.5 s when the built-in
+groupby().map_groups ran on the hash backend). The 64-value bucket sort
+is near-free; the hash operator's fixed 200-partition fan-out and
+per-partition overheads dominate at this shape.
 """
 
 from __future__ import annotations

@@ -227,12 +227,19 @@ def scaling():
 
     ray.shutdown()
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, __file__, "--headline-only"],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # two full subprocess runs per level, keep the faster: host-steal
+        # noise on this sandbox is one-sided (it only slows runs), so the
+        # per-level minimum is the right estimator for the ratio
+        a, b = run_once(ncpu), run_once(ncpu)
+        return a if a["value"] <= b["value"] else b
 
     lo, mid, hi = run(8), run(16), run(32)
     eff_4x = (lo["value"] / hi["value"]) / (32 / 8)

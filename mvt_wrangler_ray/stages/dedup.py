@@ -339,15 +339,33 @@ def _verify_jaccard_pairs(cand, ds_docs, threshold: float, col: str,
     lookup_cache: dict = {}
 
     def verify(b: pa.Table) -> pa.Table:
-        lookup = lookup_cache.get("l")
-        if lookup is None:
-            lookup = lookup_cache["l"] = ray.get(lookup_ref)
+        state = lookup_cache.get("l")
+        if state is None:
+            state = lookup_cache["l"] = (ray.get(lookup_ref), {})
+        lookup, shingle_sets = state
+
+        def doc_set(i):
+            # each candidate doc participates in MANY pairs; shingle its
+            # text once per worker, not once per pair
+            s = shingle_sets.get(i)
+            if s is None:
+                s = shingle_sets[i] = set(
+                    _shingles(lookup.get(i, ""), k).tolist())
+            return s
+
         ia = b["id_a"].to_numpy(zero_copy_only=False)
         ib = b["id_b"].to_numpy(zero_copy_only=False)
-        js = np.fromiter(
-            (jaccard(lookup.get(a, ""), lookup.get(bb, ""), k)
-             for a, bb in zip(ia, ib)),
-            dtype=np.float64, count=len(b))
+
+        def pair_j(a, bb):
+            sa, sb = doc_set(a), doc_set(bb)
+            if not sa and not sb:
+                return 1.0
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter    # same ints as len(sa|sb)
+            return inter / union if union else 0.0
+
+        js = np.fromiter((pair_j(a, bb) for a, bb in zip(ia, ib)),
+                         dtype=np.float64, count=len(b))
         out = pa.table({"id_a": pa.array(ia.astype(np.int64), pa.int64()),
                         "id_b": pa.array(ib.astype(np.int64), pa.int64()),
                         "jaccard": pa.array(js, pa.float64())})
@@ -368,25 +386,37 @@ def _verify_jaccard_pairs(cand, ds_docs, threshold: float, col: str,
 _EMPTY_DOC_GRAM = np.uint64(0)
 
 
-def ngram_prefix_rows(texts, ids, threshold: float, k: int = 3) -> pa.Table:
+def ngram_prefix_rows(texts, ids, threshold: float, k: int = 3,
+                      hot=None) -> pa.Table:
     """AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
     public literature — no reference-repo counterpart): order each
-    document's DISTINCT gram-hash set by a fixed global total order (the
-    hash value), and emit only the first  m - ceil(t*m) + 1  grams. Any
-    pair with Jaccard >= t is guaranteed to share at least one emitted
-    prefix gram, so the inverted-index join over prefix rows is a
-    LOSSLESS candidate generator — at a fraction of the index size, and
-    the narrow (gram, doc_id) rows are all that shuffles."""
+    document's DISTINCT gram-hash set by a fixed global total order, and
+    emit only the first  m - ceil(t*m) + 1  grams. Any pair with
+    Jaccard >= t is guaranteed to share at least one emitted prefix gram
+    (the lemma holds for ANY fixed total order), so the inverted-index
+    join over prefix rows is a LOSSLESS candidate generator — and the
+    narrow (gram, doc_id) rows are all that shuffles.
+
+    ``hot`` (optional set of gram hashes): frequency-aware order —
+    non-hot (rare) grams sort BEFORE hot (frequent) grams, hash-ordered
+    within each class. Prefixes then consist of the rarest grams, which
+    is what makes AllPairs selective on Zipfian corpora: a stop-gram
+    shared by half the corpus stops generating O(n²) candidates. Still a
+    fixed total order, so losslessness is unaffected."""
     out_g: list = []
     out_id: list = []
     for t, i in zip(texts, ids):
-        sh = np.unique(_shingles(t, k))  # distinct + ascending = global order
+        sh = np.unique(_shingles(t, k))  # distinct + ascending hash order
         m = len(sh)
         if m == 0:
             out_g.append(np.array([_EMPTY_DOC_GRAM], dtype=np.uint64))
             out_id.append(np.full(1, i, dtype=np.int64))
             continue
         p = m - int(np.ceil(threshold * m)) + 1
+        if hot is not None and m > p:
+            is_hot = np.fromiter((g in hot for g in sh.tolist()),
+                                 dtype=bool, count=m)
+            sh = sh[np.lexsort((sh, is_hot))]  # rare first, hash within
         out_g.append(sh[:p])
         out_id.append(np.full(p, i, dtype=np.int64))
     grams = (np.concatenate(out_g) if out_g
@@ -397,10 +427,41 @@ def ngram_prefix_rows(texts, ids, threshold: float, k: int = 3) -> pa.Table:
                      "doc_id": pa.array(dids, pa.int64())})
 
 
+def _hot_grams(ds_docs, col: str, k: int, min_df: int,
+               cap: int):
+    """Gram hashes whose document frequency >= min_df (capped at the
+    `cap` most frequent, deterministically tie-broken by gram hash) —
+    the broadcast side of the frequency-aware prefix order. One narrow
+    pass: only (gram) rows leave the map side, pre-reduced per block."""
+    from .shuffle import two_phase_aggregate
+
+    def explode_all(b: pa.Table) -> pa.Table:
+        gs = [np.unique(_shingles(t, k)) for t in b[col].to_pylist()]
+        allg = (np.concatenate(gs) if gs
+                else np.array([], dtype=np.uint64))
+        return pa.table({"gram": pa.array(allg.view(np.int64), pa.int64())})
+
+    grams = ds_docs.map_batches(explode_all, batch_format="pyarrow")
+    freq = two_phase_aggregate(
+        grams, keys=["gram"],
+        partial_aggs=[("gram", "count")], partial_names=["pc"],
+        final_aggs=[("pc", "sum")], final_names=["df"])
+    hot = (freq.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b["df"], min_df)),
+        batch_format="pyarrow")
+        .sort(["df", "gram"], descending=[True, False]).limit(cap)
+        .to_pandas())
+    if "gram" not in hot.columns:   # no gram reaches min_df: empty
+        return set()                # Dataset → schemaless empty frame
+    return set(np.asarray(hot["gram"], dtype=np.int64)
+               .view(np.uint64).tolist())
+
+
 def ngram_jaccard_near_dups(ds_docs, threshold: float = 0.5,
                             col: str = "text", id_col: str = "doc_id",
                             k: int = 3, bucket_cap: int = 10_000,
-                            num_buckets: int = 64) -> pd.DataFrame:
+                            num_buckets: int = 64, hot_min_df: int = 4,
+                            hot_cap: int = 100_000) -> pd.DataFrame:
     """EXACT n-gram-Jaccard near-duplicate pairs (id_a < id_b, jaccard):
     every pair with shingle-set Jaccard >= threshold, no LSH recall loss.
 
@@ -417,16 +478,24 @@ def ngram_jaccard_near_dups(ds_docs, threshold: float = 0.5,
     guards stop-gram degeneracy (a gram shared by >cap docs generates
     O(cap²) pairs; such grams are dropped with the same skew-guard
     contract as the LSH bands)."""
+    import ray
+
     from .shuffle import add_bucket_column
 
     empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                           "id_b": pd.Series([], dtype=np.int64),
                           "jaccard": pd.Series([], dtype=np.float64)})
 
+    hot_ref = ray.put(_hot_grams(ds_docs, col, k, hot_min_df, hot_cap)
+                      if hot_min_df else None)
+    hot_cache: dict = {}
+
     def explode(b: pa.Table) -> pa.Table:
+        if "h" not in hot_cache:
+            hot_cache["h"] = ray.get(hot_ref)
         return ngram_prefix_rows(b[col].to_pylist(),
                                  b[id_col].to_numpy(zero_copy_only=False),
-                                 threshold, k)
+                                 threshold, k, hot=hot_cache["h"])
 
     rows = ds_docs.map_batches(explode, batch_format="pyarrow")
     bucketed = rows.map_batches(

@@ -759,11 +759,19 @@ def _q_audio_features(sf_dir: str):
     from mvt_wrangler_ray.sources.media import audio_from_documents
     from mvt_wrangler_ray.stages.media import AudioFeatureStage
 
-    # autoscaling pool (min 1): a FIXED pool of N actors on an N-cpu
-    # session would hold every slot and starve the upstream read tasks
+    # stateless stage → elastic TASKS with a per-worker cached instance
+    # (no actor-pool startup wall; the actor-pool form stays available
+    # for stateful configs — model-backed feature extractors etc.)
+    _cache: dict = {}
+
+    def feats(b):
+        st = _cache.get("s")
+        if st is None:
+            st = _cache["s"] = AudioFeatureStage(id_col="doc_id")
+        return st(b)
+
     return audio_from_documents(sf_dir).map_batches(
-        AudioFeatureStage, batch_format="pyarrow", batch_size=128,
-        concurrency=(1, 4), fn_constructor_kwargs={"id_col": "doc_id"})
+        feats, batch_format="pyarrow", batch_size=128)
 
 
 def _q_frame_sample(sf_dir: str):
@@ -773,11 +781,17 @@ def _q_frame_sample(sf_dir: str):
     from mvt_wrangler_ray.sources.media import videos_from_documents
     from mvt_wrangler_ray.stages.media import FrameSampleStage
 
+    _cache: dict = {}
+
+    def sample(b):
+        st = _cache.get("s")
+        if st is None:
+            st = _cache["s"] = FrameSampleStage(
+                every=4, encode_frames=False, id_col="doc_id")
+        return st(b)
+
     return videos_from_documents(sf_dir).map_batches(
-        FrameSampleStage, batch_format="pyarrow", batch_size=128,
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"every": 4, "encode_frames": False,
-                               "id_col": "doc_id"})
+        sample, batch_format="pyarrow", batch_size=128)
 
 
 def _q_features_transform(sf_dir: str):

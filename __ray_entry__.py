@@ -680,8 +680,15 @@ def _q_decode_images(sf_dir: str):
     from mvt_wrangler_ray.sources.images import images_from_documents
     from mvt_wrangler_ray.stages.image import DecodeImageStage
     ds = images_from_documents(sf_dir)
-    out = ds.map_batches(DecodeImageStage, batch_format="pyarrow",
-                         batch_size=1024, concurrency=(1, 2))
+    _cache: dict = {}
+
+    def decode(b):
+        st = _cache.get("s")
+        if st is None:
+            st = _cache["s"] = DecodeImageStage()
+        return st(b)
+
+    out = ds.map_batches(decode, batch_format="pyarrow", batch_size=1024)
     return out.select_columns(["doc_id", "sniffed_fmt", "phash_recomputed"])
 
 

@@ -26,7 +26,8 @@ import pyarrow as pa
 def clean_corpus(ds, min_quality: float = 0.2, langs=("en",),
                  near_dup_threshold: float = 0.7,
                  id_col: str = "doc_id", text_col: str = "text",
-                 broadcast_id_limit: int = 5_000_000):
+                 broadcast_id_limit: int = 5_000_000,
+                 near_dup_pairs_limit: int = 2_000_000):
     """→ (survivors_ds, stats dict). Requires columns id_col, text_col.
 
     `broadcast_id_limit` is the exact-dedup plan cutover: below it the
@@ -76,17 +77,37 @@ def clean_corpus(ds, min_quality: float = 0.2, langs=("en",),
             gated, col=text_col, id_col=id_col).materialize()
 
     # near-dup: cluster verified pairs, drop everything but each
-    # cluster's min id
-    pairs = minhash_near_dups(exact_survivors, threshold=near_dup_threshold,
-                              col=text_col, id_col=id_col)
-    if len(pairs):
-        clusters = cluster_pairs(pairs)
+    # cluster's min id. Same cutover shape as exact dedup: below
+    # `near_dup_pairs_limit` the pair graph clusters on the driver
+    # (union-find) and the drop set broadcasts; above it, clustering runs
+    # as distributed min-label propagation to fixpoint and the drop ids
+    # anti-join through one bucketed exchange — no driver state.
+    pairs_ds = minhash_near_dups(exact_survivors, threshold=near_dup_threshold,
+                                 col=text_col, id_col=id_col,
+                                 as_dataset=True).materialize()
+    n_pairs = pairs_ds.count()
+    stats["near_dup_pairs"] = n_pairs
+    if n_pairs == 0:
+        stats["near_dup_dropped"] = 0
+        survivors = exact_survivors
+    elif n_pairs <= near_dup_pairs_limit:
+        clusters = cluster_pairs(pairs_ds.to_pandas())
         drop = set(clusters.loc[
             clusters["doc_id"] != clusters["cluster_id"], "doc_id"].tolist())
+        stats["near_dup_dropped"] = len(drop)
+        dref = ray.put(drop)
+        survivors = broadcast_semi_join(exact_survivors, id_col, dref,
+                                        anti=True)
     else:
-        drop = set()
-    stats["near_dup_dropped"] = len(drop)
-    dref = __import__("ray").put(drop)
-    survivors = broadcast_semi_join(exact_survivors, id_col, dref, anti=True)
+        from ..stages.dedup import label_propagation_converged
+        from ..stages.shuffle import bucketed_key_semi_join
+
+        labels = label_propagation_converged(pairs_ds)
+        drops = labels.map_batches(
+            lambda b: b.filter(pa.compute.not_equal(b["node"], b["label"])),
+            batch_format="pyarrow").materialize()
+        stats["near_dup_dropped"] = drops.count()
+        survivors = bucketed_key_semi_join(
+            exact_survivors, drops, id_col, right_key="node", anti=True)
     stats["output"] = survivors.count()
     return survivors, stats

@@ -297,7 +297,8 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
 
 
 def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
-                      id_col: str = "doc_id", **kw):
+                      id_col: str = "doc_id", as_dataset: bool = False,
+                      **kw):
     """Candidate pairs + exact-Jaccard verify. The verify stage is
     distributed and the corpus never materializes on the driver:
 
@@ -320,16 +321,23 @@ def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
     cand = minhash_candidate_pairs(ds_docs, col=col, id_col=id_col,
                                    **kw).materialize()
     if cand.count() == 0:
+        if as_dataset:
+            import ray.data as rd
+            return rd.from_pandas(empty)
         return empty
-    return _verify_jaccard_pairs(cand, ds_docs, threshold, col, id_col)
+    return _verify_jaccard_pairs(cand, ds_docs, threshold, col, id_col,
+                                 as_dataset=as_dataset)
 
 
 def _verify_jaccard_pairs(cand, ds_docs, threshold: float, col: str,
-                          id_col: str, k: int = 3) -> pd.DataFrame:
+                          id_col: str, k: int = 3,
+                          as_dataset: bool = False):
     """Exact-Jaccard verification of a candidate-pair Dataset against the
     docs Dataset: candidate texts fetched with a broadcast semi-join (the
     small side), verification inside map_batches over the pairs. Shared
-    by the minhash-LSH and prefix-filter candidate generators."""
+    by the minhash-LSH and prefix-filter candidate generators.
+    ``as_dataset=True`` returns the verified-pairs Dataset unmaterialized
+    (the billion-pair path: downstream clustering runs distributed)."""
     import ray
 
     empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
@@ -371,7 +379,10 @@ def _verify_jaccard_pairs(cand, ds_docs, threshold: float, col: str,
                         "jaccard": pa.array(js, pa.float64())})
         return out.filter(pa.array(js >= threshold))
 
-    out = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
+    verified = cand.map_batches(verify, batch_format="pyarrow")
+    if as_dataset:
+        return verified
+    out = verified.to_pandas()
     if len(out) == 0:
         return empty
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -613,6 +624,36 @@ def label_propagation_round(edges_ds, labels_ds):
         msgs.union(labels_ds), keys=["node"],
         partial_aggs=[("label", "min")], partial_names=["label"],
         final_aggs=[("label", "min")], final_names=["label"])
+
+
+def _exact_int_sum(ds, col: str) -> int:
+    """Exact sum of an int64 column with NO int64-overflow risk: each
+    batch reduces to one Python-int row (arbitrary precision crosses the
+    wire as object → the driver adds a handful of ints)."""
+    parts = ds.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [str(int(pa.compute.sum(b[col]).as_py() or 0))], pa.string())}),
+        batch_format="pyarrow").to_pandas()
+    return sum(int(s) for s in parts["s"])
+
+
+def label_propagation_converged(edges_ds, max_rounds: int = 64):
+    """Iterate label_propagation_round to the connected-components
+    fixpoint. Convergence test: the exact label sum is a strictly
+    decreasing integer potential (labels only ever shrink), so an
+    unchanged sum IS the fixpoint — no join against the previous round
+    needed, and the arbitrary-precision sum cannot overflow at any node
+    count. Rounds needed = graph diameter (near-dup clusters are
+    shallow; max_rounds is a runaway bound, not a tuning knob)."""
+    labels = None
+    prev = None
+    for _ in range(max_rounds):
+        labels = label_propagation_round(edges_ds, labels).materialize()
+        s = _exact_int_sum(labels, "label")
+        if s == prev:
+            return labels
+        prev = s
+    return labels
 
 
 # ---- simhash ----------------------------------------------------------

@@ -130,6 +130,54 @@ def two_phase_aggregate(
         batch_format="pyarrow")
 
 
+def bucketed_key_semi_join(left, keys_ds, key: str, right_key: str = None,
+                           anti: bool = False, num_buckets: int = 32):
+    """Semi (or anti) join of a payload Dataset against a NARROW key
+    Dataset, for when the key set is too large to broadcast
+    (events.broadcast_semi_join is the no-shuffle plan below that): both
+    sides bucket by key hash, and each bucket filters the payload rows
+    with one vectorized isin against its co-located key rows. Payload
+    rows move exactly once; the key side is one int column."""
+    right_key = right_key or key
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        b = add_bucket_column(b, [key], num_buckets)
+        return b.append_column("_side", pa.array(np.zeros(len(b), np.int8)))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[right_key].cast(pa.int64())})
+        t = add_bucket_column(t, [key], num_buckets)
+        return t.append_column("_side", pa.array(np.ones(len(t), np.int8)))
+
+    lschema = left.schema()
+    type_of = dict(zip(lschema.names, lschema.types))
+    all_cols = list(lschema.names) + ["bucket", "_side"]
+    type_of["bucket"] = pa.int64()
+    type_of["_side"] = pa.int8()
+
+    def align(b: pa.Table) -> pa.Table:
+        return pa.table({c: (b[c] if c in b.column_names
+                             else pa.nulls(len(b), type_of[c]))
+                         for c in all_cols})
+
+    unioned = (left.map_batches(tag_left, batch_format="pyarrow")
+               .map_batches(align, batch_format="pyarrow")
+               .union(keys_ds.map_batches(tag_right, batch_format="pyarrow")
+                      .map_batches(align, batch_format="pyarrow")))
+
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        kv = g[key].to_numpy(zero_copy_only=False)
+        keys = np.unique(kv[side == 1])
+        rows = g.filter(pa.array(side == 0))
+        hit = np.isin(rows[key].to_numpy(zero_copy_only=False), keys)
+        out = rows.filter(pa.array(~hit if anti else hit))
+        return out.drop_columns(["bucket", "_side"])
+
+    return unioned.groupby("bucket").map_groups(
+        filter_bucket, batch_format="pyarrow")
+
+
 def bucketed_hash_join(left, right, left_key: str, right_key: str,
                        num_buckets: int = 32, how: str = "inner"):
     """Partitioned hash join for two LARGE sides (the guide's portable

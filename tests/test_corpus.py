@@ -87,6 +87,14 @@ def test_clean_corpus_cutover_plans_agree(ray_session):
     ids2 = sorted(s2.to_pandas()["doc_id"].tolist())
     assert ids1 == ids2
     assert st1["after_exact_dedup"] == st2["after_exact_dedup"]
+    # distributed near-dup clustering (label propagation + bucketed
+    # anti-join) must agree with driver union-find + broadcast
+    s3, st3 = clean_corpus(rd.from_arrow(t), min_quality=0.1, langs=("en",),
+                           near_dup_pairs_limit=0)
+    ids3 = sorted(s3.to_pandas()["doc_id"].tolist())
+    assert ids3 == ids1
+    assert st3["near_dup_dropped"] == st1["near_dup_dropped"]
+    assert st1["near_dup_pairs"] > 0  # the cutover actually exercised
 
 
 def test_ivf_recall_vs_bruteforce(ray_session):

@@ -298,6 +298,7 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16,
 
 def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
                       id_col: str = "doc_id", as_dataset: bool = False,
+                      broadcast_pairs_limit: int = 2_000_000,
                       **kw):
     """Candidate pairs + exact-Jaccard verify. The verify stage is
     distributed and the corpus never materializes on the driver:
@@ -320,13 +321,20 @@ def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
     # is cheap and guards the empty case; the corpus itself still streams
     cand = minhash_candidate_pairs(ds_docs, col=col, id_col=id_col,
                                    **kw).materialize()
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         if as_dataset:
             import ray.data as rd
             return rd.from_pandas(empty)
         return empty
-    return _verify_jaccard_pairs(cand, ds_docs, threshold, col, id_col,
-                                 as_dataset=as_dataset)
+    # verify-plan cutover: the broadcast text lookup is ~3x faster at
+    # bench scale but ships every candidate text to driver + workers;
+    # past the limit the bucketed-join verify keeps everything
+    # distributed (same output — equivalence pytest)
+    verify = (_verify_jaccard_pairs if n_cand <= broadcast_pairs_limit
+              else _verify_jaccard_pairs_bucketed)
+    return verify(cand, ds_docs, threshold, col, id_col,
+                  as_dataset=as_dataset)
 
 
 def _verify_jaccard_pairs(cand, ds_docs, threshold: float, col: str,
@@ -380,6 +388,75 @@ def _verify_jaccard_pairs(cand, ds_docs, threshold: float, col: str,
         return out.filter(pa.array(js >= threshold))
 
     verified = cand.map_batches(verify, batch_format="pyarrow")
+    if as_dataset:
+        return verified
+    out = verified.to_pandas()
+    if len(out) == 0:
+        return empty
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _verify_jaccard_pairs_bucketed(cand, ds_docs, threshold: float,
+                                   col: str, id_col: str, k: int = 3,
+                                   as_dataset: bool = False):
+    """Fully-distributed exact-Jaccard verify — the cutover when the
+    candidate set is too large for the broadcast text lookup of
+    _verify_jaccard_pairs (which ships every candidate text to the
+    driver and every worker). Texts attach through two bucketed hash
+    joins (each pair row moves twice, co-located with its doc text by id
+    hash); verification runs in map_batches with a per-worker
+    shingle-set cache keyed by doc id, so a doc in many pairs still
+    shingles once per worker. Measured at sf0.1 the broadcast path is
+    ~3x faster (the joins' exchanges dominate tiny candidate sets) —
+    this one exists for the corpus where the candidate set itself is
+    big data."""
+    from .shuffle import bucketed_hash_join
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=np.float64)})
+    docs = ds_docs.map_batches(
+        lambda b: b.select([id_col, col]), batch_format="pyarrow")
+    ta_col = f"_{col}_a"
+    with_a = bucketed_hash_join(cand, docs, "id_a", id_col,
+                                num_buckets=16).map_batches(
+        lambda b: b.rename_columns(
+            [ta_col if c == col else c for c in b.column_names]),
+        batch_format="pyarrow")
+    with_ab = bucketed_hash_join(with_a, docs, "id_b", id_col,
+                                 num_buckets=16)
+    shingle_cache: dict = {}
+
+    def doc_set(i, text):
+        s = shingle_cache.get(i)
+        if s is None:
+            s = shingle_cache[i] = set(_shingles(text or "", k).tolist())
+        return s
+
+    def verify(b: pa.Table) -> pa.Table:
+        ia = b["id_a"].to_numpy(zero_copy_only=False)
+        ib = b["id_b"].to_numpy(zero_copy_only=False)
+        texts_a = b[ta_col].to_pylist()
+        texts_b = b[col].to_pylist()
+
+        def pair_j(a, bb, txa, txb):
+            sa, sb = doc_set(a, txa), doc_set(bb, txb)
+            if not sa and not sb:
+                return 1.0
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            return inter / union if union else 0.0
+
+        js = np.fromiter(
+            (pair_j(a, bb, txa, txb)
+             for a, bb, txa, txb in zip(ia, ib, texts_a, texts_b)),
+            dtype=np.float64, count=len(b))
+        out = pa.table({"id_a": pa.array(ia.astype(np.int64), pa.int64()),
+                        "id_b": pa.array(ib.astype(np.int64), pa.int64()),
+                        "jaccard": pa.array(js, pa.float64())})
+        return out.filter(pa.array(js >= threshold))
+
+    verified = with_ab.map_batches(verify, batch_format="pyarrow")
     if as_dataset:
         return verified
     out = verified.to_pandas()
@@ -472,7 +549,9 @@ def ngram_jaccard_near_dups(ds_docs, threshold: float = 0.5,
                             col: str = "text", id_col: str = "doc_id",
                             k: int = 3, bucket_cap: int = 10_000,
                             num_buckets: int = 64, hot_min_df: int = 4,
-                            hot_cap: int = 100_000) -> pd.DataFrame:
+                            hot_cap: int = 100_000,
+                            broadcast_pairs_limit: int = 2_000_000
+                            ) -> pd.DataFrame:
     """EXACT n-gram-Jaccard near-duplicate pairs (id_a < id_b, jaccard):
     every pair with shingle-set Jaccard >= threshold, no LSH recall loss.
 
@@ -516,9 +595,12 @@ def ngram_jaccard_near_dups(ds_docs, threshold: float = 0.5,
         lambda g: _segment_pairs_table(g, ["gram"], "doc_id", bucket_cap),
         batch_format="pyarrow")
     cand = _distinct_pairs(cand, num_buckets).materialize()
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return empty
-    return _verify_jaccard_pairs(cand, ds_docs, threshold, col, id_col, k)
+    verify = (_verify_jaccard_pairs if n_cand <= broadcast_pairs_limit
+              else _verify_jaccard_pairs_bucketed)
+    return verify(cand, ds_docs, threshold, col, id_col, k)
 
 
 def cluster_pairs(pairs: pd.DataFrame, large_threshold: int = 2_000_000):

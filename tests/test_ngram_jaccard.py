@@ -67,6 +67,25 @@ def test_prefix_rows_bounds():
     assert per_doc[2] == 1                    # single joined gram
 
 
+def test_verify_plan_cutover_equivalence(ray_session):
+    """broadcast_pairs_limit=0 forces the bucketed-join verify (the
+    too-big-to-broadcast path); output must equal the broadcast plan for
+    both the minhash and the exact prefix-filter generators."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.dedup import minhash_near_dups
+
+    docs = _corpus(np.random.default_rng(13), n_bg=60)
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    for fn in (ngram_jaccard_near_dups, minhash_near_dups):
+        a = fn(rd.from_arrow(t), threshold=0.5)
+        b = fn(rd.from_arrow(t), threshold=0.5, broadcast_pairs_limit=0)
+        assert a[["id_a", "id_b", "jaccard"]].values.tolist() == \
+            b[["id_a", "id_b", "jaccard"]].values.tolist()
+        assert len(a) > 0
+
+
 def test_stop_gram_cap_documented_drop(ray_session):
     """A gram shared by more than bucket_cap docs is skipped by the skew
     guard — candidate loss is the documented contract (same as the LSH

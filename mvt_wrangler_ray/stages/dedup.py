@@ -886,11 +886,19 @@ class HyperplaneLSHStage:
 
 def embedding_near_dups(ds_emb, threshold: float = 0.95,
                         vec_col: str = "embedding", id_col: str = "vec_id",
-                        nbits: int = 8):
+                        nbits: int = 8, bucket_cap: Optional[int] = None):
     """LSH-bucketed cosine near-dup pairs. Scale path: per-bucket
     brute-force only (buckets are small); exact pairs above threshold may
     miss cross-bucket pairs — that's the documented LSH recall trade; use
-    nbits=0 to force one bucket (exact, quadratic)."""
+    nbits=0 to force one bucket (exact, quadratic).
+
+    At scale, size nbits so buckets stay in worker memory (expected
+    bucket = n / 2^nbits, and the in-bucket matmul is quadratic) and set
+    ``bucket_cap``: a bucket larger than the cap is SKIPPED — the same
+    explicit skew-guard contract as the minhash/simhash band caps
+    (degenerate buckets, e.g. all-zero embeddings, otherwise take O(m²)
+    memory). Default None keeps every bucket (the exact small-data
+    mode the SQL oracle checks)."""
     dim = len(ds_emb.take(1)[0][vec_col])
     _cache: dict = {}
     key = (dim, nbits, vec_col, id_col)
@@ -905,7 +913,7 @@ def embedding_near_dups(ds_emb, threshold: float = 0.95,
     sig = ds_emb.map_batches(sig_batch, batch_format="pyarrow")
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        if len(g) < 2:
+        if len(g) < 2 or (bucket_cap is not None and len(g) > bucket_cap):
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})

@@ -185,6 +185,39 @@ class PngRecodeStage:
                 .append_column("psnr_db", pa.array(psnrs, pa.float64())))
 
 
+class LossyRecodeStage:
+    """Actor-pool stage around the from-scratch LJPG transform codec
+    (codecs/dct.py — 8×8 DCT + uniform quantization): decode each source
+    image, lossy-encode, decode back, and record the measured PSNR. The
+    round trip is genuinely NOT bit-exact, yet PSNR ≥ 40 dB is
+    guaranteed by the quantizer bound — the BASELINE.json lossy-format
+    invariant exercised by a real transform codec rather than a
+    bit-identical fake (tests/test_dct_codec.py asserts both halves)."""
+
+    def __init__(self, step: int = 2):
+        self.step = int(step)
+        self._inner = DecodeImageStage(compute_phash=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..codecs.dct import decode_ljpg, encode_ljpg
+
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        n = len(payloads)
+        out_bytes = []
+        psnrs = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            px = self._inner._decode(payloads[i], int(ws[i]), int(hs[i]))
+            blob = encode_ljpg(px, self.step)
+            back = decode_ljpg(blob)
+            psnrs[i] = psnr(px, back)
+            out_bytes.append(blob)
+        return (batch
+                .append_column("ljpg_bytes", pa.array(out_bytes, pa.binary()))
+                .append_column("psnr_db", pa.array(psnrs, pa.float64())))
+
+
 class ResizeStage:
     """REAL resize/thumbnail stage: decode (PNG via the stdlib codec, or
     the deterministic fake payloads), nearest-neighbor resample to the

@@ -26,6 +26,10 @@ def _main_images(argv):
     p.add_argument("-p", "--partitions", type=int, default=16)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--lossy-recode", type=int, default=0, metavar="STEP",
+                   help="re-encode payloads with the LJPG transform codec "
+                        "at this quantizer step (adds ljpg_bytes + psnr_db "
+                        "columns; every row must hold PSNR >= 40 dB)")
     args = p.parse_args(argv)
     filter_src = None
     if args.filter:
@@ -48,6 +52,13 @@ def _main_images(argv):
 
         ds = read_images(args.input)
         validate_images_schema(ds)
+        if args.lossy_recode:
+            from .stages.image import LossyRecodeStage
+
+            ds = ds.map_batches(
+                LossyRecodeStage, batch_format="pyarrow", batch_size=256,
+                concurrency=(1, 4),
+                fn_constructor_kwargs={"step": args.lossy_recode})
         recs = wrangle_write(ds, args.out_dir, EngineConfig(zoom=args.zoom),
                              filter_geojson=filter_src,
                              num_partitions=args.partitions,

@@ -111,6 +111,11 @@ class DecodeImageStage:
             from PIL import Image
 
             return np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
+        if payload[:4] == b"LJPG":
+            # REAL lossy transform codec (codecs/dct.py)
+            from ..codecs.dct import decode_ljpg
+
+            return decode_ljpg(payload)
         if sniff_format(payload) == "png":
             # REAL spec-compliant PNG decode (stdlib zlib codec). The
             # deterministic fake payloads carry only the magic, so they

@@ -46,6 +46,18 @@ def test_codec_is_genuinely_lossy():
     assert p8 < p
 
 
+def test_decode_stage_reads_ljpg_transparently():
+    from mvt_wrangler_ray.stages.image import DecodeImageStage
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    blob = encode_ljpg(img, step=2)
+    st = DecodeImageStage(compute_phash=False)
+    px = st._decode(blob, 40, 24)
+    assert np.array_equal(px, decode_ljpg(blob))
+    assert psnr(img, px) >= 40.0
+
+
 def test_bad_payloads_raise():
     img = np.zeros((8, 8), np.uint8)
     blob = encode_ljpg(img)

@@ -14,6 +14,22 @@ import os
 import sys
 
 
+def _init_ray(num_cpus):
+    """Attach to an existing cluster when one is advertised (the
+    `ray job submit` path sets RAY_ADDRESS to the cluster address), else
+    start a local instance. num_cpus only applies to a local start —
+    a real cluster's size is the cluster's business."""
+    import ray
+
+    if ray.is_initialized():
+        return
+    addr = os.environ.get("RAY_ADDRESS", "local")
+    kw = {"include_dashboard": False, "logging_level": "ERROR"}
+    if addr in ("local", ""):
+        ray.init(address="local", num_cpus=num_cpus, **kw)
+    else:
+        ray.init(address=addr, **kw)
+
 def _main_images(argv):
     """`python -m mvt_wrangler_ray images INPUT OUT_DIR [...]` — the
     flagship image pipeline: read images table → geotag → cells → tiles →
@@ -38,9 +54,7 @@ def _main_images(argv):
 
     import ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+    _init_ray(args.num_cpus)
     try:
         from ray.data import DataContext
 
@@ -91,9 +105,7 @@ def _main_corpus(argv):
 
     import ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+    _init_ray(args.num_cpus)
     try:
         from ray.data import DataContext
 
@@ -161,9 +173,7 @@ def main(argv=None):
 
     import ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+    _init_ray(args.num_cpus)
     try:
         from ray.data import DataContext
 

@@ -710,12 +710,19 @@ def label_propagation_round(edges_ds, labels_ds):
 
 def _exact_int_sum(ds, col: str) -> int:
     """Exact sum of an int64 column with NO int64-overflow risk: each
-    batch reduces to one Python-int row (arbitrary precision crosses the
-    wire as object → the driver adds a handful of ints)."""
-    parts = ds.map_batches(
-        lambda b: pa.table({"s": pa.array(
-            [str(int(pa.compute.sum(b[col]).as_py() or 0))], pa.string())}),
-        batch_format="pyarrow").to_pandas()
+    batch sums the low and high 32-bit halves separately (each bounded
+    by rows × 2³² ≪ 2⁶³), recombines in Python-int arithmetic, and ships
+    one decimal string; the driver adds a handful of big ints."""
+    def part(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        neg = int((v < 0).sum())          # two's-complement correction
+        u = v.view(np.uint64)
+        lo = int((u & np.uint64(0xFFFFFFFF)).sum(dtype=np.uint64))
+        hi = int((u >> np.uint64(32)).astype(np.int64).sum())
+        total = (hi << 32) + lo - (neg << 64)
+        return pa.table({"s": pa.array([str(total)], pa.string())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
     return sum(int(s) for s in parts["s"])
 
 

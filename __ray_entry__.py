@@ -692,6 +692,38 @@ def _q_decode_images(sf_dir: str):
     return out.select_columns(["doc_id", "sniffed_fmt", "phash_recomputed"])
 
 
+def _q_thumbnails(sf_dir: str):
+    """REAL thumbnail pipeline: nearest-neighbor resample to 32x32 and
+    re-encode each thumb as a genuine PNG (ResizeStage), then decode the
+    PNG BACK and report the pixel mean — so the driver hash certifies
+    the whole resample → encode_png → decode_png round trip against the
+    closed-form SQL resample."""
+    from mvt_wrangler_ray.codecs.png import decode_png
+    from mvt_wrangler_ray.sources.images import images_from_documents
+    from mvt_wrangler_ray.stages.image import ResizeStage
+
+    _cache: dict = {}
+
+    def thumbs(b: pa.Table) -> pa.Table:
+        st = _cache.get("s")
+        if st is None:
+            st = _cache["s"] = ResizeStage((32, 32))
+        out = st(b)
+        means = np.fromiter(
+            (decode_png(t).astype(np.int64).sum() / 1024
+             for t in out["thumb_bytes"].to_pylist()),
+            dtype=np.float64, count=len(out))
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "thumb_w": out["thumb_w"].cast(pa.int32()),
+            "thumb_h": out["thumb_h"].cast(pa.int32()),
+            "thumb_mean": pa.array(means, pa.float64()),
+        })
+
+    return images_from_documents(sf_dir).map_batches(
+        thumbs, batch_format="pyarrow", batch_size=256)
+
+
 def _q_knn_ivf(sf_dir: str):
     """IVF over a MATERIALIZED centroid-partitioned layout: build the
     index once (lineage-partitioned parquet, one shard per centroid),
@@ -1341,6 +1373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_images": _q_decode_images,
         "audio_features": _q_audio_features,
         "frame_sample": _q_frame_sample,
+        "thumbnails": _q_thumbnails,
         "wrangle_tiles": _q_wrangle_tiles,
         "features_transform": _q_features_transform,
         "dedup_clusters": _q_dedup_clusters,
@@ -1622,6 +1655,33 @@ def _sql_wrangle_tiles(zoom: int = 8) -> str:
         f"CAST({zoom} AS BIGINT) AS z, t.x, t.y, t.n_features "
         "FROM tiles t JOIN pos p ON t.x = p.tx AND t.y = p.ty")
     return _sql_hilbert_tiles(zoom, tiles_sql, tail)
+
+
+def _sql_thumbnails() -> str:
+    """ResizeStage._nearest_resample over the documents-derived fake
+    pixel fields (payload body 64 bytes — same closed form as the
+    decode_images oracle): thumb pixel (i, j) = src[min(i*h//32, h-1),
+    min(j*w//32, w-1)], src[r, c] = (((r*w + c) % 64) * s8 + t8) % 256;
+    the mean divides the exact 1024-pixel integer sum."""
+    fnv = _sql_fnv64("printf('img%08d', doc_id)", 11)
+    return f"""
+WITH img AS (SELECT doc_id, {fnv} AS h FROM documents),
+geom AS (SELECT doc_id,
+  CAST(32 + CAST(h % 97 AS BIGINT) AS BIGINT) AS w,
+  CAST(32 + CAST((h >> 8) % 97 AS BIGINT) AS BIGINT) AS hh,
+  CAST((h | 1) & 255 AS BIGINT) AS s8,
+  CAST((h >> 7) & 255 AS BIGINT) AS t8
+  FROM img),
+ij AS (SELECT doc_id, w, hh, s8, t8, i, unnest(range(32)) AS j
+  FROM (SELECT doc_id, w, hh, s8, t8, unnest(range(32)) AS i FROM geom)),
+px AS (SELECT doc_id,
+  (((least((i * hh) // 32, hh - 1) * w + least((j * w) // 32, w - 1))
+    % 64) * s8 + t8) % 256 AS val
+  FROM ij)
+SELECT doc_id,
+  CAST(32 AS INTEGER) AS thumb_w, CAST(32 AS INTEGER) AS thumb_h,
+  CAST(sum(val) AS DOUBLE) / 1024 AS thumb_mean
+FROM px GROUP BY 1"""
 
 
 def _sql_audio_features() -> str:
@@ -2204,6 +2264,7 @@ def oracle_sql() -> dict[str, str]:
         "decode_images": _sql_decode_images(),
         "audio_features": _sql_audio_features(),
         "frame_sample": _sql_frame_sample(),
+        "thumbnails": _sql_thumbnails(),
         "minhash_near_dup": _sql_minhash_near_dup(0.5),
         "jaccard_near_dup": _sql_jaccard_near_dup(0.5),
         "dedup_clusters": _sql_dedup_clusters(0.35),

@@ -168,3 +168,76 @@ def bloom_semi_join(ds, key_col: str, bloom_ref, anti: bool = False):
         return batch.filter(pa.array(m))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---- Count-Min sketch -------------------------------------------------
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): d rows × w
+    counters; point estimate = min over rows; overestimates only, by at
+    most ``e·N/w`` with probability ``1 − e^−d`` (N = stream length).
+    Merge = elementwise ADD (associative/commutative → per-batch
+    sketches combine in any shuffle order). Row hashes derive from the
+    same splitmix chain as everything else — deterministic across
+    workers."""
+
+    def __init__(self, w: int = 1 << 14, d: int = 4,
+                 table: Optional[np.ndarray] = None):
+        self.w, self.d = w, d
+        self.table = (table if table is not None
+                      else np.zeros((d, w), np.int64))
+
+    def _cols(self, h: np.ndarray) -> np.ndarray:
+        """(d, n) column indices: row j uses splitmix(h ^ (j+1))."""
+        out = np.empty((self.d, len(h)), np.int64)
+        for j in range(self.d):
+            out[j] = (_splitmix(h ^ np.uint64(j + 1))
+                      % np.uint64(self.w)).astype(np.int64)
+        return out
+
+    def add_hashes(self, h: np.ndarray, counts: Optional[np.ndarray] = None):
+        c = (np.ones(len(h), np.int64) if counts is None
+             else np.asarray(counts, np.int64))
+        cols = self._cols(h)
+        for j in range(self.d):
+            np.add.at(self.table[j], cols[j], c)
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        cols = self._cols(h)
+        return np.min(
+            np.stack([self.table[j][cols[j]] for j in range(self.d)]),
+            axis=0)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert (self.w, self.d) == (other.w, other.d)
+        return CountMin(self.w, self.d, self.table + other.table)
+
+    def to_bytes(self) -> bytes:
+        head = (int(self.d).to_bytes(2, "little")
+                + int(self.w).to_bytes(6, "little"))
+        return head + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMin":
+        d = int.from_bytes(b[:2], "little")
+        w = int.from_bytes(b[2:8], "little")
+        return cls(w, d, np.frombuffer(b[8:], np.int64).reshape(d, w).copy())
+
+
+def approx_counts(ds, col: str, values, w: int = 1 << 14, d: int = 4) -> dict:
+    """Approximate frequencies for `values` of ds[col] via per-batch
+    Count-Min sketches merged on the driver (blocks × d·w·8 bytes move;
+    no key shuffle — the heavy-hitter probe at 100 TB where an exact
+    per-key groupby would shuffle every row)."""
+    def sketch(batch: pa.Table) -> pa.Table:
+        cm = CountMin(w, d)
+        cm.add_hashes(_hash_column(batch[col]))
+        return pa.table({"sketch": pa.array([cm.to_bytes()], pa.binary())})
+
+    merged = CountMin(w, d)
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        merged = merged.merge(CountMin.from_bytes(row["sketch"]))
+    probe = pa.array(values)
+    est = merged.estimate_hashes(_hash_column(probe))
+    return dict(zip(values, (int(x) for x in est)))

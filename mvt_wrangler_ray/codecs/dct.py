@@ -69,6 +69,8 @@ def decode_ljpg(data: bytes) -> np.ndarray:
     """LJPG bytes → gray8 (h, w). Raises ValueError on bad payloads."""
     if data[:4] != LJPG_MAGIC:
         raise ValueError("not an LJPG payload")
+    if len(data) < 9:
+        raise ValueError("truncated LJPG header")
     h = int.from_bytes(data[4:6], "little")
     w = int.from_bytes(data[6:8], "little")
     step = data[8]

@@ -51,6 +51,15 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
         final_aggs=[(id_col, "min")], final_names=[id_col])
 
 
+def _empty_pairs(value_col: str = "jaccard",
+                 value_dtype=np.float64) -> pd.DataFrame:
+    """The canonical empty near-dup result frame — ONE definition so the
+    empty path cannot drift from the populated path's schema."""
+    return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                         "id_b": pd.Series([], dtype=np.int64),
+                         value_col: pd.Series([], dtype=value_dtype)})
+
+
 def exact_dedup_rows(ds, col: str = "text", id_col: str = "doc_id",
                      num_buckets: int = 64):
     """Full-ROW exact dedup with NO driver state: the scale path when the
@@ -314,9 +323,7 @@ def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
 
     Only verified pairs (tiny) and candidate texts (small) reach the
     driver; payloads of non-candidates move zero times."""
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                          "id_b": pd.Series([], dtype=np.int64),
-                          "jaccard": pd.Series([], dtype=np.float64)})
+    empty = _empty_pairs()
     # candidate pairs are narrow (two ids) and ≪ corpus: materializing THEM
     # is cheap and guards the empty case; the corpus itself still streams
     cand = minhash_candidate_pairs(ds_docs, col=col, id_col=id_col,
@@ -348,9 +355,7 @@ def _verify_jaccard_pairs(cand, ds_docs, threshold: float, col: str,
     (the billion-pair path: downstream clustering runs distributed)."""
     import ray
 
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                          "id_b": pd.Series([], dtype=np.int64),
-                          "jaccard": pd.Series([], dtype=np.float64)})
+    empty = _empty_pairs()
     lookup_ref = _broadcast_candidate_column(cand, ds_docs, id_col, col)
     lookup_cache: dict = {}
 
@@ -412,9 +417,7 @@ def _verify_jaccard_pairs_bucketed(cand, ds_docs, threshold: float,
     big data."""
     from .shuffle import bucketed_hash_join
 
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                          "id_b": pd.Series([], dtype=np.int64),
-                          "jaccard": pd.Series([], dtype=np.float64)})
+    empty = _empty_pairs()
     docs = ds_docs.map_batches(
         lambda b: b.select([id_col, col]), batch_format="pyarrow")
     ta_col = f"_{col}_a"
@@ -474,6 +477,23 @@ def _verify_jaccard_pairs_bucketed(cand, ds_docs, threshold: float,
 _EMPTY_DOC_GRAM = np.uint64(0)
 
 
+def _min_overlap(threshold: float, m: int) -> int:
+    """Smallest integer i such that the float64 ratio i/m compares >=
+    threshold — the minimal intersection any verify-accepted pair with
+    |A| = m can have (the tight side is union = m, i.e. B ⊆ A).
+
+    This MUST mirror the verify stage's float comparison, not real
+    arithmetic: np.ceil(threshold*m) disagrees with it at exact-integer
+    boundaries (e.g. float 0.55 × 100 = 55.000000000000004 ceils to 56,
+    yet a pair with J = 55/100 — whose float64 value equals the float64
+    literal 0.55 — PASSES `j >= 0.55` in verify), and an overshoot of 1
+    silently breaks the lossless-prefix guarantee."""
+    i = max(int(np.floor(threshold * m)) - 2, 0)
+    while i <= m and not (i / m >= threshold):
+        i += 1
+    return max(i, 1)
+
+
 def ngram_prefix_rows(texts, ids, threshold: float, k: int = 3,
                       hot=None) -> pa.Table:
     """AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
@@ -485,7 +505,8 @@ def ngram_prefix_rows(texts, ids, threshold: float, k: int = 3,
     join over prefix rows is a LOSSLESS candidate generator — and the
     narrow (gram, doc_id) rows are all that shuffles.
 
-    ``hot`` (optional set of gram hashes): frequency-aware order —
+    ``hot`` (optional sorted uint64 array of gram hashes):
+    frequency-aware order —
     non-hot (rare) grams sort BEFORE hot (frequent) grams, hash-ordered
     within each class. Prefixes then consist of the rarest grams, which
     is what makes AllPairs selective on Zipfian corpora: a stop-gram
@@ -500,10 +521,9 @@ def ngram_prefix_rows(texts, ids, threshold: float, k: int = 3,
             out_g.append(np.array([_EMPTY_DOC_GRAM], dtype=np.uint64))
             out_id.append(np.full(1, i, dtype=np.int64))
             continue
-        p = m - int(np.ceil(threshold * m)) + 1
-        if hot is not None and m > p:
-            is_hot = np.fromiter((g in hot for g in sh.tolist()),
-                                 dtype=bool, count=m)
+        p = m - _min_overlap(threshold, m) + 1
+        if hot is not None and len(hot) and m > p:
+            is_hot = np.isin(sh, hot)          # hot: sorted uint64 array
             sh = sh[np.lexsort((sh, is_hot))]  # rare first, hash within
         out_g.append(sh[:p])
         out_id.append(np.full(p, i, dtype=np.int64))
@@ -516,11 +536,13 @@ def ngram_prefix_rows(texts, ids, threshold: float, k: int = 3,
 
 
 def _hot_grams(ds_docs, col: str, k: int, min_df: int,
-               cap: int):
-    """Gram hashes whose document frequency >= min_df (capped at the
-    `cap` most frequent, deterministically tie-broken by gram hash) —
-    the broadcast side of the frequency-aware prefix order. One narrow
-    pass: only (gram) rows leave the map side, pre-reduced per block."""
+               cap: int) -> np.ndarray:
+    """SORTED uint64 array of gram hashes whose document frequency >=
+    min_df (capped at the `cap` most frequent, deterministically
+    tie-broken by gram hash) — the broadcast side of the frequency-aware
+    prefix order, kept as an array so membership tests are one np.isin.
+    One narrow pass: only (gram) rows leave the map side, pre-reduced
+    per block."""
     from .shuffle import two_phase_aggregate
 
     def explode_all(b: pa.Table) -> pa.Table:
@@ -540,9 +562,9 @@ def _hot_grams(ds_docs, col: str, k: int, min_df: int,
         .sort(["df", "gram"], descending=[True, False]).limit(cap)
         .to_pandas())
     if "gram" not in hot.columns:   # no gram reaches min_df: empty
-        return set()                # Dataset → schemaless empty frame
-    return set(np.asarray(hot["gram"], dtype=np.int64)
-               .view(np.uint64).tolist())
+        return np.array([], dtype=np.uint64)  # (schemaless empty frame)
+    return np.sort(np.asarray(hot["gram"], dtype=np.int64)
+                   .view(np.uint64))
 
 
 def ngram_jaccard_near_dups(ds_docs, threshold: float = 0.5,
@@ -572,9 +594,7 @@ def ngram_jaccard_near_dups(ds_docs, threshold: float = 0.5,
 
     from .shuffle import add_bucket_column
 
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                          "id_b": pd.Series([], dtype=np.int64),
-                          "jaccard": pd.Series([], dtype=np.float64)})
+    empty = _empty_pairs()
 
     hot_ref = ray.put(_hot_grams(ds_docs, col, k, hot_min_df, hot_cap)
                       if hot_min_df else None)
@@ -742,7 +762,13 @@ def label_propagation_converged(edges_ds, max_rounds: int = 64):
         if s == prev:
             return labels
         prev = s
-    return labels
+    # silently returning here would hand callers (clean_corpus) labels
+    # that have NOT reached the components fixpoint — duplicates would
+    # survive with no signal. A >max_rounds-diameter near-dup chain is
+    # pathological input worth surfacing, not papering over.
+    raise RuntimeError(
+        f"label propagation did not converge in {max_rounds} rounds "
+        "(component diameter exceeds max_rounds); raise max_rounds")
 
 
 # ---- simhash ----------------------------------------------------------
@@ -810,9 +836,7 @@ def simhash_near_dups(ds_docs, max_hamming: int = 3, col: str = "text",
 
     from .shuffle import add_bucket_column
 
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                          "id_b": pd.Series([], dtype=np.int64),
-                          "hamming": pd.Series([], dtype=np.int64)})
+    empty = _empty_pairs("hamming", np.int64)
     sh = ds_docs.map_batches(
         lambda b: simhash_batch(b, col).select([id_col, "simhash"]),
         batch_format="pyarrow").materialize()

@@ -105,17 +105,19 @@ class DecodeImageStage:
         self.compute_phash = compute_phash
 
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        if payload[:4] == b"LJPG":
+            # REAL lossy transform codec (codecs/dct.py) — checked BEFORE
+            # the PIL branch: PIL doesn't know this container and would
+            # raise UnidentifiedImageError where PIL is installed
+            from ..codecs.dct import decode_ljpg
+
+            return decode_ljpg(payload)
         if self._pil:  # pragma: no cover — not installed here
             import io
 
             from PIL import Image
 
             return np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
-        if payload[:4] == b"LJPG":
-            # REAL lossy transform codec (codecs/dct.py)
-            from ..codecs.dct import decode_ljpg
-
-            return decode_ljpg(payload)
         if sniff_format(payload) == "png":
             # REAL spec-compliant PNG decode (stdlib zlib codec). The
             # deterministic fake payloads carry only the magic, so they

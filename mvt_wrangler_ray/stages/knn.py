@@ -45,9 +45,11 @@ class BruteForceKnnStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             # pruned-away block (e.g. IVF partition filter): empty result
+            # with the SAME types the non-empty path derives — hardcoding
+            # int64 would break schema unification for non-int64 ids
             return pa.table({
-                "query_id": pa.array([], pa.int64()),
-                self.id_col: pa.array([], pa.int64()),
+                "query_id": pa.array(np.empty(0, self.qids.dtype)),
+                self.id_col: batch[self.id_col],
                 "score": pa.array([], pa.float64()),
             })
         mat = _normalize(_as_matrix(batch[self.vec_col]))

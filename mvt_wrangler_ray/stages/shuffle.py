@@ -139,8 +139,8 @@ def bucketed_key_semi_join(left, keys_ds, key: str, right_key: str = None,
     with one vectorized isin against its co-located key rows. Payload
     rows move exactly once; the key side is one int column."""
     right_key = right_key or key
-    _ls = left.schema()
-    key_type = dict(zip(_ls.names, _ls.types))[key]
+    lschema = left.schema()
+    key_type = dict(zip(lschema.names, lschema.types))[key]
 
     def tag_left(b: pa.Table) -> pa.Table:
         b = add_bucket_column(b, [key], num_buckets)
@@ -150,8 +150,6 @@ def bucketed_key_semi_join(left, keys_ds, key: str, right_key: str = None,
         t = pa.table({key: b[right_key].cast(key_type)})
         t = add_bucket_column(t, [key], num_buckets)
         return t.append_column("_side", pa.array(np.ones(len(t), np.int8)))
-
-    lschema = left.schema()
     type_of = dict(zip(lschema.names, lschema.types))
     all_cols = list(lschema.names) + ["bucket", "_side"]
     type_of["bucket"] = pa.int64()

@@ -53,6 +53,38 @@ def test_ngram_jaccard_equals_brute_force(ray_session, threshold):
         assert j == jaccard(docs[a], docs[b])
 
 
+def test_float_boundary_threshold_is_lossless(ray_session):
+    """Regression: float 0.55 × 100 = 55.000000000000004, so a
+    np.ceil-based prefix length overshoots by one and silently drops a
+    pair whose exact J = 55/100 — which PASSES the verify stage's float
+    comparison (float64(55/100) == float64(0.55)). The prefix bound must
+    mirror the verify comparison (_min_overlap), not real arithmetic."""
+    import ray.data as rd
+
+    vocab = [f"w{i:03d}" for i in range(300)]
+    # doc A: 102 words → 100 distinct 3-gram shingles; doc B = suffix of
+    # A sharing exactly 55 of them in every global order... construct by
+    # brute force: B = last 57 words of A → 55 shared grams, then pad B
+    # with unique words until |B| s.t. union makes J exactly 55/100
+    a_words = vocab[:102]
+    b_words = a_words[45:] + ["zz1", "zz2", "zz3"]  # tail + fresh tail
+    docs = [" ".join(a_words), " ".join(b_words)]
+    j = jaccard(docs[0], docs[1])
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    out = ngram_jaccard_near_dups(rd.from_arrow(t), threshold=j)
+    # the pair's jaccard equals the threshold exactly → verify keeps it,
+    # so candidate generation MUST surface it
+    assert [(0, 1)] == list(zip(out["id_a"], out["id_b"]))
+    # and the generic brute-force equality at the awkward threshold 0.55
+    corpus = _corpus(np.random.default_rng(3), n_bg=40)
+    tc = pa.table({"doc_id": pa.array(range(len(corpus)), pa.int64()),
+                   "text": pa.array(corpus, pa.string())})
+    got = ngram_jaccard_near_dups(rd.from_arrow(tc), threshold=0.55)
+    expect = _brute_pairs(corpus, 0.55)
+    assert {tuple(p) for p in zip(got["id_a"], got["id_b"])} == expect
+
+
 def test_prefix_rows_bounds():
     """Prefix slice obeys m - ceil(t*m) + 1 and empty docs emit the
     sentinel gram so J(∅,∅)=1 pairs still meet in candidate gen."""

@@ -731,6 +731,7 @@ def _q_knn_ivf(sf_dir: str):
     (hash-checkable vs the brute-force SQL oracle); partial-probe pruning
     is property-tested in tests/test_knn_ivf_index.py."""
     import hashlib
+    import os
 
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -744,9 +745,14 @@ def _q_knn_ivf(sf_dir: str):
     cents = train_centroids(sample, ncentroids=8)
     # deterministic per-input cache dir: the lineage sink's resume makes
     # re-invocation (bench warmup + timed run) reuse the built index
-    # instead of leaking a fresh copy per call
+    # instead of leaking a fresh copy per call. Keyed by the SOURCE
+    # FILE's identity (path + size + mtime) and the index params — a
+    # path-only key would silently serve a stale index after the fixture
+    # is regenerated (resume validates key ranges, not content)
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    cache_key = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|nc=8|seed=42"
     idx_dir = ("/tmp/ivf_idx_"
-               + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+               + hashlib.md5(cache_key.encode()).hexdigest()[:12])
     build_ivf_index(rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
                     cents, idx_dir)
     q = _load_query_vec(sf_dir)
@@ -1034,9 +1040,26 @@ def _q_range_count(sf_dir: str):
     from mvt_wrangler_ray.stages.joins import range_join_bucketed
     from mvt_wrangler_ray.stages.shuffle import _splitmix, grouped_count
 
-    ts = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"]
-    tvals = ts.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-    tmin, tmax = int(tvals.min()), int(tvals.max())
+    # min/max from parquet ROW-GROUP STATISTICS — no column materializes
+    # on the driver and the file is not scanned for two scalars
+    md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    los, his = [], []
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            if col.path_in_schema == "ts" and col.statistics is not None:
+                los.append(col.statistics.min)
+                his.append(col.statistics.max)
+    if los:
+        tmin = int(np.min(np.array(los, dtype="datetime64[us]")
+                          .astype(np.int64)))
+        tmax = int(np.max(np.array(his, dtype="datetime64[us]")
+                          .astype(np.int64)))
+    else:  # stats absent: fall back to the column scan
+        ts = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"]
+        tvals = (ts.to_numpy(zero_copy_only=False)
+                 .astype("datetime64[us]").astype(np.int64))
+        tmin, tmax = int(tvals.min()), int(tvals.max())
     span = max(tmax - tmin, 1)
     rid = np.arange(N_RANGES, dtype=np.int64)
     lo = tmin + (_splitmix(rid.astype(np.uint64)) % np.uint64(span)).astype(np.int64)
@@ -1092,7 +1115,8 @@ def _q_nearest_site_kd(sf_dir: str):
     the broadcast state, counts per site."""
     import ray
     from mvt_wrangler_ray.geo.geotag import geotag_ints
-    from mvt_wrangler_ray.stages.geospatial import nearest_site_batch
+    from mvt_wrangler_ray.stages.geospatial import (build_site_tree,
+                                                    nearest_site_batch)
     from mvt_wrangler_ray.stages.shuffle import grouped_count
 
     site_ids = np.arange(N_SITES_KD, dtype=np.int64)
@@ -1101,10 +1125,17 @@ def _q_nearest_site_kd(sf_dir: str):
     cache = {}
 
     def route(batch: pa.Table) -> pa.Table:
+        # per-worker: fetch the site arrays AND build the k-d tree once
+        # (a per-batch rebuild pays the O(m log m) construction for
+        # every batch — the cost the ST4 actor-state pattern exists to
+        # avoid)
         s = cache.get("s")
         if s is None:
-            s = cache["s"] = ray.get(ref)
-        return nearest_site_batch(batch, *s).select(["doc_id", "nearest_site"])
+            arrays = ray.get(ref)
+            s = cache["s"] = (arrays, build_site_tree(*arrays))
+        arrays, tree = s
+        return nearest_site_batch(batch, *arrays, tree=tree).select(
+            ["doc_id", "nearest_site"])
 
     ds = (_docs(sf_dir, ["doc_id"]).map_batches(_geotag_docs, batch_format="pyarrow")
           .map_batches(route, batch_format="pyarrow"))
@@ -1393,13 +1424,21 @@ def _sql_twos_comp(uexpr: str, out: str) -> str:
 def _sql_fnv64(expr: str, nchars: int) -> str:
     """FNV-1a 64 over a FIXED-LENGTH string expression, unrolled to a
     chain of HUGEINT mod-2^64 steps (mirrors geo.geotag.fnv1a64_strings
-    exactly — verified bit-equal)."""
+    exactly — verified bit-equal).
+
+    The unroll hashes EXACTLY nchars characters; printf('%08d') widens
+    past 8 digits at id >= 1e8, where Python would hash 12+ chars and a
+    silent 11-char oracle would produce plausible-but-wrong values that
+    read as an engine bug. The emitted SQL therefore FAILS LOUDLY
+    (error()) if any input string's length differs from nchars."""
     h = "CAST(14695981039346656037 AS HUGEINT)"
     for k in range(1, nchars + 1):
         h = (f"((xor(CAST({h} AS UBIGINT), "
              f"CAST(ascii(substr({expr}, {k}, 1)) AS UBIGINT))::HUGEINT "
              f"* 1099511628211) % {1 << 64})")
-    return f"CAST({h} AS UBIGINT)"
+    return (f"CAST(CASE WHEN length({expr}) = {nchars} THEN {h} "
+            f"ELSE error('fnv64 unroll expects {nchars}-char input, got: ' "
+            f"|| {expr}) END AS UBIGINT)")
 
 
 def _sql_phash(fnv_expr: str) -> str:

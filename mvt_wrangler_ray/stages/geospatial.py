@@ -71,10 +71,27 @@ def tile_assign_batch(batch: pa.Table, cfg: EngineConfig = EngineConfig()) -> pa
             .append_column("quadkey", pa.array(qk, pa.string())))
 
 
+def build_site_tree(site_lon: np.ndarray, site_lat: np.ndarray,
+                    site_ids: np.ndarray):
+    """Prebuild the id-sorted KDTree2D for a fixed site set — hold the
+    result in per-worker/actor state and pass it to nearest_site_batch
+    as ``tree`` so the O(m log m) build happens once per worker, not
+    once per batch."""
+    from ..geo.kdtree import KDTree2D
+
+    site_ids = np.asarray(site_ids, dtype=np.int64)
+    order = np.argsort(site_ids, kind="stable")
+    site_ids = site_ids[order]
+    site_lon = np.asarray(site_lon)[order]
+    site_lat = np.asarray(site_lat)[order]
+    return KDTree2D(np.stack([site_lon, site_lat], axis=1), site_ids)
+
+
 def nearest_site_batch(batch: pa.Table, site_lon: np.ndarray,
                        site_lat: np.ndarray, site_ids: np.ndarray,
                        chunk_cells: int = 4_000_000,
-                       kdtree_threshold: int = 512) -> pa.Table:
+                       kdtree_threshold: int = 512,
+                       tree=None) -> pa.Table:
     """Nearest-neighbor spatial join against a broadcast site set: each
     row gets the id of its closest site (squared-euclidean in lon/lat —
     deterministic and SQL-reproducible; switch to haversine for true
@@ -99,15 +116,16 @@ def nearest_site_batch(batch: pa.Table, site_lon: np.ndarray,
         site_lat = np.asarray(site_lat)[order]
     best = np.empty(n, dtype=np.int64)
     bestd = np.empty(n, dtype=np.float64)
-    if m > kdtree_threshold:
+    if tree is not None or m > kdtree_threshold:
         # large site set: exact k-d-tree NN (bbox-pruned vectorized leaf
-        # checks — work scales with TOUCHED leaves, not site count). The
-        # tree is built per call here; callers with a fixed site set
-        # should hold a KDTree2D in actor state (the ST4 pattern).
-        from ..geo.kdtree import KDTree2D
+        # checks — work scales with TOUCHED leaves, not site count).
+        # Pass a prebuilt `tree` (build_site_tree, held in worker/actor
+        # state — the ST4 pattern) to avoid rebuilding per batch.
+        if tree is None:
+            from ..geo.kdtree import KDTree2D
 
-        tree = KDTree2D(np.stack([site_lon, site_lat], axis=1),
-                        np.asarray(site_ids, dtype=np.int64))
+            tree = KDTree2D(np.stack([site_lon, site_lat], axis=1),
+                            np.asarray(site_ids, dtype=np.int64))
         best, bestd = tree.nearest(lon, lat)
     else:
         ch = max(1, chunk_cells // max(m, 1))

@@ -175,10 +175,21 @@ def ivf_index_knn_topk(index_dir: str, queries: np.ndarray,
 
     import ray.data as rd
 
+    if not os.path.isdir(index_dir):
+        raise FileNotFoundError(
+            f"IVF index directory not found: {index_dir!r} — run "
+            "build_ivf_index first")
     parts = probe_partitions(queries, centroids, nprobe)
     paths = [os.path.join(index_dir, f"part={int(p):05d}", "data.parquet")
              for p in parts]
+    # a centroid with zero assigned vectors has no shard on disk
     paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype=np.asarray(query_ids).dtype),
+            id_col: pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64),
+            "rank": pd.Series([], dtype=np.int64)})
     ds = rd.read_parquet(paths, columns=[id_col, vec_col])
     return knn_topk(ds, queries, query_ids, k, vec_col, id_col)
 

@@ -130,7 +130,12 @@ def compile_expression(expr: Any) -> Expr:
     if isinstance(expr, str):
         return (OP_LITERAL, vstr(expr))
     if isinstance(expr, int):
-        return (OP_LITERAL, vint(expr))
+        # serde as_i64-else-Float(n.to_string()) — same range rule as
+        # value_from_json; a big V_INT would also crash the vectorized
+        # isin's int64 set mid-stream
+        from .values import value_from_json
+
+        return (OP_LITERAL, value_from_json(expr))
     if isinstance(expr, float):
         return (OP_LITERAL, vfloat_from_json(expr))
     if expr is None:

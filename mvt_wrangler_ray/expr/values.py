@@ -241,7 +241,11 @@ def value_from_json(obj) -> Value:
     if isinstance(obj, bool):
         return vbool(obj)
     if isinstance(obj, int):
-        return vint(obj)
+        if -(1 << 63) <= obj < (1 << 63):
+            return vint(obj)
+        # serde's as_i64 fails outside i64; the reference then stores
+        # Float(n.to_string()) — the integer's decimal text
+        return (V_FLOAT, str(obj))
     if isinstance(obj, float):
         return vfloat_from_json(obj)
     if isinstance(obj, str):

@@ -122,13 +122,43 @@ class VBatch:
         n = len(col)
         valid = np.asarray(col.is_valid())
         if pa.types.is_integer(t):
-            i = col.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            if pa.types.is_uint64(t):
+                # reference: `u as i64` — two's-complement wrap, never an
+                # overflow (a checked cast to int64 raises on >= 2^63)
+                i = (col.fill_null(0).to_numpy(zero_copy_only=False)
+                     .astype(np.uint64).view(np.int64))
+            else:
+                i = (col.cast(pa.int64()).fill_null(0)
+                     .to_numpy(zero_copy_only=False).astype(np.int64))
             kind = np.where(valid, V_INT, V_NULL).astype(np.int8)
             return VBatch(n, kind, i=i)
         if pa.types.is_floating(t):
             f = col.cast(pa.float64()).fill_null(0.0).to_numpy(zero_copy_only=False)
             kind = np.where(valid, V_FLOAT, V_NULL).astype(np.int8)
-            return VBatch(n, kind, f=f)
+            vb = VBatch(n, kind, f=f)
+            if pa.types.is_float32(t):
+                # f32 provenance: the reference Displays at f32 precision
+                # ('0.1'), so pre-fill the display strings from the f32
+                # values before the f64 widening can leak into them
+                from .values import fmt_float32_rust
+
+                v32 = (col.fill_null(0.0)
+                       .to_numpy(zero_copy_only=False).astype(np.float32))
+                s = np.full(n, None, dtype=object)
+                bits = np.ascontiguousarray(v32).view(np.uint32)
+                uniq, inv = np.unique(bits, return_inverse=True)
+                fstr = np.array([fmt_float32_rust(x)
+                                 for x in uniq.view(np.float32)], dtype=object)
+                sel = np.asarray(valid)
+                s[sel] = fstr[inv][sel]
+                vb.s = s
+                # numeric lane parity: the reference stores the Display
+                # STRING and parses it back to f64 for ordering, so the
+                # comparable value is float('0.1') — not the raw f32
+                # widening 0.10000000149011612 (same rule as tag_value)
+                fnum = np.array([float(x) for x in fstr])[inv]
+                vb.f = np.where(sel, fnum, 0.0)
+            return vb
         if pa.types.is_boolean(t):
             b = col.fill_null(False).to_numpy(zero_copy_only=False).astype(bool)
             kind = np.where(valid, V_BOOL, V_NULL).astype(np.int8)
@@ -174,10 +204,14 @@ class VBatch:
         m = self.kind == V_FLOAT
         need = m & np.array([x is None for x in self.s], dtype=bool)
         if need.any():
-            # dictionary trick: format unique floats only
-            vals = self.f[need]
-            uniq, inv = np.unique(vals, return_inverse=True)
-            fstr = np.array([fmt_float_rust(x) for x in uniq], dtype=object)
+            # dictionary trick: format unique floats only. Unique runs
+            # over BIT PATTERNS: np.unique on the float values collapses
+            # -0.0 and +0.0 into one representative, giving one sign of
+            # zero the other's display string ('0' vs '-0').
+            bits = np.ascontiguousarray(self.f[need]).view(np.uint64)
+            uniq, inv = np.unique(bits, return_inverse=True)
+            fstr = np.array([fmt_float_rust(x)
+                             for x in uniq.view(np.float64)], dtype=object)
             self.s[need] = fstr[inv]
 
     # ---- truthiness ---------------------------------------------------

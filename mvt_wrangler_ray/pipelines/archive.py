@@ -70,7 +70,10 @@ def _mvt_value_to_expr(v) -> Value:
     if isinstance(v, bool):
         return vbool(v)
     if isinstance(v, (int, np.integer)):
-        return vint(v)
+        iv = int(v)
+        if iv >= 1 << 63:
+            iv -= 1 << 64  # reference: `u as i64` two's-complement wrap
+        return vint(iv)
     if isinstance(v, np.float32):
         # mvt Value field 2 (float): reference Displays at f32 precision
         return vfloat_from_f32(v)
@@ -290,6 +293,13 @@ def _transform_tile(tile_blob: bytes, z: int, x: int, y: int,
         key_idx: Dict[str, int] = {}
         val_idx: Dict[tuple, int] = {}
         new_feats = []
+        # per-LAYER invariants, hoisted out of the feature loop:
+        # _any_uses_type walks every filter's expression tree (recursive
+        # expression_deps) — doing that per feature is O(features ×
+        # filters × expr-size) of pure-Python work for a constant answer
+        needs_geom_test = any(g is not None for _, g in layer_masks)
+        layer_uses_type = bool(layer_masks) and _any_uses_type(
+            layer_masks, layer["name"])
         for feat in layer["features"]:
             # tag materialization (transform.rs:118-128): last wins on
             # duplicate keys, original order remembered for canonical output
@@ -308,9 +318,8 @@ def _transform_tile(tile_blob: bytes, z: int, x: int, y: int,
             # without decoding its geometry (transform.rs:140-143 —
             # non-intersecting filters are never consulted, and a
             # tile-covering mask intersects every in-tile geometry)
-            needs_geom_test = any(g is not None for _, g in layer_masks)
             geom_class = "Unknown"
-            if layer_masks and (needs_geom_test or _any_uses_type(layer_masks, layer["name"])):
+            if layer_masks and (needs_geom_test or layer_uses_type):
                 geom_paths = mvt.decode_geometry(feat["geometry"])
                 feat_geom = _paths_to_geom(geom_paths, feat["type"])
                 geom_class = (feat_geom.geom_class
@@ -397,7 +406,9 @@ def read_pmtiles_features(path: str, batch_size: int = 64):
 
     manifest = read_pmtiles_manifest(path)
     rdr_cache: dict = {}
-    hdr = PmTilesReader(path).header
+    _hr = PmTilesReader(path)
+    hdr = _hr.header
+    _hr.close()
 
     def explode(batch: pa.Table) -> pa.Table:
         rdr = rdr_cache.get("f")

@@ -55,7 +55,10 @@ def tag_value(v) -> dict:
     if isinstance(v, bool):
         return {"type": 1, "s": None, "i": None, "f": None, "b": v}
     if isinstance(v, (int, np.integer)):
-        return {"type": 2, "s": None, "i": int(v), "f": None, "b": None}
+        iv = int(v)
+        if iv >= 1 << 63:
+            iv -= 1 << 64  # reference: `u as i64` two's-complement wrap
+        return {"type": 2, "s": None, "i": iv, "f": None, "b": None}
     if isinstance(v, np.float32):
         # The reference carries floats as their Display STRING (parsed back
         # to f64 for ordering), so storing the f64 that parses from the f32

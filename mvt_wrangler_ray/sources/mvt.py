@@ -79,6 +79,10 @@ def _iter_fields(buf: bytes) -> Iterator[Tuple[int, int, object]]:
         if wt == 0:
             v, pos = read_varint(buf, pos)
         elif wt == 1:
+            if pos + 8 > n:
+                raise ValueError(
+                    f"truncated protobuf buffer: fixed64 field {field} "
+                    f"needs 8 bytes, {n - pos} remain")
             v = buf[pos:pos + 8]
             pos += 8
         elif wt == 2:
@@ -90,6 +94,10 @@ def _iter_fields(buf: bytes) -> Iterator[Tuple[int, int, object]]:
             v = buf[pos:pos + ln]
             pos += ln
         elif wt == 5:
+            if pos + 4 > n:
+                raise ValueError(
+                    f"truncated protobuf buffer: fixed32 field {field} "
+                    f"needs 4 bytes, {n - pos} remain")
             v = buf[pos:pos + 4]
             pos += 4
         else:

@@ -322,3 +322,77 @@ def test_documented_but_unimplemented_tokens_rejected():
         compile_expression(["string", ["tag", "kind"]])
     with pytest.raises(ExpressionCompileError):
         compile_expression(["not-in", ["tag", "kind"], ["literal", ["a"]]])
+
+
+# ---- round-2 core-review regressions ----------------------------------
+
+
+def test_signed_zero_display_parity():
+    """np.unique collapses -0.0/+0.0; the vectorized formatter must keep
+    their distinct Display forms ('0' vs '-0') — fuzz-found divergence
+    from the row oracle."""
+    from mvt_wrangler_ray.expr.vector import VBatch
+
+    col = pa.array(np.array([0.0, -0.0, 1.5, -0.0, 0.0]))
+    vb = VBatch.from_arrow(col)
+    disp = vb.ensure_display()
+    assert list(disp) == ["0", "-0", "1.5", "-0", "0"]
+    vctx = ColumnTagContext(5, {"c": VBatch.from_arrow(col)})
+    expr = compile_expression(["starts-with", ["tag", "c"], "-"])
+    out = evaluate_vector(expr, vctx).to_bool_array()
+    assert list(out) == [False, True, False, True, False]
+
+
+def test_big_uint_wraps_like_reference():
+    """expression_compiler.rs:84 does `u as i64` — uint values >= 2^63
+    wrap two's-complement instead of overflowing int64 columns."""
+    from mvt_wrangler_ray.expr.vector import VBatch
+    from mvt_wrangler_ray.pipelines.archive import _mvt_value_to_expr
+    from mvt_wrangler_ray.pipelines.features import tag_value
+
+    big = np.uint64(2**63 + 5)
+    assert _mvt_value_to_expr(big) == vint(-(2**63) + 5)
+    assert tag_value(big)["i"] == -(2**63) + 5
+    col = pa.array(np.array([2**63 + 5, 7], dtype=np.uint64))
+    vb = VBatch.from_arrow(col)
+    assert list(vb.i) == [-(2**63) + 5, 7]
+
+
+def test_big_int_literal_compiles_to_float_string():
+    """serde as_i64 fails outside i64; the reference stores
+    Float(n.to_string()) — and the vectorized 'in' must not crash."""
+    big = 2**63 + 1
+    expr = compile_expression(["in", ["tag", "x"], ["literal", [big]]])
+    ctx = EvaluationContext("l", {"x": vint(5)}, None, "Point")
+    assert evaluate_bool(expr, ctx) is False
+    from mvt_wrangler_ray.expr.vector import VBatch
+
+    vctx = ColumnTagContext(2, {"x": VBatch.from_arrow(pa.array([5, 6]))})
+    out = evaluate_vector(expr, vctx).to_bool_array()
+    assert list(out) == [False, False]
+    # a Float-typed tag whose display equals the literal's text DOES match
+    ctx2 = EvaluationContext("l", {"x": (3, str(big))}, None, "Point")
+    assert evaluate_bool(expr, ctx2) is True
+
+
+def test_float32_column_display_parity():
+    """A float32 Arrow column must Display at f32 precision ('0.1'), and
+    compare using the parsed-back f64 — the tag_value ingestion rule."""
+    from mvt_wrangler_ray.expr.vector import VBatch
+
+    col = pa.array(np.array([0.1, 2.5], dtype=np.float32))
+    vb = VBatch.from_arrow(col)
+    assert list(vb.ensure_display()) == ["0.1", "2.5"]
+    vctx = ColumnTagContext(2, {"x": VBatch.from_arrow(col)})
+    expr = compile_expression(["==", ["tag", "x"], 0.1])
+    assert list(evaluate_vector(expr, vctx).to_bool_array()) == [True, False]
+
+
+def test_truncated_fixed_width_fields_raise_valueerror():
+    from mvt_wrangler_ray.sources.mvt import _iter_fields
+
+    # field 3, wire type 1 (fixed64) with only 3 payload bytes
+    with pytest.raises(ValueError, match="fixed64"):
+        list(_iter_fields(bytes([3 << 3 | 1, 0, 0, 0])))
+    with pytest.raises(ValueError, match="fixed32"):
+        list(_iter_fields(bytes([7 << 3 | 5, 0])))

@@ -1569,6 +1569,10 @@ def _sql_hex_cell(res: int, lon: str = "lon", lat: str = "lat") -> str:
     c1 = repr(float(np.sqrt(3.0) / 3.0))
     third = repr(1.0 / 3.0)
     two_third = repr(2.0 / 3.0)
+    # same Web-Mercator clamp as geo.cells.hex_cell (no-op for the
+    # geotag-generated fixtures; keeps the closed forms identical under
+    # extreme latitudes)
+    lat = f"least(greatest({lat}, -85.05112877980659), 85.05112877980659)"
     Y = f"degrees(ln(tan(radians({lat})) + 1.0 / cos(radians({lat}))))"
     q = f"(({c1} * {lon} - {third} * {Y}) / {size!r})"
     r = f"(({two_third} * {Y}) / {size!r})"

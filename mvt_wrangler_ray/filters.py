@@ -202,9 +202,26 @@ class CompiledFilterCollection:
         n = ctx.n
         out = np.zeros(n, dtype=bool)
         wildcard = f.layers.get("*")
-        uniq_layers = set(np.unique(layer_arr.astype("U")).tolist())
-        for lname in uniq_layers:
-            lf = f.layers.get(lname)
+        # rows with a NULL layer take the '*' fallback (no exact-name
+        # filter can match them); the previous astype('U') turned None
+        # into the string 'None', whose equality test never matched the
+        # actual None cells — such rows silently bypassed every filter
+        sent = "\x00__null_layer__"
+        norm = np.array([sent if x is None else x for x in layer_arr],
+                        dtype=object)
+        eval_cache: dict = {}
+
+        def eval_expr(expr) -> np.ndarray:
+            # several layers often resolve to the SAME '*' expression —
+            # evaluate each distinct AST once per batch, as documented
+            r = eval_cache.get(id(expr))
+            if r is None:
+                r = eval_cache[id(expr)] = \
+                    evaluate_vector(expr, ctx).to_bool_array()
+            return r
+
+        for lname in set(norm.tolist()):
+            lf = None if lname == sent else f.layers.get(lname)
             expr = None
             if lf is not None:
                 expr = lf.feature if kind == "feature" else lf.tag
@@ -212,7 +229,6 @@ class CompiledFilterCollection:
                 expr = wildcard.feature if kind == "feature" else wildcard.tag
             if expr is None:
                 continue
-            rows = layer_arr == lname
-            res = evaluate_vector(expr, ctx).to_bool_array()
-            out[rows] = res[rows]
+            rows = norm == lname
+            out[rows] = eval_expr(expr)[rows]
         return out

@@ -141,6 +141,13 @@ def hex_cell(lon, lat, res: int) -> np.ndarray:
     coords with cube rounding; aperture 4 (cell size halves per res)."""
     if not (0 <= res <= 20):
         raise ValueError("res must be in [0, 20]")
+    # clamp to the Web-Mercator valid band (same rule as tilemath): an
+    # unclamped pole sends Y → ∞, the axial offset (qi + 2^25) goes
+    # negative, and the int64→uint64 wrap smashes the res bit-field
+    from .tilemath import MERCATOR_LAT_MAX
+
+    lat = np.clip(np.asarray(lat, dtype=np.float64),
+                  -MERCATOR_LAT_MAX, MERCATOR_LAT_MAX)
     X, Y = _mercator_xy(lon, lat)
     size = _HEX_BASE / (2.0 ** res)
     q = (_SQRT3 / 3.0 * X - 1.0 / 3.0 * Y) / size

@@ -78,7 +78,6 @@ def parse_geojson_geometry(g: dict) -> Geom:
     elif t == "MultiPolygon":
         parts = [[_ring(r) for r in poly] for poly in c]
     elif t == "GeometryCollection":
-        subs = [parse_geojson_geometry(s) for s in g["geometries"]]
         raise ValueError("GeometryCollection filter masks are not supported")
     else:
         raise ValueError(f"unsupported geometry type {t}")

@@ -44,11 +44,18 @@ def sessionize(ds, gap_minutes: float = 30.0, user_col: str = "user_id",
         users = np.asarray(g[user_col].to_pandas())
         ts = g[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
         n = len(users)
+        utype = g.schema.field(user_col).type
         if n == 0:
-            return pa.table({user_col: pa.array([], g.schema.field(user_col).type),
-                             "session_start": pa.array([], g.schema.field(ts_col).type),
-                             "n_events": pa.array([], pa.int64()),
-                             "duration_sec": pa.array([], pa.float64())})
+            # MUST mirror the non-empty branch's types, not the input
+            # schema: ts is force-cast to datetime64[us] below, so a
+            # timestamp[ns] input would give this branch a different
+            # session_start type and break block schema unification
+            return pa.table({
+                user_col: pa.array([], utype),
+                "session_start": pa.array(
+                    np.array([], dtype="datetime64[us]")),
+                "n_events": pa.array([], pa.int64()),
+                "duration_sec": pa.array([], pa.float64())})
         new = np.ones(n, dtype=bool)
         if n > 1:
             same_user = users[1:] == users[:-1]
@@ -58,7 +65,7 @@ def sessionize(ds, gap_minutes: float = 30.0, user_col: str = "user_id",
         ends = np.concatenate([starts[1:], [n]])
         dur = (ts[ends - 1] - ts[starts]) / np.timedelta64(1, "s")
         return pa.table({
-            user_col: pa.array(users[starts]),
+            user_col: pa.array(users[starts]).cast(utype),
             "session_start": pa.array(ts[starts]),
             "n_events": pa.array((ends - starts).astype(np.int64)),
             "duration_sec": pa.array(dur.astype(np.float64), pa.float64()),

@@ -34,16 +34,22 @@ from ..expr.values import vstr
 from ..filters import CompiledFilterCollection
 
 
+def _filter_kinds(fc: CompiledFilterCollection):
+    """(has_tag_filters, has_feature_filters) — ONE derivation shared by
+    __init__ and the broadcast-task reconstruction in make_task_filter."""
+    return (any(lf.tag is not None
+                for f in fc.features for lf in f.layers.values()),
+            any(lf.feature is not None
+                for f in fc.features for lf in f.layers.values()))
+
+
 class FilterJoinStage:
     def __init__(self, filter_geojson, cfg: Optional[EngineConfig] = None,
                  geom_type: str = "Point"):
         self.cfg = cfg or EngineConfig()
         self.fc = CompiledFilterCollection.from_geojson(filter_geojson)
         self.geom_type = geom_type
-        self._has_tag_filters = any(
-            lf.tag is not None for f in self.fc.features for lf in f.layers.values())
-        self._has_feature_filters = any(
-            lf.feature is not None for f in self.fc.features for lf in f.layers.values())
+        self._has_tag_filters, self._has_feature_filters = _filter_kinds(self.fc)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -85,16 +91,26 @@ class FilterJoinStage:
                 )
 
         if self._has_tag_filters:
-            # per tag column: current_key = column name, null-out dropped cells
+            # per tag column: current_key = column name. ALL drop masks
+            # evaluate against the ORIGINAL columns first, then nulls
+            # apply — the reference (transform.rs tag loop) consults the
+            # untouched tag map for every key, so evaluating later
+            # columns against already-nulled earlier ones would make
+            # results column-order-dependent.
+            orig_cols = {c: batch[c] for c in tag_cols}
+            drops = {}
             for col in tag_cols:
                 kctx = ColumnTagContext(
-                    n, {c: batch[c] for c in tag_cols},
+                    n, orig_cols,
                     geometry_type=VBatch.from_scalar(vstr(self.geom_type), n),
                     current_key=VBatch.from_scalar(vstr(col), n),
                 )
-                tdrop = self.fc.tag_drop_mask(kctx, layer, mask)
+                drops[col] = self.fc.tag_drop_mask(kctx, layer, mask)
+            for col, tdrop in drops.items():
                 if tdrop.any():
-                    arr = batch[col].combine_chunks()
+                    arr = orig_cols[col].combine_chunks() \
+                        if isinstance(orig_cols[col], pa.ChunkedArray) \
+                        else orig_cols[col]
                     nulled = pc.if_else(pa.array(~tdrop), arr, pa.nulls(n, arr.type))
                     batch = batch.set_column(
                         batch.column_names.index(col), col, nulled)
@@ -134,10 +150,8 @@ def make_task_filter(filter_geojson, cfg: Optional[EngineConfig] = None,
             stage.cfg = cfg_
             stage.fc = fc_
             stage.geom_type = gt
-            stage._has_tag_filters = any(
-                lf.tag is not None for f in fc_.features for lf in f.layers.values())
-            stage._has_feature_filters = any(
-                lf.feature is not None for f in fc_.features for lf in f.layers.values())
+            stage._has_tag_filters, stage._has_feature_filters = \
+                _filter_kinds(fc_)
             _TASK_STAGE_CACHE[key] = stage
         return stage(batch)
 

@@ -160,7 +160,31 @@ def resume_plan(out_dir: str, bounds: Sequence[tuple], key: str = "tile_id"):
             except (OSError, ValueError, KeyError, TypeError):
                 warnings.warn(f"lineage part {pid}: unreadable record — recomputing")
         todo.append((pid, lo, hi))
+    _drop_stale_partitions(out_dir, len(bounds), w)
     return todo
+
+
+def _drop_stale_partitions(out_dir: str, n_bounds: int, w: "LineageWriter"):
+    """Remove part dirs / lineage records with pid >= the CURRENT plan's
+    partition count: a rerun with fewer partitions would otherwise leave
+    the old high-numbered partitions on disk — finalize() would count
+    them and a reader unioning part=* would see their rows DUPLICATED
+    inside the recomputed wider ranges."""
+    import re
+    import shutil
+    import warnings
+
+    pat = re.compile(r"^part=(\d+)$")
+    for name in sorted(os.listdir(out_dir)):
+        m = pat.match(name)
+        if m and int(m.group(1)) >= n_bounds:
+            warnings.warn(
+                f"removing stale partition {name} from a previous plan "
+                f"with more than {n_bounds} partitions")
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+            lp = w._lineage_path(int(m.group(1)))
+            if os.path.exists(lp):
+                os.remove(lp)
 
 
 def write_partitioned(ds, out_dir: str, key: str = "tile_id",
@@ -188,14 +212,24 @@ def write_partitioned(ds, out_dir: str, key: str = "tile_id",
             lambda b: pa.table({
                 "lo": pa.array([pc.min(b[key]).as_py()], pa.int64()),
                 "hi": pa.array([pc.max(b[key]).as_py()], pa.int64())}),
-            batch_format="pyarrow").to_pandas()
-        key_min = int(lohi["lo"].min()) if key_min is None else key_min
-        key_max = int(lohi["hi"].max()) if key_max is None else key_max
+            batch_format="pyarrow").to_pandas().dropna()
+        if len(lohi) == 0:
+            # empty (or all-null-key) dataset: degenerate bounds still
+            # produce a finalized, resumable EMPTY output instead of
+            # int(NaN) blowing up
+            key_min = 0 if key_min is None else key_min
+            key_max = 0 if key_max is None else key_max
+        else:
+            key_min = int(lohi["lo"].min()) if key_min is None else key_min
+            key_max = int(lohi["hi"].max()) if key_max is None else key_max
 
     bounds = partition_bounds(key_min, key_max, num_partitions)
     writer = LineageWriter(out_dir, key)
-    todo = resume_plan(out_dir, bounds, key) if resume else [
-        (pid, lo, hi) for pid, (lo, hi) in enumerate(bounds)]
+    if resume:
+        todo = resume_plan(out_dir, bounds, key)
+    else:
+        todo = [(pid, lo, hi) for pid, (lo, hi) in enumerate(bounds)]
+        _drop_stale_partitions(out_dir, len(bounds), writer)
 
     def _run_meta():
         meta = dict(metadata or {})

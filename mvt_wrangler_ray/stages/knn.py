@@ -21,10 +21,23 @@ import pyarrow as pa
 
 
 def _as_matrix(col) -> np.ndarray:
-    rows = col.to_pylist()
-    if not rows:
+    """Arrow list<float> column → (n, dim) float64 matrix via the flat
+    values buffer — near zero-copy. The previous to_pylist + vstack
+    allocated n×dim Python floats per batch, dominating the matmul it
+    feeds. Falls back to vstack for ragged/null rows."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
         return np.empty((0, 0), dtype=np.float64)
-    return np.vstack(rows).astype(np.float64)
+    if col.null_count == 0:
+        widths = np.diff(np.asarray(col.offsets))
+        if (widths == widths[0]).all() and widths[0] > 0:
+            # flatten() respects slicing: its length is exactly n * dim
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if len(flat) == n * int(widths[0]):
+                return flat.astype(np.float64).reshape(n, int(widths[0]))
+    return np.vstack(col.to_pylist()).astype(np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -167,7 +180,8 @@ def ivf_index_knn_topk(index_dir: str, queries: np.ndarray,
                        query_ids: np.ndarray, centroids: np.ndarray,
                        k: int = 10, nprobe: int = 4,
                        vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> pd.DataFrame:
+                       id_col: str = "vec_id",
+                       id_dtype=np.int64) -> pd.DataFrame:
     """kNN over a MATERIALIZED IVF layout: read ONLY the probed
     partitions' parquet shards (pruning at the read — the other shards
     never leave storage), then brute-force top-k over the survivors."""
@@ -185,9 +199,11 @@ def ivf_index_knn_topk(index_dir: str, queries: np.ndarray,
     # a centroid with zero assigned vectors has no shard on disk
     paths = [p for p in paths if os.path.exists(p)]
     if not paths:
+        # id_dtype: the shard schema isn't observable with zero shards,
+        # so callers with non-int64 ids pass their dtype explicitly
         return pd.DataFrame({
             "query_id": pd.Series([], dtype=np.asarray(query_ids).dtype),
-            id_col: pd.Series([], dtype=np.int64),
+            id_col: pd.Series([], dtype=id_dtype),
             "score": pd.Series([], dtype=np.float64),
             "rank": pd.Series([], dtype=np.int64)})
     ds = rd.read_parquet(paths, columns=[id_col, vec_col])
@@ -203,9 +219,7 @@ def ivf_knn_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
     queries use build_ivf_index + ivf_index_knn_topk so pruning happens
     at the read, not after a full scan."""
     c = np.asarray(centroids)
-    q = _normalize(np.asarray(queries, dtype=np.float64))
-    probe = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]
-    allowed = set(np.unique(probe).tolist())
+    allowed = set(probe_partitions(queries, c, nprobe).tolist())
 
     part_ds = ds.map_batches(
         lambda b: ivf_assign_batch(b, c, vec_col), batch_format="pyarrow")

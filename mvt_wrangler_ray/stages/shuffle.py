@@ -80,10 +80,15 @@ def add_bucket_column(batch: pa.Table, keys: Sequence[str],
 def _arrow_group_agg(t: pa.Table, keys: Sequence[str],
                      aggs: Sequence[Tuple[str, str]],
                      out_names: Sequence[str]) -> pa.Table:
-    g = t.group_by(list(keys)).aggregate(list(aggs))
+    """aggs entries are (col, fn); ([], 'count_all') counts rows
+    including null keys (FunctionOptions objects don't cloudpickle, so
+    the dedicated aggregate is the serializable spelling)."""
+    g = t.group_by(list(keys)).aggregate([tuple(a) for a in aggs])
     # Table.group_by emits key columns LAST in some versions; rename by
-    # position mapping: aggregate outputs are "{col}_{fn}" then keys.
-    rename = {f"{c}_{fn}": name for (c, fn), name in zip(aggs, out_names)}
+    # position mapping: aggregate outputs are "{col}_{fn}" then keys
+    # (bare "count_all" for the []-target form).
+    rename = {("count_all" if a[0] == [] else f"{a[0]}_{a[1]}"): name
+              for a, name in zip(aggs, out_names)}
     return g.rename_columns([rename.get(c, c) for c in g.column_names])
 
 
@@ -116,8 +121,7 @@ def two_phase_aggregate(
         return _arrow_group_agg(batch, keys, partial_aggs, partial_names)
 
     def phase2(group: pa.Table) -> pa.Table:
-        out = _arrow_group_agg(group, keys, final_aggs, final_names)
-        return out.drop_columns([c for c in ("bucket_max",) if c in out.column_names])
+        return _arrow_group_agg(group, keys, final_aggs, final_names)
 
     partials = ds.map_batches(phase1, batch_format="pyarrow")
     bucketed = partials.map_batches(
@@ -147,7 +151,13 @@ def bucketed_key_semi_join(left, keys_ds, key: str, right_key: str = None,
         return b.append_column("_side", pa.array(np.zeros(len(b), np.int8)))
 
     def tag_right(b: pa.Table) -> pa.Table:
-        t = pa.table({key: b[right_key].cast(key_type)})
+        # a NULL key matches nothing in a semi join (and must not drop
+        # anything in an anti join); it would also crash np.unique's
+        # sort over a mixed None/str object array in filter_bucket
+        arr = b[right_key].cast(key_type)
+        t = pa.table({key: arr}).filter(arr.is_valid()
+                                        if isinstance(arr, pa.Array)
+                                        else arr.combine_chunks().is_valid())
         t = add_bucket_column(t, [key], num_buckets)
         return t.append_column("_side", pa.array(np.ones(len(t), np.int8)))
     type_of = dict(zip(lschema.names, lschema.types))
@@ -192,7 +202,12 @@ def bucketed_hash_join(left, right, left_key: str, right_key: str,
 
     lcols = left.schema().names
     rcols = right.schema().names
-    overlap = (set(lcols) & set(rcols)) - {left_key}
+    if right_key != left_key and left_key in rcols:
+        # renaming right_key → left_key would create a duplicate column
+        # on the right side and silently join against the wrong one
+        raise ValueError(
+            f"right dataset already has a column named {left_key!r}; "
+            f"rename it before joining on {right_key!r}")
 
     def tag_left(b: pa.Table) -> pa.Table:
         b = add_bucket_column(b, [left_key], num_buckets)
@@ -266,10 +281,13 @@ def bucketed_hash_join(left, right, left_key: str, right_key: str,
 def grouped_count(ds, keys: Sequence[str], out: str = "n",
                   carry: Sequence[str] = (), num_buckets: int = 64,
                   coalesce_blocks: int = 0):
-    """Count rows per key tuple with optional carried (max) columns."""
+    """Count rows per key tuple with optional carried (max) columns.
+    The partial count runs with mode='all': Arrow's default 'count'
+    skips nulls, so a null KEY group would report n=0 instead of its
+    true row count."""
     keys = list(keys)
     carry = [c for c in carry]
-    partial_aggs = [(keys[0], "count")] + [(c, "max") for c in carry]
+    partial_aggs = [([], "count_all")] + [(c, "max") for c in carry]
     partial_names = ["partial_count"] + carry
     final_aggs = [("partial_count", "sum")] + [(c, "max") for c in carry]
     final_names = [out] + carry

@@ -23,15 +23,32 @@ from .shuffle import _splitmix
 
 
 def _hash_column(col) -> np.ndarray:
+    """Deterministic per-row uint64 hash with the SAME per-type branches
+    as shuffle.stable_hash_columns — floats hash their bit pattern,
+    timestamps their epoch micros, bools as ints; anything else goes
+    through its string form (bytes(float) would crash, and str-vs-bytes
+    asymmetry between build and probe sides would break Bloom joins)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     t = col.type
-    if pa.types.is_integer(t):
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
         v = col.cast(pa.int64()).fill_null(-(2 ** 62)).to_numpy(
             zero_copy_only=False).astype(np.uint64)
         return _splitmix(v)
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        # normalize to epoch MICROS regardless of stored unit so the
+        # probe side agrees with BloomFilter.build's datetime64[us] rule
+        v = (col.cast(pa.timestamp("us")).cast(pa.int64())
+             .fill_null(-(2 ** 62)).to_numpy(zero_copy_only=False)
+             .astype(np.uint64))
+        return _splitmix(v)
+    if pa.types.is_floating(t):
+        v = col.cast(pa.float64()).fill_null(0.0).to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        return _splitmix(v)
     return _splitmix(fnv1a64_strings(
-        [x if x is not None else "" for x in col.to_pylist()]))
+        [x if isinstance(x, str) else ("" if x is None else str(x))
+         for x in col.to_pylist()]))
 
 
 # ---- HyperLogLog ------------------------------------------------------
@@ -118,21 +135,28 @@ class BloomFilter:
         self.bits = bits if bits is not None else np.zeros(
             (nbits + 63) // 64, np.uint64)
 
-    def _probe(self, h: np.ndarray, j: int) -> np.ndarray:
-        h2 = _splitmix(h ^ np.uint64(0x5851F42D4C957F2D))
+    @staticmethod
+    def _h2(h: np.ndarray) -> np.ndarray:
+        """Second base hash — depends only on h; compute ONCE per batch,
+        not once per probe (k-1 redundant splitmix passes otherwise)."""
+        return _splitmix(h ^ np.uint64(0x5851F42D4C957F2D))
+
+    def _probe(self, h: np.ndarray, h2: np.ndarray, j: int) -> np.ndarray:
         return ((h + np.uint64(j) * h2) % np.uint64(self.nbits)).astype(np.uint64)
 
     def add_hashes(self, h: np.ndarray):
+        h2 = self._h2(h)
         for j in range(self.k):
-            pos = self._probe(h, j)
+            pos = self._probe(h, h2, j)
             word = (pos >> np.uint64(6)).astype(np.int64)
             mask = np.uint64(1) << (pos & np.uint64(63))
             np.bitwise_or.at(self.bits, word, mask)
 
     def contains_hashes(self, h: np.ndarray) -> np.ndarray:
         out = np.ones(len(h), dtype=bool)
+        h2 = self._h2(h)
         for j in range(self.k):
-            pos = self._probe(h, j)
+            pos = self._probe(h, h2, j)
             word = (pos >> np.uint64(6)).astype(np.int64)
             mask = np.uint64(1) << (pos & np.uint64(63))
             out &= (self.bits[word] & mask) != 0
@@ -140,10 +164,17 @@ class BloomFilter:
 
     @classmethod
     def build(cls, values, nbits: int = 1 << 20, k: int = 5) -> "BloomFilter":
+        """Per-dtype hashing MUST mirror _hash_column's probe-side rules,
+        or build and probe disagree and the filter matches nothing."""
         bf = cls(nbits, k)
         arr = np.asarray(list(values))
-        if arr.dtype.kind in ("i", "u"):
-            bf.add_hashes(_splitmix(arr.astype(np.uint64)))
+        if arr.dtype.kind in ("i", "u", "b"):
+            bf.add_hashes(_splitmix(arr.astype(np.int64).astype(np.uint64)))
+        elif arr.dtype.kind == "f":
+            bf.add_hashes(_splitmix(arr.astype(np.float64).view(np.uint64)))
+        elif arr.dtype.kind == "M":
+            bf.add_hashes(_splitmix(
+                arr.astype("datetime64[us]").astype(np.int64).astype(np.uint64)))
         else:
             bf.add_hashes(_splitmix(fnv1a64_strings([str(v) for v in arr])))
         return bf

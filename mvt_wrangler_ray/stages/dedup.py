@@ -556,13 +556,21 @@ def _hot_grams(ds_docs, col: str, k: int, min_df: int,
         grams, keys=["gram"],
         partial_aggs=[("gram", "count")], partial_names=["pc"],
         final_aggs=[("pc", "sum")], final_names=["df"])
-    hot = (freq.map_batches(
+    flt = freq.map_batches(
         lambda b: b.filter(pa.compute.greater_equal(b["df"], min_df)),
-        batch_format="pyarrow")
-        .sort(["df", "gram"], descending=[True, False]).limit(cap)
-        .to_pandas())
-    if "gram" not in hot.columns:   # no gram reaches min_df: empty
-        return np.array([], dtype=np.uint64)  # (schemaless empty frame)
+        batch_format="pyarrow").materialize()
+    n_hot = flt.count()
+    if n_hot == 0:
+        return np.array([], dtype=np.uint64)
+    if n_hot <= max(cap * 4, 1_000_000):
+        # small filtered set: driver-side top-k skips a whole Dataset
+        # sort exchange (~1s of fixed latency at bench scale)
+        df = flt.to_pandas().sort_values(["df", "gram"],
+                                         ascending=[False, True])
+        hot = df.head(cap)
+    else:
+        hot = (flt.sort(["df", "gram"], descending=[True, False])
+               .limit(cap).to_pandas())
     return np.sort(np.asarray(hot["gram"], dtype=np.int64)
                    .view(np.uint64))
 

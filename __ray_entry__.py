@@ -1301,7 +1301,10 @@ WITH w AS (SELECT doc_id,
   FROM documents),
 chunks AS (SELECT doc_id, k AS chunk_idx,
   list_slice(ws, k * {step} + 1, k * {step} + {CHUNK_WORDS}) AS cw
-  FROM (SELECT doc_id, ws, unnest(range((len(ws) + {step} - 1) // {step})) AS k
+  -- start count: 1 + floor((n - overlap - 1)/step) — tail starts with
+  -- start + overlap >= n are dropped (fully-contained duplicate chunks)
+  FROM (SELECT doc_id, ws, unnest(range(
+          1 + greatest((len(ws) - {CHUNK_OVERLAP} - 1) // {step}, 0))) AS k
         FROM w WHERE len(ws) > 0))
 SELECT doc_id, chunk_idx, CAST(len(cw) AS BIGINT) AS n_words,
   {_sql_twos_comp("md5_number_lower(array_to_string(cw, ' '))", "chunk_hash")}

@@ -26,10 +26,16 @@ _LAT_MUL = np.uint64(2246822519)
 _LAT_ADD = np.uint64(3266489917)
 
 # SQL fragments mirroring geotag_ints — kept adjacent to the numpy code so
-# they can't drift. {id} is the integer id column expression.
-SQL_LON = "((({id} * 2654435761) % 4294967296) / 4294967296.0 * 360.0 - 180.0)"
+# they can't drift. {id} is the integer id column expression. numpy wraps
+# the id to uint64 then masks to 32 bits, which equals the NON-NEGATIVE
+# residue mod 2^32; the SQL therefore (a) normalizes the residue with the
+# +2^32 trick (DuckDB's % keeps the dividend's sign) and (b) multiplies in
+# HUGEINT (BIGINT overflows for id >= ~3.47e9) — exact for every int64 id.
+_SQL_ID32 = "(((CAST({id} AS HUGEINT) % 4294967296) + 4294967296) % 4294967296)"
+SQL_LON = (f"((({_SQL_ID32} * 2654435761) % 4294967296) "
+           "/ 4294967296.0 * 360.0 - 180.0)")
 SQL_LAT = (
-    "((({id} * 2246822519 + 3266489917) % 4294967296) / 4294967296.0 "
+    f"((({_SQL_ID32} * 2246822519 + 3266489917) % 4294967296) / 4294967296.0 "
     f"* {2 * MERCATOR_LAT_MAX!r} - {MERCATOR_LAT_MAX!r})"
 )
 

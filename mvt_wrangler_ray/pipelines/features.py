@@ -117,10 +117,12 @@ class _MapTags:
         f = np.zeros(self.n, dtype=np.float64)
         f[rows] = self.vf[m]
         s = np.full(self.n, None, dtype=object)
-        sm = m.copy()
-        sm[m] = vt == 4
-        srows = self.row_of_entry[sm]
-        s[srows] = self.vs[sm]
+        # last-wins must apply to the STRING lane too: writing only the
+        # string-typed entries would leave an earlier duplicate-key
+        # string payload attached to a later winning float/int entry
+        # (e.g. [("k", "hello"), ("k", 2.5)] → (V_FLOAT, s="hello"),
+        # corrupting every Display-string operation on that tag)
+        s[rows] = np.where(vt == 4, self.vs[m], None)
         return VBatch(self.n, kind, b=b, i=i, f=f, s=s)
 
 
@@ -146,9 +148,13 @@ def _layer_candidate_matrix(fc: CompiledFilterCollection, batch: pa.Table) -> np
     y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
     extent = batch["extent"].to_numpy(zero_copy_only=False).astype(np.int64)
     out = np.zeros((n, len(fc.features)), dtype=bool)
-    # group rows by (z, x, y, extent) — candidates are per tile+extent
-    key = (z.astype(np.int64) << 40) ^ (x.astype(np.int64) << 20) ^ y ^ (extent << 52)
-    uniq, inv = np.unique(key, return_inverse=True)
+    # group rows by (z, x, y, extent) — candidates are per tile+extent.
+    # Grouping runs over the COLUMN STACK: a packed shift key is not
+    # injective (extent << 52 wraps int64 — np.int64(4096) << 52 == 0,
+    # silently merging 4096/8192-extent groups of the same tile)
+    uniq, inv = np.unique(np.stack([z, x, y, extent], axis=1),
+                          axis=0, return_inverse=True)
+    inv = inv.ravel()   # numpy 2.0 returns (n, 1) for axis-unique
     for ui in range(len(uniq)):
         rows = inv == ui
         r0 = int(np.nonzero(rows)[0][0])
@@ -200,12 +206,18 @@ def transform_features_batch(batch: pa.Table, fc: CompiledFilterCollection,
         mask = mask[keep]
         tags = _MapTags(batch["tags"], n)
 
-    # tag-level pass: distinct keys, current_key semantics
+    # tag-level pass: distinct keys, current_key semantics. Tag lookups
+    # and the geometry-type VBatch do not depend on current_key, so ONE
+    # cache and one geom VBatch serve all K per-key contexts (a fresh
+    # context per key re-decoded every referenced tag column K times)
     entry_drop = np.zeros(len(tags.keys), dtype=bool)
+    geom_vb = VBatch.from_strings(geom_type)
+    shared_tag_cache: dict = {}
     for key in tags.distinct_keys():
         kctx = MapTagContext(n, tags,
-                             geometry_type=VBatch.from_strings(geom_type),
+                             geometry_type=geom_vb,
                              current_key=VBatch.from_scalar(vstr(key), n))
+        kctx._cache = shared_tag_cache
         row_drop = fc.tag_drop_mask(kctx, layer, mask)
         if row_drop.any():
             em = tags.keys == key
@@ -238,8 +250,7 @@ def _rebuild_tags(batch: pa.Table, tags: _MapTags, entry_keep: np.ndarray) -> pa
     return batch.set_column(idx, "tags", new_map)
 
 
-def transform_features(ds, filter_geojson, cfg: Optional[EngineConfig] = None,
-                       mode: str = "tasks"):
+def transform_features(ds, filter_geojson, cfg: Optional[EngineConfig] = None):
     """Dataset-level features transform: broadcast the compiled filter
     collection, stream batches through transform_features_batch."""
     import ray

@@ -105,6 +105,10 @@ def nearest_site_batch(batch: pa.Table, site_lon: np.ndarray,
     lat = batch["lat"].to_numpy(zero_copy_only=False)
     n = len(lon)
     m = len(site_lon)
+    if m == 0 and tree is None:
+        # fail with the actual problem, not argmin's cryptic
+        # "attempt to get argmin of an empty sequence"
+        raise ValueError("nearest_site_batch: empty site set")
     # canonicalize to ascending site id so BOTH paths break distance ties
     # to the lowest id (brute argmin = lowest index; kd = lexicographic
     # (dist, id) — identical once sites are id-sorted)

@@ -146,8 +146,10 @@ def vectorize_raster_batch(batch: pa.Table, threshold: int = 1) -> pa.Table:
             lon1 = fx1 / nval * 360.0 - 180.0
             lat0 = float(tile_y_to_lat(np.array([fy0]), nval)[0])  # north
             lat1 = float(tile_y_to_lat(np.array([fy1]), nval)[0])  # south
-            ring = [[lon0, lat0], [lon1, lat0], [lon1, lat1],
-                    [lon0, lat1], [lon0, lat0]]
+            # counterclockwise exterior ring (RFC 7946 right-hand rule):
+            # SW → SE → NE → NW → SW
+            ring = [[lon0, lat1], [lon1, lat1], [lon1, lat0],
+                    [lon0, lat0], [lon0, lat1]]
             out["tile_id"].append(int(batch["tile_id"][i].as_py()))
             out["z"].append(z)
             out["x"].append(tx)

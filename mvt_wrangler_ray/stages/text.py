@@ -128,7 +128,13 @@ def chunk_docs_batch(batch: pa.Table, chunk_words: int = 50,
     out_id, out_idx, out_n, out_h = [], [], [], []
     for i, t in enumerate(texts):
         words = (t or "").lower().split()
-        for k, start in enumerate(range(0, len(words), step)):
+        # a tail start with start + overlap >= n yields a chunk fully
+        # CONTAINED in the previous window (100% duplicated content) —
+        # standard chunkers stop there
+        n_w = len(words)
+        starts = [s for s in range(0, n_w, step)
+                  if s == 0 or s + overlap < n_w]
+        for k, start in enumerate(starts):
             chunk = words[start:start + chunk_words]
             out_id.append(int(ids[i]))
             out_idx.append(k)

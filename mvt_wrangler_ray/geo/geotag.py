@@ -77,3 +77,31 @@ def fnv1a64_strings(ids) -> np.ndarray:
 def geotag_strings(ids) -> tuple[np.ndarray, np.ndarray]:
     """string ids → (lon, lat) via FNV-1a 64 then the int mapping."""
     return geotag_ints(fnv1a64_strings(ids).astype(np.int64))
+
+
+def geotag_batch(batch, id_col: str = "doc_id"):
+    """map_batches body: append deterministic lon/lat to an Arrow batch.
+
+    Lives in the package (not the driver entry file) so cloudpickle ships
+    it by reference to an importable module regardless of what module name
+    the harness imported ``__ray_entry__.py`` under."""
+    import pyarrow as pa
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    lon, lat = geotag_ints(ids)
+    return (batch.append_column("lon", pa.array(lon, pa.float64()))
+                 .append_column("lat", pa.array(lat, pa.float64())))
+
+
+def assign_tile_batch(batch, z: int):
+    """map_batches body: append (z, x, y) web-mercator tile columns."""
+    import pyarrow as pa
+
+    from .tilemath import assign_tile
+
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    x, y = assign_tile(lon, lat, z)
+    return (batch.append_column("z", pa.array(np.full(len(x), z, np.int64), pa.int64()))
+                 .append_column("x", pa.array(x, pa.int64()))
+                 .append_column("y", pa.array(y, pa.int64())))

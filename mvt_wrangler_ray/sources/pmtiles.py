@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import gzip
 import json
+import os
 import struct
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Tuple
@@ -277,15 +278,31 @@ class PmTilesWriter:
     """Single-pass writer: add tiles in ASCENDING tile-id order (the
     reference's ordered write contract, processing.rs:111-118), content
     de-duplicated by blob hash (the fixture's 963 unique contents for
-    1446 addressed tiles come from exactly this)."""
+    1446 addressed tiles come from exactly this).
+
+    The data section is spooled to a temp file next to the output as
+    tiles arrive (the reference's single writer streams to disk too,
+    processing.rs:98-121); driver memory holds only the directory
+    entries and the content-hash → (offset, length) dedup index, never
+    the tile payload bytes."""
 
     def __init__(self, path: str, header: Optional[PmHeader] = None,
                  metadata: Optional[dict] = None):
+        import tempfile
+
         self.path = path
         self.header = header or PmHeader()
         self.metadata = metadata or {}
         self._entries: List[DirEntry] = []
-        self._data = bytearray()
+        # spool in the destination directory so finalize's copy never
+        # crosses filesystems (the old in-RAM writer only touched the
+        # path at finalize, so callers may not have made the dir yet)
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
+                    exist_ok=True)
+        self._spool = tempfile.NamedTemporaryFile(
+            dir=os.path.dirname(os.path.abspath(path)) or ".",
+            prefix=".pmtiles-data-", delete=False)
+        self._data_len = 0
         self._content: Dict[bytes, Tuple[int, int]] = {}
         self._last_id = -1
         self._addressed = 0
@@ -300,8 +317,9 @@ class PmTilesWriter:
         key = hashlib.md5(blob).digest()
         hit = self._content.get(key)
         if hit is None:
-            off = len(self._data)
-            self._data.extend(blob)
+            off = self._data_len
+            self._spool.write(blob)
+            self._data_len += len(blob)
             hit = (off, len(blob))
             self._content[key] = hit
         off, ln = hit
@@ -347,14 +365,25 @@ class PmTilesWriter:
         h.leaf_offset = h.metadata_offset + h.metadata_length
         h.leaf_length = len(leaves)
         h.data_offset = h.leaf_offset + h.leaf_length
-        h.data_length = len(self._data)
+        h.data_length = self._data_len
         h.addressed_tiles = self._addressed
         h.tile_entries = len(self._entries)
         h.tile_contents = len(self._content)
         h.clustered = True
-        with open(self.path, "wb") as f:
-            f.write(_serialize_header(h))
-            f.write(root)
-            f.write(meta)
-            f.write(leaves)
-            f.write(bytes(self._data))
+        import shutil
+
+        try:
+            self._spool.flush()
+            with open(self.path, "wb") as f:
+                f.write(_serialize_header(h))
+                f.write(root)
+                f.write(meta)
+                f.write(leaves)
+                with open(self._spool.name, "rb") as src:
+                    shutil.copyfileobj(src, f, length=4 << 20)
+        finally:
+            self._spool.close()
+            try:
+                os.unlink(self._spool.name)
+            except OSError:
+                pass

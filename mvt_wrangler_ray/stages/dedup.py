@@ -900,7 +900,10 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 class HyperplaneLSHStage:
     """Random-hyperplane signatures for cosine LSH (seeded, built once
-    per actor). Emits (bucket, vec_id) plus the normalized vector."""
+    per actor). Emits (bucket, vec_id) plus the ORIGINAL vector column:
+    the sign of planes·v is normalization-invariant, so normalization
+    happens once in the per-bucket verify instead of widening the
+    shuffle payload to float64 lists here."""
 
     def __init__(self, dim: int = 64, nbits: int = 12, seed: int = 42,
                  vec_col: str = "embedding", id_col: str = "vec_id"):
@@ -909,9 +912,9 @@ class HyperplaneLSHStage:
         self.vec_col, self.id_col = vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.vstack(batch[self.vec_col].to_pylist()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.maximum(norms, 1e-12)
+        from .knn import _as_matrix
+
+        mat = _as_matrix(batch[self.vec_col])
         bits = (mat @ self.planes) > 0
         bucket = np.zeros(len(mat), dtype=np.int64)
         for j in range(bits.shape[1]):
@@ -919,25 +922,25 @@ class HyperplaneLSHStage:
         return pa.table({
             "bucket": pa.array(bucket, pa.int64()),
             self.id_col: batch[self.id_col],
-            "nvec": pa.array(list(mat), pa.list_(pa.float64())),
+            self.vec_col: batch[self.vec_col],
         })
 
 
 def embedding_near_dups(ds_emb, threshold: float = 0.95,
                         vec_col: str = "embedding", id_col: str = "vec_id",
-                        nbits: int = 8, bucket_cap: Optional[int] = None):
+                        nbits: int = 8, bucket_cap: Optional[int] = 10_000):
     """LSH-bucketed cosine near-dup pairs. Scale path: per-bucket
     brute-force only (buckets are small); exact pairs above threshold may
     miss cross-bucket pairs — that's the documented LSH recall trade; use
     nbits=0 to force one bucket (exact, quadratic).
 
     At scale, size nbits so buckets stay in worker memory (expected
-    bucket = n / 2^nbits, and the in-bucket matmul is quadratic) and set
-    ``bucket_cap``: a bucket larger than the cap is SKIPPED — the same
-    explicit skew-guard contract as the minhash/simhash band caps
+    bucket = n / 2^nbits, and the in-bucket matmul is quadratic).
+    ``bucket_cap`` is the same explicit skew-guard contract as the
+    minhash/simhash band caps: a bucket larger than the cap is SKIPPED
     (degenerate buckets, e.g. all-zero embeddings, otherwise take O(m²)
-    memory). Default None keeps every bucket (the exact small-data
-    mode the SQL oracle checks)."""
+    memory). It defaults ON; pass ``None`` explicitly for the exact
+    keep-every-bucket mode (what the nbits=0 SQL-oracle path uses)."""
     dim = len(ds_emb.take(1)[0][vec_col])
     _cache: dict = {}
     key = (dim, nbits, vec_col, id_col)
@@ -952,6 +955,8 @@ def embedding_near_dups(ds_emb, threshold: float = 0.95,
     sig = ds_emb.map_batches(sig_batch, batch_format="pyarrow")
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
+        from .knn import _as_matrix, _normalize
+
         if len(g) < 2 or (bucket_cap is not None and len(g) > bucket_cap):
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),
@@ -959,7 +964,7 @@ def embedding_near_dups(ds_emb, threshold: float = 0.95,
         ids = g[id_col].to_numpy(zero_copy_only=False)
         order = np.argsort(ids)
         ids = ids[order]
-        mat = np.vstack(g["nvec"].to_pylist())[order]
+        mat = _normalize(_as_matrix(g[vec_col])[order])
         sims = mat @ mat.T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sims[ia, ib] >= threshold

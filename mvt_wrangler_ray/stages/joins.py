@@ -127,6 +127,48 @@ def asof_join_bucketed(left, right, by: str, on: str,
             .groupby("bucket").map_groups(run, batch_format="pyarrow"))
 
 
+def _stab_pairs(t: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                cand_budget: int = 1 << 22):
+    """Exact interval-stabbing pairs (lo <= t < hi) without the dense
+    points×intervals boolean matrix (a hot bucket with many long
+    overlapping intervals made that allocation quadratic).
+
+    Intervals sort by lo once; each point's candidates are the sorted
+    prefix with lo <= t, filtered by hi > t. Enumeration runs in point
+    chunks whose total candidate count stays under ``cand_budget``, so
+    peak memory is O(budget) regardless of skew; total work is
+    sum(prefix sizes) ≥ output but ≤ points×intervals, and the exact
+    per-point match counts come first from two searchsorteds (#lo<=t
+    minus #hi<=t — valid because lo < hi makes "dead" imply "started")."""
+    n = len(t)
+    order_lo = np.argsort(lo, kind="stable")
+    lo_s, hi_s = lo[order_lo], hi[order_lo]
+    cnt_lo = np.searchsorted(lo_s, t, side="right")
+    total_cand = int(cnt_lo.sum())
+    if total_cand == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    csum = np.cumsum(cnt_lo)
+    pi_parts, ri_parts = [], []
+    start = 0
+    while start < n:
+        base = int(csum[start - 1]) if start else 0
+        end = int(np.searchsorted(csum, base + cand_budget, side="right"))
+        end = max(end, start + 1)
+        cl = cnt_lo[start:end]
+        tot = int(cl.sum())
+        if tot:
+            row = np.repeat(np.arange(start, end, dtype=np.int64), cl)
+            starts = np.cumsum(cl) - cl
+            cand = np.arange(tot, dtype=np.int64) - np.repeat(starts, cl)
+            keep = hi_s[cand] > t[row]
+            pi_parts.append(row[keep])
+            ri_parts.append(order_lo[cand[keep]])
+        start = end
+    return (np.concatenate(pi_parts) if pi_parts else np.array([], np.int64),
+            np.concatenate(ri_parts) if ri_parts else np.array([], np.int64))
+
+
 def range_join_bucketed(points, ranges, on: str, lo_col: str, hi_col: str,
                         range_cols=("range_id",), bucket_span: int = None):
     """Inner join point rows to interval rows with lo <= on < hi.
@@ -195,10 +237,9 @@ def range_join_bucketed(points, ranges, on: str, lo_col: str, hi_col: str,
         if len(pts) == 0 or len(rng) == 0:
             return pa.table({c: pa.array([], t) for c, t in out_schema.items()})
         t = pts[on].to_numpy(zero_copy_only=False).astype(np.int64)
-        lo = rng[lo_col].to_numpy(zero_copy_only=False)
-        hi = rng[hi_col].to_numpy(zero_copy_only=False)
-        hit = (t[:, None] >= lo[None, :]) & (t[:, None] < hi[None, :])
-        pi, ri = np.nonzero(hit)
+        lo = rng[lo_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = rng[hi_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pi, ri = _stab_pairs(t, lo, hi)
         cols = {}
         for c in pnames:
             cols[c] = pts[c].combine_chunks().take(pa.array(pi, pa.int64()))

@@ -100,6 +100,49 @@ class TestRangeJoin:
         want = set(map(tuple, exp.to_numpy()))
         assert got == want
 
+    def test_hot_bucket_overlapping_intervals(self):
+        """1.5k long overlapping intervals in ONE time bucket: the old
+        dense points×intervals matrix was quadratic here; the stab sweep
+        must produce identical pairs in bounded chunks."""
+        import ray.data as rd
+
+        from mvt_wrangler_ray.stages.joins import range_join_bucketed
+
+        rng = np.random.default_rng(9)
+        n_r = 1_500
+        lo = rng.integers(0, 500, n_r).astype(np.int64)
+        hi = lo + rng.integers(400, 9_000, n_r)   # long + overlapping
+        pts = pa.table({
+            "pid": pa.array(np.arange(300, dtype=np.int64)),
+            "t": pa.array(rng.integers(0, 9_500, 300).astype(np.int64)),
+        })
+        ranges = pa.table({
+            "range_id": pa.array(np.arange(n_r, dtype=np.int64)),
+            "lo": pa.array(lo), "hi": pa.array(hi),
+        })
+        out = range_join_bucketed(
+            rd.from_arrow(pts), rd.from_arrow(ranges), on="t",
+            lo_col="lo", hi_col="hi", bucket_span=10_000).to_pandas()
+        exp = pts.to_pandas().merge(ranges.to_pandas(), how="cross")
+        exp = exp[(exp.t >= exp.lo) & (exp.t < exp.hi)][["pid", "range_id"]]
+        assert set(map(tuple, out[["pid", "range_id"]].to_numpy())) == \
+            set(map(tuple, exp.to_numpy()))
+
+    def test_stab_pairs_chunked_matches_dense(self):
+        """_stab_pairs with a tiny candidate budget (forcing many chunks)
+        equals the dense reference, including dead-interval-heavy input."""
+        from mvt_wrangler_ray.stages.joins import _stab_pairs
+
+        rng = np.random.default_rng(17)
+        t = rng.integers(0, 1_000, 400).astype(np.int64)
+        lo = rng.integers(0, 1_000, 250).astype(np.int64)
+        hi = lo + rng.integers(1, 80, 250)        # mostly-dead prefixes
+        pi, ri = _stab_pairs(t, lo, hi, cand_budget=64)
+        hit = (t[:, None] >= lo[None, :]) & (t[:, None] < hi[None, :])
+        epi, eri = np.nonzero(hit)
+        assert set(zip(pi.tolist(), ri.tolist())) == \
+            set(zip(epi.tolist(), eri.tolist()))
+
     def test_half_open_boundaries(self):
         import ray.data as rd
 

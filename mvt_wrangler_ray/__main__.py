@@ -47,6 +47,11 @@ def _main_images(argv):
                         "at this quantizer step (adds ljpg_bytes + psnr_db "
                         "columns; every row must hold PSNR >= 40 dB)")
     args = p.parse_args(argv)
+    if args.lossy_recode and not 1 <= args.lossy_recode <= 5:
+        # worst-case PSNR for quantizer step s is 20*log10(510/s); the
+        # advertised per-row invariant "psnr_db >= 40" only holds to s=5
+        p.error("--lossy-recode STEP must be in 1..5 (PSNR >= 40 dB "
+                f"guarantee breaks at step {args.lossy_recode})")
     filter_src = None
     if args.filter:
         with open(args.filter) as f:

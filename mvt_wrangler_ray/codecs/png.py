@@ -82,6 +82,25 @@ def _paeth_scalar(a: int, b: int, c: int) -> int:
     return c
 
 
+def has_chunk_structure(data: bytes) -> bool:
+    """True iff the payload begins with the PNG signature followed by a
+    CRC-valid IHDR chunk — i.e. it is a REAL (if possibly unsupported or
+    later-corrupted) PNG, not a magic-prefixed synthetic blob. Callers
+    use this to decide whether a decode_png failure may fall back to the
+    deterministic fake decode (synthetic fixtures) or must propagate
+    (out-of-profile / corrupt real images must never yield
+    plausible-but-wrong pixels)."""
+    if data[:8] != _SIGNATURE or len(data) < 8 + 12:
+        return False
+    (ln,) = struct.unpack(">I", data[8:12])
+    tag = data[12:16]
+    if tag != b"IHDR" or ln != 13 or len(data) < 8 + 12 + ln:
+        return False
+    payload = data[16:16 + ln]
+    (crc,) = struct.unpack(">I", data[16 + ln:20 + ln])
+    return zlib.crc32(tag + payload) & 0xFFFFFFFF == crc
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w) uint8 grayscale. Validates signature, chunk
     CRCs, and the profile (8-bit grayscale, non-interlaced); reconstructs

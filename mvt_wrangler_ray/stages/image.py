@@ -119,15 +119,19 @@ class DecodeImageStage:
 
             return np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
         if sniff_format(payload) == "png":
-            # REAL spec-compliant PNG decode (stdlib zlib codec). The
-            # deterministic fake payloads carry only the magic, so they
-            # fail chunk validation and fall through to the fake decode.
-            try:
-                from ..codecs.png import decode_png
+            # REAL spec-compliant PNG decode (stdlib zlib codec). Only a
+            # payload with NO valid chunk structure (the synthetic
+            # fixtures: magic + arbitrary body) may fall back to the fake
+            # decode — a structurally valid PNG that fails (16-bit, RGB,
+            # interlaced, bad CRC mid-file) must raise, or phash/PSNR
+            # downstream would be plausible-but-wrong with no signal.
+            from ..codecs.png import decode_png, has_chunk_structure
 
+            try:
                 return decode_png(payload)
             except ValueError:
-                pass
+                if has_chunk_structure(payload):
+                    raise
         return _fake_decode(payload, w, h)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -30,7 +30,10 @@ def _asof_bucket(g: pa.Table, by: str, on: str, right_cols, suffix: str):
     n = len(left)
     if n == 0:
         return None
-    lk = left[by].to_numpy(zero_copy_only=False).astype(np.int64)
+    # keys stay in their native dtype: the rank construction below only
+    # needs sortable+equatable values, so string/float keys work too (an
+    # int64 cast here crashed strings and silently truncated floats)
+    lk = left[by].to_numpy(zero_copy_only=False)
     lt = left[on].to_numpy(zero_copy_only=False)
     out_cols = {c: left[c] for c in left.column_names
                 if c not in ("_side", "bucket") and not c.endswith("_r_tmp")}
@@ -38,7 +41,7 @@ def _asof_bucket(g: pa.Table, by: str, on: str, right_cols, suffix: str):
         for c in right_cols:
             out_cols[c + suffix] = pa.nulls(n, g.schema.field(c + "_r_tmp").type)
         return pa.table(out_cols)
-    rk = right[by].to_numpy(zero_copy_only=False).astype(np.int64)
+    rk = right[by].to_numpy(zero_copy_only=False)
     rt = right[on].to_numpy(zero_copy_only=False)
     r_order = np.lexsort((rt, rk))
     rk, rt = rk[r_order], rt[r_order]

@@ -52,6 +52,10 @@ class BruteForceKnnStage:
                  vec_col: str = "embedding", id_col: str = "vec_id"):
         self.q = _normalize(np.asarray(queries, dtype=np.float64))
         self.qids = np.asarray(query_ids)
+        # Arrow type of query_id derived from the REAL ids once: an empty
+        # pa.array over an object-dtype (string) slice would infer null
+        # and break block-schema unification on pruned-away batches.
+        self._qid_empty = pa.array(self.qids).slice(0, 0)
         self.k = k
         self.vec_col, self.id_col = vec_col, id_col
 
@@ -59,9 +63,13 @@ class BruteForceKnnStage:
         if len(batch) == 0:
             # pruned-away block (e.g. IVF partition filter): empty result
             # with the SAME types the non-empty path derives — hardcoding
-            # int64 would break schema unification for non-int64 ids
+            # int64 would break schema unification for non-int64 ids.
+            # Slice the real qids array (not np.empty(0, dtype)): for an
+            # object-dtype (string) qids, an empty object array becomes
+            # an Arrow null-typed column, recreating exactly the
+            # unification failure this branch exists to prevent.
             return pa.table({
-                "query_id": pa.array(np.empty(0, self.qids.dtype)),
+                "query_id": self._qid_empty,
                 self.id_col: batch[self.id_col],
                 "score": pa.array([], pa.float64()),
             })

@@ -176,12 +176,17 @@ def bucketed_key_semi_join(left, keys_ds, key: str, right_key: str = None,
                       .map_batches(align, batch_format="pyarrow")))
 
     def filter_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         side = g["_side"].to_numpy(zero_copy_only=False)
-        kv = g[key].to_numpy(zero_copy_only=False)
-        keys = np.unique(kv[side == 1])
         rows = g.filter(pa.array(side == 0))
-        hit = np.isin(rows[key].to_numpy(zero_copy_only=False), keys)
-        out = rows.filter(pa.array(~hit if anti else hit))
+        # membership via Arrow is_in, NOT numpy: a null in the left key
+        # column would force to_numpy into a float64 lane where int64 ids
+        # above 2^53 lose precision and can collide. A null left key is
+        # "no match": semi drops it, anti keeps it.
+        keys = g.filter(pa.array(side == 1))[key].combine_chunks().unique()
+        hit = pc.fill_null(pc.is_in(rows[key], value_set=keys), False)
+        out = rows.filter(pc.invert(hit) if anti else hit)
         return out.drop_columns(["bucket", "_side"])
 
     return unioned.groupby("bucket").map_groups(

@@ -81,7 +81,8 @@ def _main_images(argv):
         recs = wrangle_write(ds, args.out_dir, EngineConfig(zoom=args.zoom),
                              filter_geojson=filter_src,
                              num_partitions=args.partitions,
-                             resume=not args.no_resume)
+                             resume=not args.no_resume,
+                             config_extra={"lossy_recode": args.lossy_recode})
         total = sum(r["rows"] for r in recs)
         print(f"Wrote {total} rows across {len(recs)} partitions to {args.out_dir}")
     finally:
@@ -119,17 +120,21 @@ def _main_corpus(argv):
         import ray.data as rd
 
         from .pipelines.corpus import clean_corpus
-        from .state.lineage import write_partitioned
+        from .state.lineage import config_fingerprint, write_partitioned
 
         ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+        langs = tuple(s.strip() for s in args.langs.split(",") if s.strip())
         survivors, stats = clean_corpus(
-            ds, min_quality=args.min_quality,
-            langs=tuple(s.strip() for s in args.langs.split(",") if s.strip()),
+            ds, min_quality=args.min_quality, langs=langs,
             near_dup_threshold=args.near_dup_threshold)
+        chash = config_fingerprint(
+            {"min_quality": args.min_quality, "langs": list(langs),
+             "near_dup_threshold": args.near_dup_threshold})
         recs = write_partitioned(survivors, args.out_dir, key="doc_id",
                                  num_partitions=args.partitions,
                                  metadata={"stats": stats},
-                                 resume=not args.no_resume)
+                                 resume=not args.no_resume,
+                                 config_hash=chash)
         total = sum(r["rows"] for r in recs)
         print(json.dumps(stats))
         print(f"Wrote {total} surviving documents across {len(recs)} "

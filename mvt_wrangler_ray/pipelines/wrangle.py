@@ -94,20 +94,26 @@ def wrangle_counts(ds: rd.Dataset, cfg: Optional[EngineConfig] = None,
 def wrangle_write(ds: rd.Dataset, out_dir: str,
                   cfg: Optional[EngineConfig] = None,
                   filter_geojson=None, num_partitions: int = 16,
-                  resume: bool = True):
+                  resume: bool = True, config_extra=None):
     """Flagship rows → resumable range-partitioned parquet sink with
     per-partition lineage (state/lineage.py): the production output path.
     Metadata overrides land in the sink's _metadata.json (M14). Returns
-    the lineage records."""
+    the lineage records.
+
+    Resume validates a config fingerprint (cfg + filter + config_extra)
+    per partition: rerunning over the same output dir with a different
+    filter/config recomputes instead of trusting stale markers."""
     from ..config import apply_metadata_overrides
-    from ..state.lineage import write_partitioned
+    from ..state.lineage import config_fingerprint, write_partitioned
 
     cfg = cfg or EngineConfig()
     rows = wrangle(ds, cfg, filter_geojson)
     meta = apply_metadata_overrides(None, cfg)
+    chash = config_fingerprint(cfg, filter_geojson, config_extra)
     return write_partitioned(rows, out_dir, key="tile_id",
                              num_partitions=num_partitions,
-                             metadata=meta, resume=resume)
+                             metadata=meta, resume=resume,
+                             config_hash=chash)
 
 
 def wrangle_tiles(ds: rd.Dataset, cfg: Optional[EngineConfig] = None,

@@ -344,6 +344,34 @@ def minhash_near_dups(ds_docs, threshold: float = 0.7, col: str = "text",
                   as_dataset=as_dataset)
 
 
+class _LruMemo:
+    """Bounded per-worker memo (doc id → shingle set). The verify
+    workers are long-lived on the 100-TB path; an unbounded dict keyed
+    by every candidate doc a worker ever touched is the wrong shape for
+    a week-long job. LRU: pairs for the same doc arrive clustered (the
+    candidate stream is bucket/band-ordered), so a small window keeps
+    the once-per-worker shingling win."""
+
+    __slots__ = ("cap", "d")
+
+    def __init__(self, cap: int = 1 << 16):
+        from collections import OrderedDict
+
+        self.cap = cap
+        self.d = OrderedDict()
+
+    def get(self, key, make):
+        d = self.d
+        s = d.get(key)
+        if s is not None:
+            d.move_to_end(key)
+            return s
+        s = d[key] = make()
+        if len(d) > self.cap:
+            d.popitem(last=False)
+        return s
+
+
 def _verify_jaccard_pairs(cand, ds_docs, threshold: float, col: str,
                           id_col: str, k: int = 3,
                           as_dataset: bool = False):
@@ -362,17 +390,14 @@ def _verify_jaccard_pairs(cand, ds_docs, threshold: float, col: str,
     def verify(b: pa.Table) -> pa.Table:
         state = lookup_cache.get("l")
         if state is None:
-            state = lookup_cache["l"] = (ray.get(lookup_ref), {})
+            state = lookup_cache["l"] = (ray.get(lookup_ref), _LruMemo())
         lookup, shingle_sets = state
 
         def doc_set(i):
             # each candidate doc participates in MANY pairs; shingle its
-            # text once per worker, not once per pair
-            s = shingle_sets.get(i)
-            if s is None:
-                s = shingle_sets[i] = set(
-                    _shingles(lookup.get(i, ""), k).tolist())
-            return s
+            # text once per worker (bounded LRU), not once per pair
+            return shingle_sets.get(
+                i, lambda: set(_shingles(lookup.get(i, ""), k).tolist()))
 
         ia = b["id_a"].to_numpy(zero_copy_only=False)
         ib = b["id_b"].to_numpy(zero_copy_only=False)
@@ -428,13 +453,11 @@ def _verify_jaccard_pairs_bucketed(cand, ds_docs, threshold: float,
         batch_format="pyarrow")
     with_ab = bucketed_hash_join(with_a, docs, "id_b", id_col,
                                  num_buckets=16)
-    shingle_cache: dict = {}
+    shingle_cache = _LruMemo()
 
     def doc_set(i, text):
-        s = shingle_cache.get(i)
-        if s is None:
-            s = shingle_cache[i] = set(_shingles(text or "", k).tolist())
-        return s
+        return shingle_cache.get(
+            i, lambda: set(_shingles(text or "", k).tolist()))
 
     def verify(b: pa.Table) -> pa.Table:
         ia = b["id_a"].to_numpy(zero_copy_only=False)

@@ -54,6 +54,32 @@ class LineageRecord:
     content_hash: str    # order-insensitive
     wall_sec: float
     engine_version: str = ENGINE_VERSION
+    config_hash: str = ""  # fingerprint of the producing pipeline config
+
+
+def config_fingerprint(*parts) -> str:
+    """Stable hash of a pipeline's configuration (dataclasses, dicts,
+    strings, numbers). Recorded per partition so resume can tell "this
+    range was computed under the SAME filter/config" — a marker produced
+    by a different config must be recomputed, not trusted."""
+    import dataclasses
+    import hashlib as _hl
+
+    def norm(p):
+        if dataclasses.is_dataclass(p) and not isinstance(p, type):
+            return {"__dc__": type(p).__name__,
+                    **{k: norm(v) for k, v in dataclasses.asdict(p).items()}}
+        if isinstance(p, dict):
+            return {str(k): norm(v) for k, v in sorted(p.items())}
+        if isinstance(p, (list, tuple)):
+            return [norm(v) for v in p]
+        if isinstance(p, bytes):
+            return p.hex()
+        return p
+
+    blob = json.dumps([norm(p) for p in parts], sort_keys=True,
+                      default=str).encode()
+    return _hl.md5(blob).hexdigest()[:16]
 
 
 def _content_hash(table: pa.Table, key: str) -> str:
@@ -77,10 +103,12 @@ class LineageWriter:
     """Writes one partition atomically: data to a temp file → rename →
     lineage record last. A partition with a lineage record is complete."""
 
-    def __init__(self, out_dir: str, key: str = "tile_id", sort_within: bool = True):
+    def __init__(self, out_dir: str, key: str = "tile_id", sort_within: bool = True,
+                 config_hash: str = ""):
         self.out_dir = out_dir
         self.key = key
         self.sort_within = sort_within
+        self.config_hash = config_hash
         os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
 
     def partition_done(self, pid: int) -> bool:
@@ -103,7 +131,8 @@ class LineageWriter:
         rec = LineageRecord(
             partition=pid, key_lo=lo, key_hi=hi, rows=len(table),
             content_hash=_content_hash(table, self.key),
-            wall_sec=round(time.perf_counter() - t0, 4))
+            wall_sec=round(time.perf_counter() - t0, 4),
+            config_hash=self.config_hash)
         ltmp = self._lineage_path(pid) + ".tmp"
         with open(ltmp, "w") as f:
             json.dump(asdict(rec), f)
@@ -115,6 +144,7 @@ class LineageWriter:
         meta = {
             "engine_version": ENGINE_VERSION,
             "key": self.key,
+            "config_hash": self.config_hash,
             "partitions": len(recs),
             "total_rows": sum(r["rows"] for r in recs),
             "metadata": metadata or {},
@@ -134,14 +164,17 @@ class LineageWriter:
         return out
 
 
-def resume_plan(out_dir: str, bounds: Sequence[tuple], key: str = "tile_id"):
+def resume_plan(out_dir: str, bounds: Sequence[tuple], key: str = "tile_id",
+                config_hash: str = ""):
     """Partitions still to compute: manifest minus completed lineage.
 
     A marker alone is NOT trusted: the recorded (key_lo, key_hi) must equal
-    the current plan's range for that partition. Resuming with a different
-    num_partitions / key range would otherwise silently skip partitions
-    whose recorded range no longer matches, corrupting the output — such
-    partitions are recomputed (with a warning) instead."""
+    the current plan's range for that partition, AND the recorded
+    config_hash must equal the current pipeline's. Resuming with a
+    different num_partitions / key range / filter / config would
+    otherwise silently keep partitions computed under the OLD plan,
+    corrupting the output — such partitions are recomputed (with a
+    warning) instead."""
     import warnings
 
     w = LineageWriter(out_dir, key)
@@ -151,12 +184,19 @@ def resume_plan(out_dir: str, bounds: Sequence[tuple], key: str = "tile_id"):
             try:
                 with open(w._lineage_path(pid)) as f:
                     rec = json.load(f)
+                if (int(rec["key_lo"]) == lo and int(rec["key_hi"]) == hi
+                        and rec.get("config_hash", "") == config_hash):
+                    continue  # genuinely complete for THIS plan+config
                 if int(rec["key_lo"]) == lo and int(rec["key_hi"]) == hi:
-                    continue  # genuinely complete for THIS plan
-                warnings.warn(
-                    f"lineage part {pid}: recorded range "
-                    f"[{rec['key_lo']}, {rec['key_hi']}) != current "
-                    f"[{lo}, {hi}) — recomputing")
+                    warnings.warn(
+                        f"lineage part {pid}: recorded config_hash "
+                        f"{rec.get('config_hash', '')!r} != current "
+                        f"{config_hash!r} — recomputing")
+                else:
+                    warnings.warn(
+                        f"lineage part {pid}: recorded range "
+                        f"[{rec['key_lo']}, {rec['key_hi']}) != current "
+                        f"[{lo}, {hi}) — recomputing")
             except (OSError, ValueError, KeyError, TypeError):
                 warnings.warn(f"lineage part {pid}: unreadable record — recomputing")
         todo.append((pid, lo, hi))
@@ -192,7 +232,8 @@ def write_partitioned(ds, out_dir: str, key: str = "tile_id",
                       key_min: Optional[int] = None,
                       key_max: Optional[int] = None,
                       metadata: Optional[dict] = None,
-                      resume: bool = True) -> List[dict]:
+                      resume: bool = True,
+                      config_hash: str = "") -> List[dict]:
     """Range-partitioned resumable sink for a keyed Dataset.
 
     Each range partition is one Ray task: filter its key range (predicate
@@ -224,9 +265,9 @@ def write_partitioned(ds, out_dir: str, key: str = "tile_id",
             key_max = int(lohi["hi"].max()) if key_max is None else key_max
 
     bounds = partition_bounds(key_min, key_max, num_partitions)
-    writer = LineageWriter(out_dir, key)
+    writer = LineageWriter(out_dir, key, config_hash=config_hash)
     if resume:
-        todo = resume_plan(out_dir, bounds, key)
+        todo = resume_plan(out_dir, bounds, key, config_hash=config_hash)
     else:
         todo = [(pid, lo, hi) for pid, (lo, hi) in enumerate(bounds)]
         _drop_stale_partitions(out_dir, len(bounds), writer)
@@ -263,7 +304,7 @@ def write_partitioned(ds, out_dir: str, key: str = "tile_id",
     def write_group(g: pa.Table) -> pa.Table:
         pid = int(g["_part_id"][0].as_py())
         lo, hi = bounds_arr[pid]
-        w = LineageWriter(out_dir, key)
+        w = LineageWriter(out_dir, key, config_hash=config_hash)
         rec = w.write_partition(pid, lo, hi, g.drop_columns(["_part_id"]))
         return pa.table({"partition": pa.array([rec.partition], pa.int64()),
                          "rows": pa.array([rec.rows], pa.int64())})

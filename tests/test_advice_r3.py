@@ -178,3 +178,49 @@ class TestSemiJoinNullKeyExactness:
             num_buckets=4, anti=True).to_pandas()
         # null key matches nothing → anti KEEPS it
         assert sorted(anti["row"].tolist()) == [0, 2, 3]
+
+
+class TestShingleCacheBounded:
+    """VERDICT #7: verify-stage shingle memos must be bounded (LRU), and
+    both verify plans must still produce identical pairs."""
+
+    def test_lru_evicts(self):
+        from mvt_wrangler_ray.stages.dedup import _LruMemo
+
+        memo = _LruMemo(cap=3)
+        made = []
+        for key in [1, 2, 3, 1, 4, 5]:   # cap 3: inserting 4 evicts 2
+            memo.get(key, lambda k=key: made.append(k) or {k})
+        assert len(memo.d) == 3
+        assert 2 not in memo.d and 1 in memo.d
+        memo.get(2, lambda: {"remade"})  # recompute on miss, not crash
+        assert len(memo.d) == 3
+
+    def test_verify_plans_agree_under_tiny_cache(self, ray_session, monkeypatch):
+        import ray.data as rd
+
+        from mvt_wrangler_ray.stages import dedup
+
+        # force constant eviction: every doc_set call beyond 2 distinct
+        # docs recomputes — outputs must not change
+        orig = dedup._LruMemo
+
+        class Tiny(orig):
+            def __init__(self, cap: int = 2):
+                super().__init__(cap=2)
+
+        monkeypatch.setattr(dedup, "_LruMemo", Tiny)
+        docs = pa.table({
+            "doc_id": pa.array(np.arange(30, dtype=np.int64)),
+            "text": pa.array([f"common shingle text block {i % 5} tail"
+                              for i in range(30)]),
+        })
+        ds = rd.from_arrow(docs)
+        a = dedup.minhash_near_dups(ds, threshold=0.5, col="text",
+                                    id_col="doc_id").reset_index(drop=True)
+        b = dedup.minhash_near_dups(ds, threshold=0.5, col="text",
+                                    id_col="doc_id",
+                                    broadcast_pairs_limit=0
+                                    ).reset_index(drop=True)
+        assert a.equals(b)
+        assert len(a) > 0

@@ -145,6 +145,50 @@ def test_run_metrics_in_manifest(ray_session):
     assert meta["metadata"]["run"]["partitions_skipped_resume"] == 4
 
 
+def test_resume_config_change_recomputes(ray_session):
+    """VERDICT r2 #10: a lineage marker written under config A must NOT be
+    trusted when resuming under config B — same ranges, different
+    config_hash → recompute (with a warning). Same config → skip."""
+    import warnings
+
+    from mvt_wrangler_ray.state.lineage import config_fingerprint
+
+    ds, t = _make_ds(2000)
+    ha = config_fingerprint({"min_quality": 0.5})
+    hb = config_fingerprint({"min_quality": 0.9})
+    assert ha != hb
+    bounds = partition_bounds(0, 99_999, 4)
+    write_partitioned(ds, OUT, key="tile_id", num_partitions=4,
+                      key_min=0, key_max=99_999, config_hash=ha)
+    # same config → everything skipped
+    assert resume_plan(OUT, bounds, config_hash=ha) == []
+    # different config → every partition recomputed, with a warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        plan = resume_plan(OUT, bounds, config_hash=hb)
+    assert [p[0] for p in plan] == [0, 1, 2, 3]
+    assert any("config_hash" in str(x.message) for x in w)
+    # pre-config_hash markers (empty hash) resume only under empty hash
+    assert resume_plan(OUT, bounds, config_hash="") != []
+
+
+def test_config_fingerprint_stable():
+    """Fingerprint is order-insensitive for dicts, sensitive to values,
+    and handles dataclasses/bytes/tuples."""
+    from mvt_wrangler_ray.config import EngineConfig
+    from mvt_wrangler_ray.state.lineage import config_fingerprint
+
+    assert (config_fingerprint({"a": 1, "b": 2})
+            == config_fingerprint({"b": 2, "a": 1}))
+    assert (config_fingerprint({"a": 1})
+            != config_fingerprint({"a": 2}))
+    assert (config_fingerprint(EngineConfig(zoom=8))
+            != config_fingerprint(EngineConfig(zoom=9)))
+    assert (config_fingerprint(EngineConfig(zoom=8), None, {"x": (1, 2)})
+            == config_fingerprint(EngineConfig(zoom=8), None, {"x": [1, 2]}))
+    assert config_fingerprint(b"\x00\x01") == config_fingerprint(b"\x00\x01")
+
+
 def test_stale_tmp_file_recovery():
     """A crash can leave .data.parquet.tmp behind; a rerun must overwrite
     cleanly and produce a valid partition."""

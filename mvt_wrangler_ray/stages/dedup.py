@@ -534,28 +534,115 @@ def ngram_prefix_rows(texts, ids, threshold: float, k: int = 3,
     within each class. Prefixes then consist of the rarest grams, which
     is what makes AllPairs selective on Zipfian corpora: a stop-gram
     shared by half the corpus stops generating O(n²) candidates. Still a
-    fixed total order, so losslessness is unaffected."""
+    fixed total order, so losslessness is unaffected.
+
+    Each row also carries ``pos`` (the gram's 0-based position in the
+    doc's FULL ordered distinct-gram sequence) and ``m`` (the distinct
+    gram count) for the PPJoin positional filter downstream (Xiao et
+    al., WWW'08). The reorder is applied whenever ``hot`` is given —
+    even when the prefix is the whole set — so positions from different
+    docs always refer to the SAME global total order."""
     out_g: list = []
     out_id: list = []
+    out_pos: list = []
+    out_m: list = []
     for t, i in zip(texts, ids):
         sh = np.unique(_shingles(t, k))  # distinct + ascending hash order
         m = len(sh)
         if m == 0:
             out_g.append(np.array([_EMPTY_DOC_GRAM], dtype=np.uint64))
             out_id.append(np.full(1, i, dtype=np.int64))
+            out_pos.append(np.zeros(1, dtype=np.int32))
+            out_m.append(np.zeros(1, dtype=np.int32))
             continue
         p = m - _min_overlap(threshold, m) + 1
-        if hot is not None and len(hot) and m > p:
+        if hot is not None and len(hot):
             is_hot = np.isin(sh, hot)          # hot: sorted uint64 array
             sh = sh[np.lexsort((sh, is_hot))]  # rare first, hash within
         out_g.append(sh[:p])
         out_id.append(np.full(p, i, dtype=np.int64))
+        out_pos.append(np.arange(p, dtype=np.int32))
+        out_m.append(np.full(p, m, dtype=np.int32))
     grams = (np.concatenate(out_g) if out_g
              else np.array([], dtype=np.uint64))
     dids = (np.concatenate(out_id) if out_id
             else np.array([], dtype=np.int64))
+    poss = (np.concatenate(out_pos) if out_pos
+            else np.array([], dtype=np.int32))
+    ms = (np.concatenate(out_m) if out_m
+          else np.array([], dtype=np.int32))
     return pa.table({"gram": pa.array(grams.view(np.int64), pa.int64()),
-                     "doc_id": pa.array(dids, pa.int64())})
+                     "doc_id": pa.array(dids, pa.int64()),
+                     "pos": pa.array(poss, pa.int32()),
+                     "m": pa.array(ms, pa.int32())})
+
+
+def _pair_min_overlap_vec(ma: np.ndarray, mb: np.ndarray,
+                          threshold: float) -> np.ndarray:
+    """Vectorized pair-level overlap bound: for each (|A|, |B|) the
+    smallest integer o whose float64 ratio o/(|A|+|B|-o) compares >=
+    threshold — the minimal intersection a verify-accepted pair can
+    have. Like _min_overlap this MUST mirror the verify stage's float
+    comparison, so it searches upward from a safe underestimate instead
+    of trusting real-arithmetic ceil at exact-integer boundaries."""
+    s = (ma + mb).astype(np.int64)
+    o = np.maximum(
+        np.floor(threshold * s / (1.0 + threshold)).astype(np.int64) - 2, 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for _ in range(8):
+            bad = ~(o / (s - o) >= threshold)
+            if not bad.any():
+                break
+            o = o + bad
+    return o
+
+
+def _segment_pairs_ppjoin(g: pa.Table, threshold: float,
+                          bucket_cap: int) -> pa.Table:
+    """Jaccard-path pair generation with the PPJoin positional filter
+    (Xiao et al., WWW'08 — public literature): a (gram g, A, B)
+    co-occurrence can only witness overlap <= min(|A| - pos_A(g),
+    |B| - pos_B(g)) because, in the global total order, the FIRST gram
+    A and B share leaves exactly that many slots after (and including)
+    itself. A truly-qualifying pair's first shared gram sits inside
+    both prefixes (prefix lemma) and its bound >= the true overlap >=
+    the pair's required overlap, so filtering EVERY co-occurrence by
+    `bound >= _pair_min_overlap_vec(|A|, |B|)` is lossless while
+    discarding the bulk of spurious candidates before the pair-dedup
+    exchange. Empty-doc sentinel rows (m = 0) bypass the filter —
+    J(∅,∅) = 1.0 is verify's call. The positional bound at pos 0
+    equals min(|A|, |B|), so the classic length filter is subsumed."""
+    df = g.select(["gram", "doc_id", "pos", "m"]).to_pandas()
+    df = df.sort_values(["gram", "doc_id"], kind="stable")
+    ids = df["doc_id"].to_numpy()
+    pos = df["pos"].to_numpy().astype(np.int64)
+    mm = df["m"].to_numpy().astype(np.int64)
+    gr = df["gram"].to_numpy()
+    n = len(ids)
+    boundary = np.zeros(n, dtype=bool)
+    boundary[1:] = gr[1:] != gr[:-1]
+    cuts = np.nonzero(boundary)[0]
+    starts = np.concatenate([[0], cuts])
+    ends = np.concatenate([cuts, [n]])
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        cnt = e - s
+        if cnt < 2 or cnt > bucket_cap:
+            continue
+        ia, ib = np.triu_indices(cnt, k=1)
+        a_idx = s + ia
+        b_idx = s + ib
+        ma, mb = mm[a_idx], mm[b_idx]
+        ub = np.minimum(ma - pos[a_idx], mb - pos[b_idx])
+        keep = (ma == 0) | (mb == 0) | \
+            (ub >= _pair_min_overlap_vec(ma, mb, threshold))
+        out_a.append(ids[a_idx[keep]])
+        out_b.append(ids[b_idx[keep]])
+    if not out_a:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                     "id_b": pa.array(np.concatenate(out_b), pa.int64())})
 
 
 def _hot_grams(ds_docs, col: str, k: int, min_df: int,
@@ -610,9 +697,10 @@ def ngram_jaccard_near_dups(ds_docs, threshold: float = 0.5,
 
     Plan (each step a streaming Dataset stage):
       1. map_batches: per-doc distinct gram hashes, keep only the
-         prefix-filter slice → narrow (gram, doc_id) rows;
-      2. bucket the gram space → per-bucket numpy segment pair-gen
-         (same machinery as the minhash band join) → distinct pairs;
+         prefix-filter slice → narrow (gram, doc_id, pos, m) rows;
+      2. bucket the gram space → per-bucket numpy segment pair-gen with
+         the PPJoin positional filter (_segment_pairs_ppjoin — lossless,
+         subsumes the length filter) → distinct pairs;
       3. exact-Jaccard verify via the shared broadcast verify stage.
 
     Versus minhash_near_dups: exact recall, but candidate volume grows
@@ -643,7 +731,7 @@ def ngram_jaccard_near_dups(ds_docs, threshold: float = 0.5,
         lambda b: add_bucket_column(b, ["gram"], num_buckets),
         batch_format="pyarrow")
     cand = bucketed.groupby("bucket").map_groups(
-        lambda g: _segment_pairs_table(g, ["gram"], "doc_id", bucket_cap),
+        lambda g: _segment_pairs_ppjoin(g, threshold, bucket_cap),
         batch_format="pyarrow")
     cand = _distinct_pairs(cand, num_buckets).materialize()
     n_cand = cand.count()

@@ -118,6 +118,47 @@ def test_verify_plan_cutover_equivalence(ray_session):
         assert len(a) > 0
 
 
+def test_ppjoin_positional_filter_prunes_and_stays_lossless():
+    """The positional filter must cut candidates versus plain segment
+    pair-gen on a length-skewed segment (a short doc sharing one late
+    gram with long docs cannot reach threshold), while every qualifying
+    pair still survives via its first shared gram."""
+    from mvt_wrangler_ray.stages.dedup import (
+        _pair_min_overlap_vec,
+        _segment_pairs_ppjoin,
+        _segment_pairs_table,
+        ngram_prefix_rows,
+    )
+
+    # doc 0/1: near-identical 30-gram docs; doc 2: 4 grams, one shared
+    vocab = [f"w{i:02d}" for i in range(40)]
+    texts = [" ".join(vocab[:32]),
+             " ".join(vocab[:31] + ["zz"]),
+             " ".join(vocab[28:32] + ["qq", "rr"])]
+    rows = ngram_prefix_rows(texts, np.array([0, 1, 2]), threshold=0.8)
+    g = rows.append_column("bucket", pa.array([0] * len(rows), pa.int64()))
+    plain = _segment_pairs_table(g, ["gram"], "doc_id", 10_000)
+    filtered = _segment_pairs_ppjoin(g, 0.8, 10_000)
+    assert len(filtered) < len(plain)
+    kept = set(zip(filtered["id_a"].to_pylist(),
+                   filtered["id_b"].to_pylist()))
+    truth = {(a, b) for a in range(3) for b in range(a + 1, 3)
+             if jaccard(texts[a], texts[b]) >= 0.8}
+    assert truth <= kept          # lossless
+    assert (2 not in {i for p in kept for i in p}) or not any(
+        2 in p for p in truth)    # the short doc was pruned
+
+    # o_req mirrors the scalar helper's float-compare contract
+    ma = np.array([100, 10, 7, 1], dtype=np.int64)
+    mb = np.array([100, 20, 7, 1], dtype=np.int64)
+    o = _pair_min_overlap_vec(ma, mb, 0.55)
+    for i in range(len(ma)):
+        cand = int(o[i])
+        assert cand / (ma[i] + mb[i] - cand) >= 0.55
+        assert cand == 1 or not (
+            (cand - 1) / (ma[i] + mb[i] - (cand - 1)) >= 0.55)
+
+
 def test_stop_gram_cap_documented_drop(ray_session):
     """A gram shared by more than bucket_cap docs is skipped by the skew
     guard — candidate loss is the documented contract (same as the LSH

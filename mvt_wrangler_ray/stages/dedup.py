@@ -1014,36 +1014,69 @@ class HyperplaneLSHStage:
     per actor). Emits (bucket, vec_id) plus the ORIGINAL vector column:
     the sign of planes·v is normalization-invariant, so normalization
     happens once in the per-bucket verify instead of widening the
-    shuffle payload to float64 lists here."""
+    shuffle payload to float64 lists here.
+
+    ``probes`` > 0 enables multiprobe (Lv et al., VLDB'07 — public
+    literature): each vector is ALSO emitted to the `probes` buckets
+    obtained by flipping its lowest-|margin| hyperplane bits — the
+    planes it was closest to, i.e. the buckets a true near-neighbor
+    most likely fell into. Recovers cross-bucket pairs single-probe LSH
+    misses at the cost of a (probes+1)× shuffle payload (the standard
+    trade versus maintaining multiple hash tables)."""
 
     def __init__(self, dim: int = 64, nbits: int = 12, seed: int = 42,
-                 vec_col: str = "embedding", id_col: str = "vec_id"):
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 probes: int = 0):
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((dim, nbits))
         self.vec_col, self.id_col = vec_col, id_col
+        self.probes = min(probes, nbits)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .knn import _as_matrix
 
         mat = _as_matrix(batch[self.vec_col])
-        bits = (mat @ self.planes) > 0
+        margin = mat @ self.planes
+        bits = margin > 0
+        nbits = bits.shape[1]
         bucket = np.zeros(len(mat), dtype=np.int64)
-        for j in range(bits.shape[1]):
+        for j in range(nbits):
             bucket = bucket * 2 + bits[:, j]
+        if not self.probes:
+            return pa.table({
+                "bucket": pa.array(bucket, pa.int64()),
+                self.id_col: batch[self.id_col],
+                self.vec_col: batch[self.vec_col],
+            })
+        # bit j carries weight 2^(nbits-1-j); flipping plane j toggles it
+        weights = (np.int64(1) << np.arange(nbits - 1, -1, -1,
+                                            dtype=np.int64))
+        flip_order = np.argsort(np.abs(margin), axis=1, kind="stable")
+        probe_buckets = [bucket]
+        for p in range(self.probes):
+            probe_buckets.append(bucket ^ weights[flip_order[:, p]])
+        all_buckets = np.concatenate(probe_buckets)
+        tile_idx = np.tile(np.arange(len(mat)), self.probes + 1)
+        idx = pa.array(tile_idx, pa.int64())
         return pa.table({
-            "bucket": pa.array(bucket, pa.int64()),
-            self.id_col: batch[self.id_col],
-            self.vec_col: batch[self.vec_col],
+            "bucket": pa.array(all_buckets, pa.int64()),
+            self.id_col: batch[self.id_col].take(idx),
+            self.vec_col: batch[self.vec_col].take(idx),
         })
 
 
 def embedding_near_dups(ds_emb, threshold: float = 0.95,
                         vec_col: str = "embedding", id_col: str = "vec_id",
-                        nbits: int = 8, bucket_cap: Optional[int] = 10_000):
+                        nbits: int = 8, bucket_cap: Optional[int] = 10_000,
+                        probes: int = 0, num_buckets: int = 64):
     """LSH-bucketed cosine near-dup pairs. Scale path: per-bucket
     brute-force only (buckets are small); exact pairs above threshold may
     miss cross-bucket pairs — that's the documented LSH recall trade; use
-    nbits=0 to force one bucket (exact, quadratic).
+    nbits=0 to force one bucket (exact, quadratic), or ``probes`` > 0
+    for multiprobe recall (each vector also lands in the `probes`
+    lowest-margin bit-flip buckets; recall rises monotonically with
+    probes, payload grows (probes+1)×, and a pair-dedup exchange is
+    added since a pair can now meet in several buckets).
 
     At scale, size nbits so buckets stay in worker memory (expected
     bucket = n / 2^nbits, and the in-bucket matmul is quadratic).
@@ -1054,13 +1087,14 @@ def embedding_near_dups(ds_emb, threshold: float = 0.95,
     keep-every-bucket mode (what the nbits=0 SQL-oracle path uses)."""
     dim = len(ds_emb.take(1)[0][vec_col])
     _cache: dict = {}
-    key = (dim, nbits, vec_col, id_col)
+    key = (dim, nbits, vec_col, id_col, probes)
 
     def sig_batch(b: pa.Table) -> pa.Table:
         st = _cache.get(key)
         if st is None:
             st = _cache[key] = HyperplaneLSHStage(
-                dim=dim, nbits=nbits, vec_col=vec_col, id_col=id_col)
+                dim=dim, nbits=nbits, vec_col=vec_col, id_col=id_col,
+                probes=probes)
         return st(b)
 
     sig = ds_emb.map_batches(sig_batch, batch_format="pyarrow")
@@ -1078,9 +1112,32 @@ def embedding_near_dups(ds_emb, threshold: float = 0.95,
         mat = _normalize(_as_matrix(g[vec_col])[order])
         sims = mat @ mat.T
         ia, ib = np.triu_indices(len(ids), k=1)
+        if probes:
+            # multiprobe replicates each vector probes+1 times; inside a
+            # bucket the same id can appear more than once — self-pairs
+            # and in-bucket duplicates are dropped here, cross-bucket
+            # duplicates by the distinct exchange below
+            dup = ids[ia] == ids[ib]
+            ia, ib = ia[~dup], ib[~dup]
         keep = sims[ia, ib] >= threshold
         return pa.table({"id_a": pa.array(ids[ia][keep], pa.int64()),
                          "id_b": pa.array(ids[ib][keep], pa.int64()),
                          "cosine": pa.array(sims[ia, ib][keep], pa.float64())})
 
-    return sig.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = sig.groupby("bucket").map_groups(bucket_pairs,
+                                             batch_format="pyarrow")
+    if not probes:
+        return pairs
+    from .shuffle import add_bucket_column
+
+    bucketed = pairs.map_batches(
+        lambda b: add_bucket_column(b, ["id_a", "id_b"], num_buckets),
+        batch_format="pyarrow")
+
+    def distinct(g: pa.Table) -> pa.Table:
+        df = g.select(["id_a", "id_b", "cosine"]).to_pandas()
+        df = df.drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return bucketed.groupby("bucket").map_groups(distinct,
+                                                 batch_format="pyarrow")

@@ -79,3 +79,47 @@ def test_lsh_buckets_subset_of_exact_and_catch_identicals(ray_session):
     got_pairs = set(zip(got["id_a"].tolist(), got["id_b"].tolist()))
     assert got_pairs <= exact       # LSH may lose recall, never precision
     assert (10, 40) in got_pairs
+
+
+def _pairs_at(ds, probes, threshold=0.9, nbits=8):
+    from mvt_wrangler_ray.stages.dedup import embedding_near_dups
+
+    df = embedding_near_dups(ds, threshold=threshold, nbits=nbits,
+                             probes=probes).to_pandas()
+    return df, set(zip(df["id_a"].tolist(), df["id_b"].tolist()))
+
+
+def test_multiprobe_improves_recall_monotonically(ray_session):
+    """probes>0 recovers cross-bucket pairs single-probe misses: recall
+    is monotone in probes, precision stays exact (pairs ⊆ brute force,
+    cosines exact), and output has no duplicate pairs despite each
+    vector landing in probes+1 buckets."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((120, 16)).astype(np.float32)
+    # planted near-dups: small perturbations → high cosine but some
+    # cross a hyperplane and land in a different bucket
+    for i in range(0, 120, 4):
+        base[i + 1] = base[i] + 0.15 * rng.standard_normal(16).astype(np.float32)
+    ds = rd.from_arrow(_emb_table(base))
+    exact = _brute_pairs(base, 0.9)
+    assert len(exact) >= 20
+
+    recalls = []
+    prev: set = set()
+    for probes in (0, 2, 4):
+        df, pairs = _pairs_at(ds, probes)
+        assert pairs <= exact                       # precision exact
+        assert len(df) == len(pairs)                # no duplicate rows
+        if probes:
+            assert prev <= pairs                    # monotone recall
+        prev = pairs
+        recalls.append(len(pairs) / len(exact))
+        # reported cosines are the true values
+        m = base.astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        for a, b, c in zip(df["id_a"], df["id_b"], df["cosine"]):
+            assert abs(float(m[a] @ m[b]) - c) < 1e-12
+    assert recalls[0] < 1.0, "corpus must exercise the recall gap"
+    assert recalls[-1] > recalls[0], "multiprobe must recover pairs"

@@ -1349,6 +1349,85 @@ SELECT x, y, CAST(sum(n) AS BIGINT) AS n_smooth FROM scat GROUP BY 1, 2
 """
 
 
+BM25_TERMS = ("data", "apple", "the")
+BM25_K = 10
+
+
+def _q_bm25(sf_dir: str):
+    from mvt_wrangler_ray.stages.retrieval import bm25_topk
+    return bm25_topk(_docs(sf_dir, ["doc_id", "text"]), BM25_TERMS, k=BM25_K)
+
+
+def _q_bigram_logprob(sf_dir: str):
+    from mvt_wrangler_ray.stages.retrieval import bigram_logprob
+    return bigram_logprob(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _sql_bm25() -> str:
+    """BM25 with fixed query terms, float expressions token-for-token in
+    the engine's association order (stages/retrieval.py:bm25_topk)."""
+    terms = BM25_TERMS
+    k1, b = "1.2e0", "7.5e-1"
+    dfs = ",".join(
+        f"sum(CASE WHEN len(list_filter(l, x -> x = '{t}')) > 0 "
+        f"THEN 1 ELSE 0 END) AS df{j}" for j, t in enumerate(terms))
+    idfs = ",".join(
+        f"ln(1e0 + ((n - df{j}) + 5e-1) / (df{j} + 5e-1)) AS idf{j}"
+        for j in range(len(terms)))
+    contribs = "+".join(
+        f"(idf{j} * (CAST(len(list_filter(l, x -> x = '{t}')) AS DOUBLE) "
+        f"* ({k1} + 1e0)) / "
+        f"(CAST(len(list_filter(l, x -> x = '{t}')) AS DOUBLE) "
+        f"+ {k1} * ((1e0 - {b}) + {b} * (CAST(len(l) AS DOUBLE) / avgdl))))"
+        for j, t in enumerate(terms))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS l
+  FROM documents
+), s AS (
+  SELECT count(*) AS n, sum(len(l)) AS tot, {dfs} FROM t
+), params AS (
+  SELECT n, CAST(tot AS DOUBLE) / n AS avgdl, {idfs} FROM s
+), scored AS (
+  SELECT doc_id, {contribs} AS score FROM t, params
+)
+SELECT doc_id, score FROM scored WHERE score > 0e0
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def _sql_bigram_logprob() -> str:
+    """Add-α bigram LM mean log-prob per doc. Per-occurrence addend is
+    fixed-point int64 (floor((ln(c2+α) - ln(c1+αV)) * 1e9 + 0.5)), so
+    the per-doc sum is order-independent; the engine's logs go through
+    libm (retrieval._libm_log) which bit-matches DuckDB's ln."""
+    return """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS l
+  FROM documents
+), bg AS (
+  SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+  FROM t, LATERAL (SELECT unnest(range(1, len(l))) AS i) r
+), v AS (
+  SELECT count(DISTINCT w) AS vsize FROM (SELECT unnest(l) AS w FROM t)
+), c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+ann AS (
+  SELECT bg.doc_id,
+    CAST(floor((ln(c2.c2 + 5e-1) - ln(c1.c1 + 5e-1 * v.vsize)) * 1e9 + 5e-1)
+         AS BIGINT) AS lpi
+  FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+          JOIN c1 ON bg.w1 = c1.w1, v
+)
+SELECT doc_id, (CAST(sum(lpi) AS DOUBLE) / 1e9) / CAST(count(*) AS DOUBLE)
+         AS logprob,
+       count(*) AS n_bigrams
+FROM ann GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order is deliberate: the round-2 driver artifact
     # recorded exactly the FIRST 50 dict entries, dropping the tail —
@@ -1361,6 +1440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": _q_clean_corpus,
         "raster_vector": _q_raster_vector,
         "approx_distinct": _q_approx_distinct,
+        "bm25": _q_bm25,
+        "bigram_logprob": _q_bigram_logprob,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "tile_topk": _q_tile_topk,
@@ -2332,6 +2413,8 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _sql_frame_sample(),
         "thumbnails": _sql_thumbnails(),
         "minhash_near_dup": _sql_minhash_near_dup(0.5),
+        "bm25": _sql_bm25(),
+        "bigram_logprob": _sql_bigram_logprob(),
         "jaccard_near_dup": _sql_jaccard_near_dup(0.5),
         "dedup_clusters": _sql_dedup_clusters(0.35),
         "clean_corpus": _sql_clean_corpus(0.1, 0.8),

@@ -1,0 +1,282 @@
+"""Corpus retrieval + LM-quality scoring stages.
+
+BM25 ranking (Robertson/Sparck-Jones as popularized by Lucene) and a
+corpus-trained bigram language-model log-probability score (the
+CCNet-style "how fluent is this document under a cheap LM" quality
+gate). Both are expressed as streaming Ray Data stages: narrow
+statistics passes, vectorized Arrow/numpy token work, and top-k /
+per-doc aggregation without materializing the corpus.
+
+No reference-repo counterpart (the reference is a tile engine); these
+extend the LLM-training-data surface alongside stages/text.py and
+stages/dedup.py.
+
+Float-parity discipline (the DuckDB oracles must hash-match):
+- every float expression is written with an explicit association order
+  and mirrored token-for-token in the SQL oracle;
+- order-insensitive per-doc sums use fixed-point int64
+  (floor(x * 1e9 + 0.5)) so summation order cannot wobble ulps;
+- SQL float literals must be spelled in e-notation (1.2e0) so DuckDB
+  parses DOUBLE, not DECIMAL.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["bm25_topk", "bigram_logprob", "whitespace_tokens"]
+
+
+def _libm_log(x: np.ndarray) -> np.ndarray:
+    """Elementwise natural log routed through libm (math.log) instead of
+    numpy's SIMD kernel: np.log diverges from DuckDB's ln by 1 ulp on
+    some inputs (measured), which would break the bit-exact oracle
+    parity. Memoized over unique values — callers arrange for few
+    distinct inputs (counts, not raw floats)."""
+    u, inv = np.unique(x, return_inverse=True)
+    lu = np.fromiter((math.log(v) for v in u), np.float64, len(u))
+    return lu[inv]
+
+
+def whitespace_tokens(col: pa.ChunkedArray | pa.Array):
+    """(flat tokens, parent doc index, per-doc token count) for a string
+    column — Arrow-vectorized, mirrors Python's str.split() (runs of
+    whitespace, no empty tokens). Returns (tokens: pa.Array,
+    parent: np.int64 array, dl: np.int64 array)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
+        pc.coalesce(col, pa.scalar(""))))
+    flat = pc.list_flatten(lists)
+    dl = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    parent = np.repeat(np.arange(len(dl), dtype=np.int64), dl)
+    # trim+split leaves [''] for empty/whitespace-only docs: drop those
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+        dl = np.bincount(parent, minlength=len(dl)).astype(np.int64)
+    return flat, parent, dl
+
+
+def bm25_topk(ds_docs, query_terms, k: int = 10, col: str = "text",
+              id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
+    """Top-k documents by BM25 score for a fixed bag of query terms.
+
+    Plan (all streaming, two passes over the narrow (id, text) columns):
+      1. stats pass — map_batches emits ONE row per block with
+         (n_docs, n_tokens, df_term1..df_termQ); the driver sums a
+         handful of ints (KBs, mergeable, no shuffle);
+      2. score pass — map_batches computes every doc's score
+         vectorized (flat-token compare + bincount per term, float64
+         with a fixed association order), keeps its block-local top-k;
+         the driver merges block heads (k × #blocks rows).
+
+    Scale: both passes are narrow column scans; nothing wide shuffles
+    and the corpus never materializes. The score formula keeps docs
+    with score > 0 only (a doc containing no query term scores exactly
+    0.0 by construction)."""
+    import pandas as pd
+
+    terms = list(query_terms)
+    q = len(terms)
+
+    def stats_block(batch: pa.Table) -> pa.Table:
+        flat, parent, dl = whitespace_tokens(batch[col])
+        n = len(batch)
+        cols = {"n_docs": pa.array([n], pa.int64()),
+                "n_tokens": pa.array([int(dl.sum())], pa.int64())}
+        for j, t in enumerate(terms):
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            ndocs_with = int((np.bincount(parent[hit], minlength=n) > 0).sum())
+            cols[f"df_{j}"] = pa.array([ndocs_with], pa.int64())
+        return pa.table(cols)
+
+    stats = (ds_docs.map_batches(stats_block, batch_format="pyarrow")
+             .sum(["n_docs", "n_tokens"] + [f"df_{j}" for j in range(q)]))
+    n_total = int(stats["sum(n_docs)"])
+    tot_tokens = int(stats["sum(n_tokens)"])
+    dfs = [int(stats[f"sum(df_{j})"]) for j in range(q)]
+    avgdl = tot_tokens / n_total
+    # idf_t = ln(1 + ((N - df) + 0.5) / (df + 0.5)) — association order
+    # mirrored exactly in the SQL oracle; math.log (libm) because
+    # np.log is 1 ulp off DuckDB's ln on some inputs
+    idfs = [math.log(1.0 + ((n_total - df) + 0.5) / (df + 0.5)) for df in dfs]
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        flat, parent, dl = whitespace_tokens(batch[col])
+        n = len(batch)
+        dlf = dl.astype(np.float64)
+        score = np.zeros(n, dtype=np.float64)
+        for j, t in enumerate(terms):
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parent[hit], minlength=n).astype(np.float64)
+            # idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl/avgdl)))
+            contrib = idfs[j] * (tf * (k1 + 1.0)) / \
+                (tf + k1 * ((1.0 - b) + b * (dlf / avgdl)))
+            score = score + contrib
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = (score > 0.0).nonzero()[0]
+        if len(pos) > k:
+            # block-local head under the SAME total order as the global
+            # merge (score desc, id asc) — plain argpartition breaks
+            # score ties arbitrarily and can drop the doc the global
+            # tiebreak would keep
+            order = np.lexsort((ids[pos], -score[pos]))
+            top = pos[order[:k]]
+        else:
+            top = pos
+        return pa.table({id_col: pa.array(ids[top], pa.int64()),
+                         "score": pa.array(score[top], pa.float64())})
+
+    heads = ds_docs.map_batches(score_block, batch_format="pyarrow").to_pandas()
+    if len(heads) == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    out = heads.sort_values(["score", id_col], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+def bigram_logprob(ds_docs, col: str = "text", id_col: str = "doc_id",
+                   alpha: float = 0.5, num_buckets: int = 64,
+                   broadcast_vocab_limit: int = 2_000_000):
+    """Per-document mean bigram log-probability under a LM trained on
+    the corpus itself — the classic cheap fluency/quality gate for
+    training-data pipelines (add-alpha smoothed):
+
+        P(w2 | w1) = (c(w1,w2) + α) / (c1(w1) + α·V)
+
+    where c(w1,w2) counts the bigram over the corpus, c1(w) counts w as
+    a bigram LEFT token, and V is the distinct unigram vocabulary size.
+    score(doc) = (Σ round_1e9(ln P)) / 1e9 / n_bigrams over the doc's
+    bigram occurrences — the sum is fixed-point int64 so it is
+    order-independent (bit-exact vs the SQL oracle), with one float
+    division at the end. Docs with < 2 tokens have no bigrams and are
+    excluded (both sides of the parity check).
+
+    Plan: explode (doc_id, w1, w2) bigram rows once (Arrow-vectorized
+    shift-compare, no Python token loops) → two-phase counted bigram
+    and left-unigram tables (pre-reduced per block before the one
+    exchange) → annotate occurrences with counts. The count tables
+    broadcast via ray.put below `broadcast_vocab_limit` rows; above it
+    the plan cuts over to bucketed hash joins (the genuinely-huge-vocab
+    shape: nothing driver-resident)."""
+    import ray
+
+    from .shuffle import bucketed_hash_join, two_phase_aggregate
+
+    def explode_bigrams(batch: pa.Table) -> pa.Table:
+        flat, parent, _dl = whitespace_tokens(batch[col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(parent) < 2:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "w1": pa.array([], pa.string()),
+                             "bgkey": pa.array([], pa.string())})
+        adj = parent[1:] == parent[:-1]
+        idx = np.nonzero(adj)[0]
+        w1 = flat.take(pa.array(idx, pa.int64()))
+        w2 = flat.take(pa.array(idx + 1, pa.int64()))
+        # injective composite join key: "len(w1):w1:w2" — the length
+        # prefix disambiguates w1's extent whatever its content, so two
+        # distinct bigrams can never share a key
+        bgkey = pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(w1), pa.string()), w1, w2, ":")
+        return pa.table({
+            id_col: pa.array(ids[parent[idx]], pa.int64()),
+            "w1": w1,
+            "bgkey": bgkey,
+        })
+
+    bg = ds_docs.map_batches(explode_bigrams, batch_format="pyarrow")
+
+    c2 = two_phase_aggregate(
+        bg.map_batches(lambda t: t.select(["bgkey"]), batch_format="pyarrow"),
+        keys=["bgkey"],
+        partial_aggs=[("bgkey", "count")], partial_names=["pc"],
+        final_aggs=[("pc", "sum")], final_names=["c2"]).materialize()
+    c1 = two_phase_aggregate(
+        bg.map_batches(lambda t: t.select(["w1"]), batch_format="pyarrow"),
+        keys=["w1"],
+        partial_aggs=[("w1", "count")], partial_names=["pc"],
+        final_aggs=[("pc", "sum")], final_names=["c1"]).materialize()
+
+    def explode_tokens(batch: pa.Table) -> pa.Table:
+        flat, _p, _dl = whitespace_tokens(batch[col])
+        u = flat.unique() if isinstance(flat, pa.Array) else flat
+        return pa.table({"w": u})
+
+    vocab = two_phase_aggregate(
+        ds_docs.map_batches(explode_tokens, batch_format="pyarrow"),
+        keys=["w"],
+        partial_aggs=[("w", "count")], partial_names=["pc"],
+        final_aggs=[("pc", "sum")], final_names=["n"])
+    v_size = int(vocab.count())
+
+    n_c2 = c2.count()
+    if n_c2 <= broadcast_vocab_limit:
+        df2 = c2.to_pandas()
+        df1 = c1.to_pandas()
+        lut2_ref = ray.put(dict(zip(df2["bgkey"], df2["c2"])))
+        lut1_ref = ray.put(dict(zip(df1["w1"], df1["c1"])))
+        cache: dict = {}
+
+        def annotate(batch: pa.Table) -> pa.Table:
+            st = cache.get("l")
+            if st is None:
+                st = cache["l"] = (ray.get(lut2_ref), ray.get(lut1_ref))
+            lut2, lut1 = st
+            bgkeys = batch["bgkey"].to_pylist()
+            w1 = batch["w1"].to_pylist()
+            cc2 = np.fromiter((lut2[k] for k in bgkeys), np.int64, len(batch))
+            cc1 = np.fromiter((lut1[a] for a in w1), np.int64, len(batch))
+            return _contrib_table(batch, id_col, cc2, cc1, alpha, v_size)
+
+        annotated = bg.map_batches(annotate, batch_format="pyarrow")
+    else:
+        j2 = bucketed_hash_join(bg, c2, "bgkey", "bgkey",
+                                num_buckets=num_buckets)
+        j1 = bucketed_hash_join(j2, c1, "w1", "w1",
+                                num_buckets=num_buckets)
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            cc2 = batch["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cc1 = batch["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return _contrib_table(batch, id_col, cc2, cc1, alpha, v_size)
+
+        annotated = j1.map_batches(contrib, batch_format="pyarrow")
+
+    per_doc = two_phase_aggregate(
+        annotated, keys=[id_col],
+        partial_aggs=[("lp_int", "sum"), ("lp_int", "count")],
+        partial_names=["ps", "pn"],
+        final_aggs=[("ps", "sum"), ("pn", "sum")],
+        final_names=["lp_sum", "n_bigrams"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch["lp_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # (sum / 1e9) / n — association order mirrored in the oracle
+        lp = (s / 1.0e9) / n
+        return pa.table({
+            id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+            "logprob": pa.array(lp, pa.float64()),
+            "n_bigrams": pa.array(n.astype(np.int64), pa.int64())})
+
+    return per_doc.map_batches(finalize, batch_format="pyarrow")
+
+
+def _contrib_table(batch: pa.Table, id_col: str, c2: np.ndarray,
+                   c1: np.ndarray, alpha: float, v_size: int) -> pa.Table:
+    """Fixed-point bigram log-prob contribution rows:
+    floor((ln(c2 + α) - ln(c1 + α·V)) * 1e9 + 0.5) as int64 — the
+    order-independent addend (identical expression in the oracle).
+    Written as a difference of logs so each log's argument is a small
+    integer count plus α: few distinct values, so the libm-parity log
+    memo stays cheap."""
+    lp = _libm_log(c2 + alpha) - _libm_log(c1 + alpha * v_size)
+    lpi = np.floor(lp * 1.0e9 + 0.5).astype(np.int64)
+    return pa.table({id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                     "lp_int": pa.array(lpi, pa.int64())})

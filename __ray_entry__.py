@@ -21,6 +21,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from mvt_wrangler_ray.config import EngineConfig
 from mvt_wrangler_ray.geo.geotag import SQL_LAT, SQL_LON
@@ -1349,6 +1350,134 @@ SELECT x, y, CAST(sum(n) AS BIGINT) AS n_smooth FROM scat GROUP BY 1, 2
 """
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII scrub over documents: deterministic doc_id-derived contact
+    info (email / phone / IPv4) is injected into the text, then
+    stages.text.redact_pii_batch removes it — vectorized RE2 passes,
+    identical pattern strings in the DuckDB oracle (both engines are
+    RE2, so semantics align)."""
+    from mvt_wrangler_ray.stages.text import redact_pii_batch
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().cast(pa.int64())
+        idn = ids.to_numpy()
+        s = pc.cast(ids, pa.string())
+
+        def zpad(vals, width):
+            return pc.utf8_lpad(
+                pc.cast(pa.array(vals.astype(np.int64), pa.int64()),
+                        pa.string()), width, padding="0")
+
+        t = pc.binary_join_element_wise(
+            batch["text"].combine_chunks(), " reach user", s,
+            "@mail.example or 555-", zpad(idn % 1000, 3), "-",
+            zpad(idn % 10000, 4), " at ",
+            pc.cast(pa.array(idn % 256, pa.int64()), pa.string()), ".",
+            pc.cast(pa.array((idn // 7) % 256, pa.int64()), pa.string()), ".",
+            pc.cast(pa.array((idn // 13) % 256, pa.int64()), pa.string()), ".",
+            pc.cast(pa.array(idn % 100 + 1, pa.int64()), pa.string()), "")
+        red = redact_pii_batch(pa.table({"doc_id": ids, "text": t}))
+        return red.select(
+            ["doc_id", "clean_text", "n_email", "n_phone", "n_ip"])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        inject, batch_format="pyarrow")
+
+
+PAGERANK_ITERS = 5
+
+
+def _q_pagerank(sf_dir: str):
+    """PageRank (5 fixed-point iterations, damping 0.85) over the
+    bipartite order↔part graph from lineitem — one directed edge each
+    way per row, node ids namespaced (order*2, part*2+1). The iterative
+    join+aggregate plan is stages/graph.py:pagerank."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.graph import pagerank
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False) * 2
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table({
+            "src": pa.array(np.concatenate([o, p]), pa.int64()),
+            "dst": pa.array(np.concatenate([p, o]), pa.int64())})
+
+    return pagerank(li.map_batches(edges, batch_format="pyarrow"),
+                    iterations=PAGERANK_ITERS)
+
+
+def _sql_redact_pii() -> str:
+    from mvt_wrangler_ray.stages.text import PII_PATTERNS
+    (_, em_pat, em_rep), (_, ph_pat, ph_rep), (_, ip_pat, ip_rep) = \
+        PII_PATTERNS
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+    text || ' reach user' || CAST(doc_id AS VARCHAR)
+    || '@mail.example or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at '
+    || CAST(doc_id % 256 AS VARCHAR) || '.'
+    || CAST((doc_id // 7) % 256 AS VARCHAR) || '.'
+    || CAST((doc_id // 13) % 256 AS VARCHAR) || '.'
+    || CAST(doc_id % 100 + 1 AS VARCHAR) AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id, len(regexp_extract_all(t, '{em_pat}')) AS n_email,
+         regexp_replace(t, '{em_pat}', '{em_rep}', 'g') AS t1
+  FROM inj
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '{ph_pat}')) AS n_phone,
+         regexp_replace(t1, '{ph_pat}', '{ph_rep}', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_phone,
+         len(regexp_extract_all(t2, '{ip_pat}')) AS n_ip,
+         regexp_replace(t2, '{ip_pat}', '{ip_rep}', 'g') AS clean_text
+  FROM s2
+)
+SELECT doc_id, clean_text, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_phone AS BIGINT) AS n_phone, CAST(n_ip AS BIGINT) AS n_ip
+FROM s3
+"""
+
+
+def _sql_pagerank() -> str:
+    """The graph.pagerank fixed-point recurrence unrolled: every
+    arithmetic step is BIGINT (scale 1e12, damping 85/100), so the
+    per-node sums are order-independent and bit-exact vs the engine."""
+    scale = 10**12
+    parts = ["""
+WITH e AS (
+  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_partkey * 2 + 1 AS src, l_orderkey * 2 AS dst FROM lineitem
+), deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+p AS (SELECT count(*) AS n,
+             CAST(({scale} * 15) // (100 * count(*)) AS BIGINT) AS base,
+             CAST({scale} // count(*) AS BIGINT) AS seed
+      FROM deg),
+r0 AS (SELECT node, outdeg, seed AS r FROM deg CROSS JOIN p)""".format(
+        scale=scale)]
+    for i in range(1, PAGERANK_ITERS + 1):
+        parts.append(f""",
+r{i} AS (
+  SELECT deg.node, deg.outdeg,
+         p.base + CAST(coalesce(c.s, 0) AS BIGINT) AS r
+  FROM deg LEFT JOIN (
+    SELECT e.dst AS node, sum((pr.r * 85) // (100 * pr.outdeg)) AS s
+    FROM e JOIN r{i - 1} pr ON e.src = pr.node GROUP BY 1) c
+  ON deg.node = c.node CROSS JOIN p)""")
+    parts.append(f"""
+SELECT node, r AS rank_int, CAST(r AS DOUBLE) / 1e12 AS "rank"
+FROM r{PAGERANK_ITERS}""")
+    return "".join(parts)
+
+
 BM25_TERMS = ("data", "apple", "the")
 BM25_K = 10
 
@@ -1442,6 +1571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _q_approx_distinct,
         "bm25": _q_bm25,
         "bigram_logprob": _q_bigram_logprob,
+        "redact_pii": _q_redact_pii,
+        "pagerank": _q_pagerank,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "tile_topk": _q_tile_topk,
@@ -2415,6 +2546,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup": _sql_minhash_near_dup(0.5),
         "bm25": _sql_bm25(),
         "bigram_logprob": _sql_bigram_logprob(),
+        "redact_pii": _sql_redact_pii(),
+        "pagerank": _sql_pagerank(),
         "jaccard_near_dup": _sql_jaccard_near_dup(0.5),
         "dedup_clusters": _sql_dedup_clusters(0.35),
         "clean_corpus": _sql_clean_corpus(0.1, 0.8),

@@ -171,3 +171,35 @@ def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
         (md5_lower64(s) if s is not None else 0 for s in norm.to_pylist()),
         dtype=np.uint64, count=len(batch)).astype(np.int64)
     return batch.append_column("fingerprint", pa.array(out, pa.int64()))
+
+
+# PII redaction patterns (RE2 syntax — pyarrow's re2 and DuckDB's
+# regexp_replace are both RE2, so one pattern string serves the engine
+# and the SQL oracle). Order matters: emails before phones so the
+# digits inside an already-redacted token can't double-match.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Redact emails / phone numbers / IPv4 addresses from a string
+    column — the standard pre-training privacy scrub, fully vectorized
+    (one RE2 pass per pattern over the whole batch, no Python rows).
+    Emits ``clean_text`` plus per-class redaction counts (n_email,
+    n_phone, n_ip) so a downstream filter can drop PII-dense docs.
+
+    SQL oracle: the same patterns via ``regexp_replace(..., 'g')`` and
+    count via ``len(regexp_extract_all(...))``."""
+    cur = batch[col]
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(cur, pattern=pat), pa.int64())
+        cur = pc.replace_substring_regex(cur, pattern=pat, replacement=repl)
+    out = batch.append_column("clean_text", cur)
+    for k, v in counts.items():
+        out = out.append_column(k, v)
+    return out

@@ -1,0 +1,72 @@
+"""stages/graph.py — PageRank: brute-force equality on random graphs,
+broadcast↔bucketed-join plan equivalence, mass conservation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from mvt_wrangler_ray.stages.graph import SCALE, pagerank
+
+
+def _edges(seed=5, n_nodes=60, n_edges=500):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    s = np.concatenate([src, dst]).astype(np.int64)
+    d = np.concatenate([dst, src]).astype(np.int64)
+    return s, d
+
+
+def _brute(s, d, iters=5):
+    nodes = np.unique(s)
+    outdeg = {int(u): 0 for u in nodes}
+    for u in s:
+        outdeg[int(u)] += 1
+    n = len(nodes)
+    r = {int(u): SCALE // n for u in nodes}
+    base = (SCALE * 15) // (100 * n)
+    for _ in range(iters):
+        acc = {int(u): 0 for u in nodes}
+        for u, v in zip(s, d):
+            acc[int(v)] += (r[int(u)] * 85) // (100 * outdeg[int(u)])
+        r = {u: base + acc[u] for u in acc}
+    return r
+
+
+@pytest.mark.parametrize("limit", [5_000_000, 0])
+def test_pagerank_matches_brute_force(limit, ray_session):
+    s, d = _edges()
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"src": s, "dst": d})).repartition(4)
+    got = pagerank(ds, broadcast_nodes_limit=limit).to_pandas()
+    want = _brute(s, d)
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert int(row["rank_int"]) == want[int(row["node"])]
+        assert row["rank"] == int(row["rank_int"]) / 1.0e12
+
+
+def test_pagerank_mass_approximately_conserved(ray_session):
+    # fixed-point floors only ever LOSE mass: total stays in
+    # (SCALE - n_nodes*iters*2, SCALE]
+    s, d = _edges(seed=11, n_nodes=40, n_edges=300)
+    ds = ray.data.from_pandas(pd.DataFrame({"src": s, "dst": d}))
+    got = pagerank(ds).to_pandas()
+    total = int(got["rank_int"].sum())
+    n = len(got)
+    assert total <= SCALE
+    assert total > SCALE - n * 6 * (2 + len(s) // n)
+
+
+def test_pagerank_star_graph_ranks_center_highest(ray_session):
+    # hub 0 connected to leaves 1..20 both ways
+    leaves = np.arange(1, 21, dtype=np.int64)
+    s = np.concatenate([np.zeros(20, np.int64), leaves])
+    d = np.concatenate([leaves, np.zeros(20, np.int64)])
+    got = pagerank(ray.data.from_pandas(
+        pd.DataFrame({"src": s, "dst": d}))).to_pandas()
+    center = got.loc[got["node"] == 0, "rank"].iloc[0]
+    leaf_ranks = got.loc[got["node"] != 0, "rank"]
+    assert center > leaf_ranks.max() * 5
+    assert leaf_ranks.nunique() == 1

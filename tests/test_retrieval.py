@@ -127,3 +127,27 @@ def test_bigram_logprob_excludes_short_docs(ray_session):
     got = bigram_logprob(_ds(["one", "", "two words"])).to_pandas()
     assert set(got["doc_id"]) == {2}
     assert int(got["n_bigrams"].iloc[0]) == 1
+
+
+def test_redact_pii_batch_patterns(ray_session):
+    import pyarrow as pa
+
+    from mvt_wrangler_ray.stages.text import redact_pii_batch
+    t = pa.table({"text": [
+        "write to john.doe+x@sub.example.org now",
+        "call 555-123-4567 or 555.987.6543",
+        "hosts 192.168.0.1 and 10.0.0.255",
+        "v1.2.3.45 is a version not an ip 1234.1.1.1",
+        "no pii here",
+    ]})
+    o = redact_pii_batch(t)
+    assert o["clean_text"].to_pylist() == [
+        "write to <EMAIL> now",
+        "call <PHONE> or <PHONE>",
+        "hosts <IP> and <IP>",
+        "v1.2.3.45 is a version not an ip 1234.1.1.1",
+        "no pii here",
+    ]
+    assert o["n_email"].to_pylist() == [1, 0, 0, 0, 0]
+    assert o["n_phone"].to_pylist() == [0, 2, 0, 0, 0]
+    assert o["n_ip"].to_pylist() == [0, 0, 2, 0, 0]

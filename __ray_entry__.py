@@ -64,8 +64,8 @@ def _docs(sf_dir: str, columns=None):
 # name the driver gave this file (a driver importing it as e.g. "entry"
 # would otherwise pickle `entry._geotag_docs` by reference and every
 # worker would die with ModuleNotFoundError).
-from mvt_wrangler_ray.geo.geotag import geotag_batch as _geotag_docs  # noqa: E402
-from mvt_wrangler_ray.geo.geotag import assign_tile_batch as _assign  # noqa: E402
+from mvt_wrangler_ray.geo.geotag import append_lonlat_batch as _geotag_docs  # noqa: E402
+from mvt_wrangler_ray.geo.geotag import append_tile_xyz_batch as _assign  # noqa: E402
 
 
 def _sql_tile(zoom: int, lon_expr: str, lat_expr: str) -> tuple[str, str]:

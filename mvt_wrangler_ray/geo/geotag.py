@@ -79,12 +79,16 @@ def geotag_strings(ids) -> tuple[np.ndarray, np.ndarray]:
     return geotag_ints(fnv1a64_strings(ids).astype(np.int64))
 
 
-def geotag_batch(batch, id_col: str = "doc_id"):
+def append_lonlat_batch(batch, id_col: str = "doc_id"):
     """map_batches body: append deterministic lon/lat to an Arrow batch.
 
-    Lives in the package (not the driver entry file) so cloudpickle ships
-    it by reference to an importable module regardless of what module name
-    the harness imported ``__ray_entry__.py`` under."""
+    Named distinctly from stages.geospatial.geotag_batch (the
+    EngineConfig-driven superset with geo-hint handling) so the two
+    can't be confused at an import site — this is the minimal id→coords
+    append the entry-file queries use. Lives in the package (not the
+    driver entry file) so cloudpickle ships it by reference to an
+    importable module regardless of what module name the harness
+    imported ``__ray_entry__.py`` under."""
     import pyarrow as pa
 
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -93,8 +97,10 @@ def geotag_batch(batch, id_col: str = "doc_id"):
                  .append_column("lat", pa.array(lat, pa.float64())))
 
 
-def assign_tile_batch(batch, z: int):
-    """map_batches body: append (z, x, y) web-mercator tile columns."""
+def append_tile_xyz_batch(batch, z: int):
+    """map_batches body: append (z, x, y) web-mercator tile columns
+    (stages.geospatial.tile_assign_batch is the EngineConfig superset
+    that also emits Hilbert tile_id + quadkey)."""
     import pyarrow as pa
 
     from .tilemath import assign_tile

@@ -382,8 +382,32 @@ class PmTilesWriter:
                 with open(self._spool.name, "rb") as src:
                     shutil.copyfileobj(src, f, length=4 << 20)
         finally:
-            self._spool.close()
-            try:
-                os.unlink(self._spool.name)
-            except OSError:
-                pass
+            self.close()
+
+    def close(self):
+        """Release the spool file. Idempotent; called by finalize, but
+        also safe to call after an aborted write (e.g. an
+        out-of-order add_tile or a failed upstream iterator) so the
+        on-disk '.pmtiles-data-*' temp — which holds the whole data
+        section — never outlives the writer."""
+        spool = getattr(self, "_spool", None)
+        if spool is None:
+            return
+        self._spool = None
+        spool.close()
+        try:
+            os.unlink(spool.name)
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass  # interpreter teardown: os/open may already be gone

@@ -1065,9 +1065,21 @@ class HyperplaneLSHStage:
         })
 
 
+_BUCKET_CAP_UNSET = object()
+
+
+def _resolve_bucket_cap(nbits: int, bucket_cap) -> Optional[int]:
+    """Default skew-guard resolution: ON (10k) for LSH buckets, OFF for
+    nbits=0 exact mode where everything lands in ONE bucket by design —
+    a silent cap there would return zero pairs instead of the answer."""
+    if bucket_cap is _BUCKET_CAP_UNSET:
+        return None if nbits == 0 else 10_000
+    return bucket_cap
+
+
 def embedding_near_dups(ds_emb, threshold: float = 0.95,
                         vec_col: str = "embedding", id_col: str = "vec_id",
-                        nbits: int = 8, bucket_cap: Optional[int] = 10_000,
+                        nbits: int = 8, bucket_cap=_BUCKET_CAP_UNSET,
                         probes: int = 0, num_buckets: int = 64):
     """LSH-bucketed cosine near-dup pairs. Scale path: per-bucket
     brute-force only (buckets are small); exact pairs above threshold may
@@ -1083,8 +1095,11 @@ def embedding_near_dups(ds_emb, threshold: float = 0.95,
     ``bucket_cap`` is the same explicit skew-guard contract as the
     minhash/simhash band caps: a bucket larger than the cap is SKIPPED
     (degenerate buckets, e.g. all-zero embeddings, otherwise take O(m²)
-    memory). It defaults ON; pass ``None`` explicitly for the exact
-    keep-every-bucket mode (what the nbits=0 SQL-oracle path uses)."""
+    memory). It defaults ON (10,000) for the LSH mode, but UNSET for
+    nbits=0 — exact mode puts every row in one bucket by design, and a
+    silent cap there would return zero pairs instead of the exact
+    answer. Pass ``None``/an int explicitly to override either way."""
+    bucket_cap = _resolve_bucket_cap(nbits, bucket_cap)
     dim = len(ds_emb.take(1)[0][vec_col])
     _cache: dict = {}
     key = (dim, nbits, vec_col, id_col, probes)

@@ -157,13 +157,17 @@ def bigram_logprob(ds_docs, col: str = "text", id_col: str = "doc_id",
     division at the end. Docs with < 2 tokens have no bigrams and are
     excluded (both sides of the parity check).
 
-    Plan: explode (doc_id, w1, w2) bigram rows once (Arrow-vectorized
-    shift-compare, no Python token loops) → two-phase counted bigram
-    and left-unigram tables (pre-reduced per block before the one
-    exchange) → annotate occurrences with counts. The count tables
-    broadcast via ray.put below `broadcast_vocab_limit` rows; above it
-    the plan cuts over to bucketed hash joins (the genuinely-huge-vocab
-    shape: nothing driver-resident)."""
+    Plan: explode (doc_id, w1, bgkey) bigram rows once — materialized,
+    since three consumers read it (Arrow-vectorized shift-compare, no
+    Python token loops) → two-phase counted bigram and left-unigram
+    tables (pre-reduced per block before the one exchange) → annotate
+    occurrences with counts. The vocabulary size V needs one extra
+    token-level pass over the docs: it counts distinct UNIGRAMS, which
+    the bigram rows cannot supply (a one-token doc has vocabulary but
+    no bigrams). The count tables broadcast via ray.put below
+    `broadcast_vocab_limit` rows; above it the plan cuts over to
+    bucketed hash joins (the genuinely-huge-vocab shape: nothing
+    driver-resident)."""
     import ray
 
     from .shuffle import bucketed_hash_join, two_phase_aggregate
@@ -190,7 +194,11 @@ def bigram_logprob(ds_docs, col: str = "text", id_col: str = "doc_id",
             "bgkey": bgkey,
         })
 
-    bg = ds_docs.map_batches(explode_bigrams, batch_format="pyarrow")
+    # three consumers (c2, c1, annotate/join) — materialize so the
+    # corpus is tokenized and exploded exactly once, not re-run lazily
+    # per consumer
+    bg = ds_docs.map_batches(explode_bigrams,
+                             batch_format="pyarrow").materialize()
 
     c2 = two_phase_aggregate(
         bg.map_batches(lambda t: t.select(["bgkey"]), batch_format="pyarrow"),
@@ -217,21 +225,29 @@ def bigram_logprob(ds_docs, col: str = "text", id_col: str = "doc_id",
 
     n_c2 = c2.count()
     if n_c2 <= broadcast_vocab_limit:
+        import pandas as pd
+
         df2 = c2.to_pandas()
         df1 = c1.to_pandas()
-        lut2_ref = ray.put(dict(zip(df2["bgkey"], df2["c2"])))
-        lut1_ref = ray.put(dict(zip(df1["w1"], df1["c1"])))
+        lut2_ref = ray.put((df2["bgkey"].to_numpy(),
+                            df2["c2"].to_numpy().astype(np.int64)))
+        lut1_ref = ray.put((df1["w1"].to_numpy(),
+                            df1["c1"].to_numpy().astype(np.int64)))
         cache: dict = {}
 
         def annotate(batch: pa.Table) -> pa.Table:
             st = cache.get("l")
             if st is None:
-                st = cache["l"] = (ray.get(lut2_ref), ray.get(lut1_ref))
-            lut2, lut1 = st
-            bgkeys = batch["bgkey"].to_pylist()
-            w1 = batch["w1"].to_pylist()
-            cc2 = np.fromiter((lut2[k] for k in bgkeys), np.int64, len(batch))
-            cc1 = np.fromiter((lut1[a] for a in w1), np.int64, len(batch))
+                k2, v2 = ray.get(lut2_ref)
+                k1, v1 = ray.get(lut1_ref)
+                # pd.Index hash lookup — one vectorized probe per batch
+                # column, no per-row Python dict loop
+                st = cache["l"] = (pd.Index(k2), v2, pd.Index(k1), v1)
+            i2, v2, i1, v1 = st
+            cc2 = v2[i2.get_indexer(batch["bgkey"].to_numpy(
+                zero_copy_only=False))]
+            cc1 = v1[i1.get_indexer(batch["w1"].to_numpy(
+                zero_copy_only=False))]
             return _contrib_table(batch, id_col, cc2, cc1, alpha, v_size)
 
         annotated = bg.map_batches(annotate, batch_format="pyarrow")

@@ -183,8 +183,12 @@ def bucketed_key_semi_join(left, keys_ds, key: str, right_key: str = None,
         # membership via Arrow is_in, NOT numpy: a null in the left key
         # column would force to_numpy into a float64 lane where int64 ids
         # above 2^53 lose precision and can collide. A null left key is
-        # "no match": semi drops it, anti keeps it.
-        keys = g.filter(pa.array(side == 1))[key].combine_chunks().unique()
+        # "no match": semi drops it, anti keeps it — which requires the
+        # value_set to be null-free (pc.is_in returns TRUE for a null
+        # input when value_set itself contains a null, bypassing the
+        # fill_null(False) below and inverting the contract).
+        keys = (g.filter(pa.array(side == 1))[key]
+                .combine_chunks().unique().drop_null())
         hit = pc.fill_null(pc.is_in(rows[key], value_set=keys), False)
         out = rows.filter(pc.invert(hit) if anti else hit)
         return out.drop_columns(["bucket", "_side"])

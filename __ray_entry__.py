@@ -1560,9 +1560,11 @@ FROM ann GROUP BY doc_id
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order is deliberate: the round-2 driver artifact
     # recorded exactly the FIRST 50 dict entries, dropping the tail —
-    # so the 5 queries it has never certified come first, and 5 trivial
-    # always-green SQL ops (sort_limit/sample/distinct/semi/anti join)
-    # sit last where a 50-row cut costs the least certification value.
+    # so never-certified queries come first and the 9 most trivial
+    # always-green SQL ops (sort_limit/sample/distinct/semi/anti join,
+    # tile_topk/median/broadcast_join/stratified_sample — each with a
+    # richer relative inside the first 50) sit last where a 50-row cut
+    # costs the least certification value.
     return {
         "features_transform": _q_features_transform,
         "dedup_clusters": _q_dedup_clusters,
@@ -1575,7 +1577,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
-        "tile_topk": _q_tile_topk,
         "pip_join": _q_pip_join,
         "expr_filter": _q_expr_filter,
         "exact_dedup": _q_exact_dedup,
@@ -1584,13 +1585,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
-        "broadcast_join": _q_broadcast_join,
         "groupby_agg": _q_groupby_agg,
         "image_tiles": _q_image_tiles,
         "hash_join": _q_hash_join,
         "extent_agg": _q_extent_agg,
         "sliding_window": _q_sliding_window,
-        "median_qty": _q_median_qty,
         "normalize_text": _q_normalize_text,
         "topk_per_group": _q_topk_per_group,
         "sessionize": _q_sessionize,
@@ -1608,7 +1607,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "range_count": _q_range_count,
         "chunk_docs": _q_chunk_docs,
-        "stratified_sample": _q_stratified_sample,
         "top_terms": _q_top_terms,
         "tile_smooth": _q_tile_smooth,
         "minhash_near_dup": _q_minhash_near_dup,
@@ -1618,6 +1616,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _q_frame_sample,
         "thumbnails": _q_thumbnails,
         "wrangle_tiles": _q_wrangle_tiles,
+        "tile_topk": _q_tile_topk,
+        "median_qty": _q_median_qty,
+        "broadcast_join": _q_broadcast_join,
+        "stratified_sample": _q_stratified_sample,
         "sort_limit": _q_sort_limit,
         "sample": _q_sample,
         "semi_join": _q_semi_join,

@@ -1478,6 +1478,56 @@ FROM r{PAGERANK_ITERS}""")
     return "".join(parts)
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_DIM = 64
+
+
+def _q_kmeans(sf_dir: str):
+    """Quantized k-means over the embeddings table (integer fixed-point
+    distances/updates — stages/cluster.py). Assignments after
+    KMEANS_ITERS centroid updates, seeded from the k smallest ids."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.cluster import kmeans_quantized
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return kmeans_quantized(ds, k=KMEANS_K, iterations=KMEANS_ITERS)
+
+
+def _sql_kmeans() -> str:
+    """stages/cluster.py's fixed-point recurrence unrolled. DuckDB's
+    integer `//` truncates toward zero, which the engine mirrors
+    (np.sign(s) * (abs(s) // n)) for the centroid update."""
+    k, iters, dim = KMEANS_K, KMEANS_ITERS, KMEANS_DIM
+    scale = f"{1 << 20}e0"
+    parts = [f"""
+WITH q AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * {scale}) AS BIGINT)
+           AS qv
+  FROM embeddings, LATERAL (SELECT unnest(range(0, {dim})) AS i) r
+),
+c0 AS (SELECT vec_id AS c, i, qv FROM q WHERE vec_id < {k})"""]
+    for it in range(1, iters + 2):
+        parts.append(f""",
+d{it} AS (SELECT q.vec_id, c.c,
+                 sum((q.qv - c.qv) * (q.qv - c.qv)) AS d
+          FROM q JOIN c{it - 1} c ON q.i = c.i GROUP BY 1, 2),
+a{it} AS (SELECT vec_id, c FROM (
+           SELECT vec_id, c, row_number() OVER (
+             PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+           FROM d{it}) WHERE rn = 1)""")
+        if it <= iters:
+            parts.append(f""",
+c{it} AS (SELECT a.c, q.i, CAST(sum(q.qv) // count(*) AS BIGINT) AS qv
+          FROM q JOIN a{it} a USING (vec_id) GROUP BY 1, 2)""")
+    parts.append(f"""
+SELECT vec_id, c AS cluster FROM a{iters + 1}""")
+    return "".join(parts)
+
+
 BM25_TERMS = ("data", "apple", "the")
 BM25_K = 10
 
@@ -1575,6 +1625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": _q_bigram_logprob,
         "redact_pii": _q_redact_pii,
         "pagerank": _q_pagerank,
+        "kmeans": _q_kmeans,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -2550,6 +2601,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": _sql_bigram_logprob(),
         "redact_pii": _sql_redact_pii(),
         "pagerank": _sql_pagerank(),
+        "kmeans": _sql_kmeans(),
         "jaccard_near_dup": _sql_jaccard_near_dup(0.5),
         "dedup_clusters": _sql_dedup_clusters(0.35),
         "clean_corpus": _sql_clean_corpus(0.1, 0.8),

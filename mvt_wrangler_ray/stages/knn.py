@@ -30,6 +30,11 @@ def _as_matrix(col) -> np.ndarray:
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype=np.float64)
+    if not hasattr(col, "offsets"):
+        # Ray tensor-extension column (fixed-shape, e.g. from_pandas of
+        # ndarray cells) — to_numpy is already the (n, dim) view
+        return np.asarray(col.to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
     if col.null_count == 0:
         widths = np.diff(np.asarray(col.offsets))
         if (widths == widths[0]).all() and widths[0] > 0:

@@ -70,3 +70,59 @@ def test_pagerank_star_graph_ranks_center_highest(ray_session):
     leaf_ranks = got.loc[got["node"] != 0, "rank"]
     assert center > leaf_ranks.max() * 5
     assert leaf_ranks.nunique() == 1
+
+
+class TestKmeansQuantized:
+    def _brute(self, vecs, ids, k=4, iters=3, bits=20):
+        q = np.floor(vecs.astype(np.float64) * (1 << bits)).astype(np.int64)
+        order = np.argsort(ids)
+        cids = ids[order][:k]
+        cents = q[order][:k].copy()
+        for it in range(iters + 1):
+            d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = cids[np.argmin(d, axis=1)]
+            if it == iters:
+                return dict(zip(ids.tolist(), a.tolist()))
+            uniq = np.unique(a)
+            new_c = []
+            for c in uniq:
+                s = q[a == c].sum(axis=0)
+                n = (a == c).sum()
+                new_c.append(np.sign(s) * (np.abs(s) // n))
+            cids, cents = uniq, np.stack(new_c)
+
+    def test_matches_brute_force(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from mvt_wrangler_ray.stages.cluster import kmeans_quantized
+        rng = np.random.default_rng(9)
+        vecs = rng.normal(size=(120, 8)).astype(np.float32)
+        ids = np.arange(120, dtype=np.int64)
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"vec_id": ids, "embedding": list(vecs)})).repartition(4)
+        got = kmeans_quantized(ds, k=4, iterations=3,
+                               scale_bits=20).to_pandas()
+        want = self._brute(vecs, ids)
+        assert len(got) == 120
+        for _, r in got.iterrows():
+            assert int(r["cluster"]) == want[int(r["vec_id"])]
+
+    def test_clusters_separate_well_separated_data(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from mvt_wrangler_ray.stages.cluster import kmeans_quantized
+        rng = np.random.default_rng(2)
+        a = rng.normal(0.0, 0.01, size=(40, 4))
+        b = rng.normal(5.0, 0.01, size=(40, 4))
+        vecs = np.concatenate([a, b]).astype(np.float32)
+        ids = np.arange(80, dtype=np.int64)
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"vec_id": ids, "embedding": list(vecs)}))
+        got = kmeans_quantized(ds, k=2, iterations=3).to_pandas()
+        got = got.sort_values("vec_id")
+        first = got["cluster"].to_numpy()[:40]
+        second = got["cluster"].to_numpy()[40:]
+        assert len(set(first)) == 1 and len(set(second)) == 1
+        assert first[0] != second[0]

@@ -1528,6 +1528,57 @@ SELECT vec_id, c AS cluster FROM a{iters + 1}""")
     return "".join(parts)
 
 
+# the synth embeddings' planted near-dup pairs sit at cosine ~0.45-0.51
+# (same range the embedding_near_dup query targets); 0.45 makes the
+# in-cluster drop path non-trivial at every sf
+SEMANTIC_DEDUP_T = 0.45
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup composition: k-means the embeddings, drop in-cluster
+    cosine near-dups against smaller ids (stages/cluster.py)."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.cluster import semantic_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, k=KMEANS_K, iterations=KMEANS_ITERS,
+                          threshold=SEMANTIC_DEDUP_T)
+
+
+def _sql_semantic_dedup() -> str:
+    """kmeans CTEs + the exact-integer cosine pair test: dot and the
+    squared norms are int64-exact (< 2^53 so DOUBLE casts are exact),
+    and the comparison is the identical float64 expression the engine
+    evaluates (stages/cluster.py:semantic_dedup)."""
+    t2 = SEMANTIC_DEDUP_T * SEMANTIC_DEDUP_T
+    base = _sql_kmeans()
+    head, _tail = base.rsplit("\nSELECT vec_id, c AS cluster FROM", 1)
+    fin = KMEANS_ITERS + 1
+    return head + f""",
+lab AS (SELECT vec_id, c AS cluster FROM a{fin}),
+n2 AS (SELECT vec_id, sum(qv * qv) AS n2 FROM q GROUP BY 1),
+cand AS (
+  SELECT l1.vec_id AS ia, l2.vec_id AS ib
+  FROM lab l1 JOIN lab l2
+    ON l1.cluster = l2.cluster AND l1.vec_id < l2.vec_id),
+dots AS (
+  SELECT c.ia, c.ib, sum(qa.qv * qb.qv) AS dot
+  FROM cand c
+  JOIN q qa ON qa.vec_id = c.ia
+  JOIN q qb ON qb.vec_id = c.ib AND qb.i = qa.i
+  GROUP BY 1, 2),
+bad AS (
+  SELECT DISTINCT d.ib
+  FROM dots d JOIN n2 a ON a.vec_id = d.ia JOIN n2 b ON b.vec_id = d.ib
+  WHERE d.dot > 0
+    AND CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
+        >= {t2:.17e} * (CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)))
+SELECT vec_id FROM lab WHERE vec_id NOT IN (SELECT ib FROM bad)
+"""
+
+
 BM25_TERMS = ("data", "apple", "the")
 BM25_K = 10
 
@@ -1626,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "pagerank": _q_pagerank,
         "kmeans": _q_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -1641,13 +1693,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": _q_hash_join,
         "extent_agg": _q_extent_agg,
         "sliding_window": _q_sliding_window,
-        "normalize_text": _q_normalize_text,
         "topk_per_group": _q_topk_per_group,
         "sessionize": _q_sessionize,
         "nearest_site": _q_nearest_site,
         "cell_density": _q_cell_density,
         "simhash": _q_simhash,
-        "fingerprint": _q_fingerprint,
         "lang_id": _q_lang_id,
         "cells": _q_cells,
         "knn_ivf": _q_knn_ivf,
@@ -1667,6 +1717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _q_frame_sample,
         "thumbnails": _q_thumbnails,
         "wrangle_tiles": _q_wrangle_tiles,
+        "normalize_text": _q_normalize_text,
+        "fingerprint": _q_fingerprint,
         "tile_topk": _q_tile_topk,
         "median_qty": _q_median_qty,
         "broadcast_join": _q_broadcast_join,
@@ -2602,6 +2654,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _sql_redact_pii(),
         "pagerank": _sql_pagerank(),
         "kmeans": _sql_kmeans(),
+        "semantic_dedup": _sql_semantic_dedup(),
         "jaccard_near_dup": _sql_jaccard_near_dup(0.5),
         "dedup_clusters": _sql_dedup_clusters(0.35),
         "clean_corpus": _sql_clean_corpus(0.1, 0.8),

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from .knn import _as_matrix
 
-__all__ = ["kmeans_quantized", "quantize_matrix"]
+__all__ = ["kmeans_quantized", "semantic_dedup", "quantize_matrix"]
 
 
 def quantize_matrix(batch: pa.Table, vec_col: str,
@@ -59,6 +59,31 @@ def kmeans_quantized(ds_emb, k: int = 8, iterations: int = 3,
 
     Init: the quantized vectors of the k smallest ids (deterministic,
     mirrored by the oracle's ``WHERE vec_id < k`` seed)."""
+    import ray
+
+    ds_emb, cids, cents = _kmeans_centroids(
+        ds_emb, k, iterations, vec_col, id_col, scale_bits)
+
+    cents_ref = ray.put((cids, cents))
+    fcache: dict = {}
+
+    def label(batch: pa.Table, _ref=cents_ref) -> pa.Table:
+        st = fcache.get(id(_ref))
+        if st is None:
+            st = fcache[id(_ref)] = ray.get(_ref)
+        ids_c, ctr = st
+        q = quantize_matrix(batch, vec_col, scale_bits)
+        a = _assign(q, ctr, ids_c)
+        return pa.table({
+            id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+            "cluster": pa.array(a, pa.int64())})
+
+    return ds_emb.map_batches(label, batch_format="pyarrow")
+
+
+def _kmeans_centroids(ds_emb, k, iterations, vec_col, id_col, scale_bits):
+    """Shared centroid loop: returns (materialized points, final
+    cluster ids, final centroid matrix)."""
     import pandas as pd
     import pyarrow.compute as pc
     import ray
@@ -120,18 +145,83 @@ def kmeans_quantized(ds_emb, k: int = 8, iterations: int = 3,
         # TRUNCATING integer division (see module docstring)
         cents = np.sign(s) * (np.abs(s) // n[:, None])
 
-    cents_ref = ray.put((cids, cents))
-    fcache: dict = {}
+    return ds_emb, cids, cents
 
-    def label(batch: pa.Table, _ref=cents_ref) -> pa.Table:
-        st = fcache.get(id(_ref))
+
+def semantic_dedup(ds_emb, k: int = 8, iterations: int = 3,
+                   threshold: float = 0.99, vec_col: str = "embedding",
+                   id_col: str = "vec_id", scale_bits: int = 20,
+                   cluster_cap: int = 100_000):
+    """SemDeDup (Abbas et al. 2023, public literature): k-means the
+    embeddings, then inside each cluster drop every vector whose cosine
+    similarity with a SMALLER-id cluster-mate meets ``threshold``.
+    Returns the surviving ids as a Dataset (id_col,).
+
+    The drop rule is non-iterative (id b is dropped if ANY smaller a in
+    the cluster qualifies, whether or not a itself survives) — the same
+    min-id convention as exact_dedup, and cheaply mirrored in SQL.
+
+    Parity: the cosine test is done on quantized integer vectors —
+    dot and the squared norms are EXACT int64 (< 2^53, so their
+    float64 casts are exact too), and the single comparison
+    ``dot*dot >= t² * (na*nb)`` is evaluated with the identical
+    float64 expression in the oracle. No order-dependent float sums.
+
+    Scale: one groupby exchange on cluster id; the in-cluster pair
+    test is the quadratic step — ``cluster_cap`` is the explicit skew
+    guard (clusters larger than the cap are passed through UNDEDUPED
+    with a warning; pick k so n/k stays well under it)."""
+    import warnings
+
+    import ray
+
+    ds_emb, cids, cents = _kmeans_centroids(
+        ds_emb, k, iterations, vec_col, id_col, scale_bits)
+    t2 = threshold * threshold
+    cents_ref = ray.put((cids, cents))
+    cache: dict = {}
+
+    def label_q(batch: pa.Table, _ref=cents_ref) -> pa.Table:
+        st = cache.get(id(_ref))
         if st is None:
-            st = fcache[id(_ref)] = ray.get(_ref)
+            st = cache[id(_ref)] = ray.get(_ref)
         ids_c, ctr = st
         q = quantize_matrix(batch, vec_col, scale_bits)
         a = _assign(q, ctr, ids_c)
         return pa.table({
             id_col: batch[id_col].combine_chunks().cast(pa.int64()),
-            "cluster": pa.array(a, pa.int64())})
+            "cluster": pa.array(a, pa.int64()),
+            "q": pa.array(list(q), pa.list_(pa.int64()))})
 
-    return ds_emb.map_batches(label, batch_format="pyarrow")
+    labeled = ds_emb.map_batches(label_q, batch_format="pyarrow")
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        if len(g) > cluster_cap:
+            warnings.warn(
+                f"semantic_dedup: cluster of {len(g)} rows exceeds "
+                f"cluster_cap={cluster_cap}; passed through undeduped")
+            return pa.table({id_col: pa.array(np.sort(ids), pa.int64())})
+        order = np.argsort(ids)
+        ids = ids[order]
+        q = _as_matrix(g["q"]).astype(np.int64)[order]
+        m = len(ids)
+        na = np.einsum("ij,ij->i", q, q).astype(np.float64)
+        # row-chunked pair test: never materialize the m×m matrix —
+        # each chunk is (rows × m) with rows sized to ~4M entries
+        rows = max(1, (1 << 22) // max(m, 1))
+        dropped = np.zeros(m, dtype=bool)
+        col_idx = np.arange(m)
+        for s0 in range(0, m, rows):
+            s1 = min(s0 + rows, m)
+            dot = q[s0:s1] @ q.T            # exact int64 (< 2^53)
+            dotf = dot.astype(np.float64)
+            cond = (dot > 0) & (dotf * dotf
+                                >= t2 * (na[s0:s1, None] * na[None, :]))
+            # row b (global s0+i) is dropped if any column a < b matches
+            mask = col_idx[None, :] < (s0 + np.arange(s1 - s0))[:, None]
+            dropped[s0:s1] = (cond & mask).any(axis=1)
+        return pa.table({id_col: pa.array(ids[~dropped], pa.int64())})
+
+    return labeled.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pyarrow")

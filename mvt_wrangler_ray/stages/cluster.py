@@ -24,6 +24,8 @@ no driver materialization of the points. The final pass emits
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pyarrow as pa
 
@@ -85,7 +87,6 @@ def _kmeans_centroids(ds_emb, k, iterations, vec_col, id_col, scale_bits):
     """Shared centroid loop: returns (materialized points, final
     cluster ids, final centroid matrix)."""
     import pandas as pd
-    import pyarrow.compute as pc
     import ray
 
     dim = len(ds_emb.take(1)[0][vec_col])
@@ -95,10 +96,18 @@ def _kmeans_centroids(ds_emb, k, iterations, vec_col, id_col, scale_bits):
     # per pass (Ray spills if they don't fit)
     ds_emb = ds_emb.materialize()
 
-    def seed_filter(b: pa.Table) -> pa.Table:
-        return b.filter(pc.less(b[id_col], k))
+    def local_min_k(b: pa.Table) -> pa.Table:
+        # per-block k-smallest-id rows; the global merge then sees only
+        # k × num_blocks rows (works for ANY id space, not just 0-based
+        # dense ids — the oracle's `WHERE vec_id < k` seed coincides on
+        # the synth tables' dense ids)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) > k:
+            take = np.sort(np.argpartition(ids, k - 1)[:k])
+            b = b.take(pa.array(take, pa.int64()))
+        return b.select([id_col, vec_col])
 
-    seed_rows = (ds_emb.map_batches(seed_filter, batch_format="pyarrow")
+    seed_rows = (ds_emb.map_batches(local_min_k, batch_format="pyarrow")
                  .sort(id_col).take(k))
     cents = np.floor(np.array(
         [r[vec_col] for r in seed_rows], dtype=np.float64)
@@ -151,7 +160,8 @@ def _kmeans_centroids(ds_emb, k, iterations, vec_col, id_col, scale_bits):
 def semantic_dedup(ds_emb, k: int = 8, iterations: int = 3,
                    threshold: float = 0.99, vec_col: str = "embedding",
                    id_col: str = "vec_id", scale_bits: int = 20,
-                   cluster_cap: int = 100_000):
+                   cluster_cap: Optional[int] = 100_000,
+                   pair_chunk_entries: int = 1 << 22):
     """SemDeDup (Abbas et al. 2023, public literature): k-means the
     embeddings, then inside each cluster drop every vector whose cosine
     similarity with a SMALLER-id cluster-mate meets ``threshold``.
@@ -167,10 +177,14 @@ def semantic_dedup(ds_emb, k: int = 8, iterations: int = 3,
     ``dot*dot >= t² * (na*nb)`` is evaluated with the identical
     float64 expression in the oracle. No order-dependent float sums.
 
-    Scale: one groupby exchange on cluster id; the in-cluster pair
-    test is the quadratic step — ``cluster_cap`` is the explicit skew
-    guard (clusters larger than the cap are passed through UNDEDUPED
-    with a warning; pick k so n/k stays well under it)."""
+    Scale: one groupby exchange on cluster id (carrying the ORIGINAL
+    float32 vectors — half the bytes of the int64 quantized form, which
+    is recomputed deterministically inside the group body); the
+    in-cluster pair test is the quadratic step — ``cluster_cap`` is the
+    explicit skew guard (clusters larger than the cap are passed
+    through UNDEDUPED with a warning; pick k so n/k stays well under
+    it, or pass None for the exact keep-every-cluster mode the SQL
+    oracle certifies)."""
     import warnings
 
     import ray
@@ -191,25 +205,25 @@ def semantic_dedup(ds_emb, k: int = 8, iterations: int = 3,
         return pa.table({
             id_col: batch[id_col].combine_chunks().cast(pa.int64()),
             "cluster": pa.array(a, pa.int64()),
-            "q": pa.array(list(q), pa.list_(pa.int64()))})
+            vec_col: batch[vec_col]})
 
     labeled = ds_emb.map_batches(label_q, batch_format="pyarrow")
 
     def dedup_cluster(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        if len(g) > cluster_cap:
+        if cluster_cap is not None and len(g) > cluster_cap:
             warnings.warn(
                 f"semantic_dedup: cluster of {len(g)} rows exceeds "
                 f"cluster_cap={cluster_cap}; passed through undeduped")
             return pa.table({id_col: pa.array(np.sort(ids), pa.int64())})
         order = np.argsort(ids)
         ids = ids[order]
-        q = _as_matrix(g["q"]).astype(np.int64)[order]
+        q = quantize_matrix(g, vec_col, scale_bits)[order]
         m = len(ids)
         na = np.einsum("ij,ij->i", q, q).astype(np.float64)
         # row-chunked pair test: never materialize the m×m matrix —
-        # each chunk is (rows × m) with rows sized to ~4M entries
-        rows = max(1, (1 << 22) // max(m, 1))
+        # each chunk is (rows × m) with rows sized to pair_chunk_entries
+        rows = max(1, pair_chunk_entries // max(m, 1))
         dropped = np.zeros(m, dtype=bool)
         col_idx = np.arange(m)
         for s0 in range(0, m, rows):

@@ -244,10 +244,18 @@ def bigram_logprob(ds_docs, col: str = "text", id_col: str = "doc_id",
                 # column, no per-row Python dict loop
                 st = cache["l"] = (pd.Index(k2), v2, pd.Index(k1), v1)
             i2, v2, i1, v1 = st
-            cc2 = v2[i2.get_indexer(batch["bgkey"].to_numpy(
-                zero_copy_only=False))]
-            cc1 = v1[i1.get_indexer(batch["w1"].to_numpy(
-                zero_copy_only=False))]
+            p2 = i2.get_indexer(batch["bgkey"].to_numpy(
+                zero_copy_only=False))
+            p1 = i1.get_indexer(batch["w1"].to_numpy(
+                zero_copy_only=False))
+            # every occurrence key exists in the luts (the counts were
+            # derived from the SAME materialized bg); get_indexer's -1
+            # miss marker would otherwise silently read v[-1]
+            if (p2 < 0).any() or (p1 < 0).any():
+                raise KeyError("bigram occurrence missing from count lut "
+                               "(bg must stay materialized)")
+            cc2 = v2[p2]
+            cc1 = v1[p1]
             return _contrib_table(batch, id_col, cc2, cc1, alpha, v_size)
 
         annotated = bg.map_batches(annotate, batch_format="pyarrow")

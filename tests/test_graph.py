@@ -167,10 +167,12 @@ class TestSemanticDedup:
         assert got == want
         assert len(got) < 45  # the planted dups actually dropped
 
-    def test_chunked_pair_scan_equals_direct(self, ray_session):
-        # force multiple row-chunks (rows = 2^22 // m; with dim small and
-        # m > 4M/m chunking engages only at huge m — instead just check
-        # a mid-size cluster stays exact end to end)
+    @pytest.mark.parametrize("chunk_entries", [1 << 22, 997, 1])
+    def test_chunked_pair_scan_equals_direct(self, chunk_entries,
+                                             ray_session):
+        # chunk_entries=997/1 force multi-chunk row scans (rows per
+        # chunk = chunk_entries // m), exercising the s0 > 0 global-
+        # offset mask arithmetic; all sizes must agree with brute force
         import pandas as pd
         import ray.data
 
@@ -181,11 +183,28 @@ class TestSemanticDedup:
         ids = np.arange(400, dtype=np.int64)
         ds = ray.data.from_pandas(pd.DataFrame(
             {"vec_id": ids, "embedding": list(vecs)}))
-        got = sorted(semantic_dedup(ds, k=1, iterations=1, threshold=0.999)
+        got = sorted(semantic_dedup(ds, k=1, iterations=1, threshold=0.999,
+                                    pair_chunk_entries=chunk_entries)
                      .to_pandas()["vec_id"])
         want = self._brute(vecs, ids, k=1, iters=1, t=0.999)
         assert got == want
         assert len(got) <= 210  # every scaled copy dropped
+
+    def test_nonzero_based_ids_seed_k_smallest(self, ray_session):
+        # ids 1000..1079: the seed must be the k SMALLEST ids, not
+        # `id < k` (which matches nothing here)
+        import pandas as pd
+        import ray.data
+
+        from mvt_wrangler_ray.stages.cluster import kmeans_quantized
+        rng = np.random.default_rng(8)
+        vecs = rng.normal(size=(80, 4)).astype(np.float32)
+        ids = np.arange(1000, 1080, dtype=np.int64)
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"vec_id": ids, "embedding": list(vecs)})).repartition(4)
+        got = kmeans_quantized(ds, k=3, iterations=2).to_pandas()
+        assert len(got) == 80
+        assert set(got["cluster"]).issubset(set(ids.tolist()))
 
     def test_cluster_cap_passthrough_warns(self, ray_session):
         import warnings

@@ -45,8 +45,13 @@ def pagerank(edges, iterations: int = 5, damping_num: int = 85,
     single deterministic float division rank_int / 1e12.
     """
     import ray
+    import ray.data
 
     from .shuffle import bucketed_hash_join, two_phase_aggregate
+
+    # every iteration scans the edges: pin the blocks once (Ray spills
+    # if they don't fit) instead of re-running the upstream plan 5x
+    edges = edges.materialize()
 
     deg = two_phase_aggregate(
         edges.map_batches(lambda t: t.select(["src"]),
@@ -58,6 +63,51 @@ def pagerank(edges, iterations: int = 5, damping_num: int = 85,
     base = (SCALE * (damping_den - damping_num)) // (damping_den * n_nodes)
     r0 = SCALE // n_nodes
 
+    if n_nodes <= broadcast_nodes_limit:
+        # broadcast lane: the rank table fits the driver (that is what
+        # the limit MEANS), so per iteration the only cluster work is
+        # one streaming pass over the edges plus the small contribution
+        # exchange — no ranks Dataset is rebuilt or re-collected
+        ddf = deg.to_pandas()
+        nodes = ddf["src"].to_numpy().astype(np.int64)
+        order = np.argsort(nodes, kind="stable")
+        nodes = nodes[order]
+        outdeg = ddf["outdeg"].to_numpy().astype(np.int64)[order]
+        r = np.full(n_nodes, r0, dtype=np.int64)
+
+        for _ in range(iterations):
+            rd_ref = ray.put((nodes, np.stack([r, outdeg], axis=1)))
+            cache: dict = {}
+
+            def contrib(batch: pa.Table, _ref=rd_ref) -> pa.Table:
+                st = cache.get(id(_ref))
+                if st is None:
+                    st = cache[id(_ref)] = ray.get(_ref)
+                nd, rd = st
+                src = batch["src"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(nd, src)
+                c = (rd[pos, 0] * damping_num) // (damping_den * rd[pos, 1])
+                return pa.table({
+                    "dst": batch["dst"].combine_chunks().cast(pa.int64()),
+                    "c": pa.array(c, pa.int64())})
+
+            sdf = two_phase_aggregate(
+                edges.map_batches(contrib, batch_format="pyarrow"),
+                keys=["dst"],
+                partial_aggs=[("c", "sum")], partial_names=["ps"],
+                final_aggs=[("ps", "sum")], final_names=["s"],
+                num_buckets=num_buckets).to_pandas()
+            pos = np.searchsorted(
+                nodes, sdf["dst"].to_numpy().astype(np.int64))
+            r = np.full(n_nodes, base, dtype=np.int64)
+            r[pos] += sdf["s"].to_numpy().astype(np.int64)
+
+        out = pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "rank_int": pa.array(r, pa.int64()),
+            "rank": pa.array(r.astype(np.float64) / 1.0e12, pa.float64())})
+        return ray.data.from_arrow(out)
+
     def seed(batch: pa.Table) -> pa.Table:
         return pa.table({
             "node": batch["src"].combine_chunks().cast(pa.int64()),
@@ -65,47 +115,23 @@ def pagerank(edges, iterations: int = 5, damping_num: int = 85,
             "r": pa.array(np.full(len(batch), r0, np.int64), pa.int64())})
 
     ranks = deg.map_batches(seed, batch_format="pyarrow").materialize()
-    broadcast = n_nodes <= broadcast_nodes_limit
 
     for _ in range(iterations):
-        if broadcast:
-            df = ranks.to_pandas()
-            node_ref = ray.put(df["node"].to_numpy())
-            rd_ref = ray.put(np.stack(
-                [df["r"].to_numpy(), df["outdeg"].to_numpy()], axis=1))
-            cache: dict = {}
+        joined = bucketed_hash_join(
+            edges, ranks.map_batches(
+                lambda t: t.rename_columns(["src", "outdeg", "r"]),
+                batch_format="pyarrow"),
+            "src", "src", num_buckets=num_buckets)
 
-            def contrib(batch: pa.Table, _n=node_ref, _rd=rd_ref) -> pa.Table:
-                st = cache.get(id(_n))
-                if st is None:
-                    nodes = ray.get(_n)
-                    order = np.argsort(nodes, kind="stable")
-                    st = cache[id(_n)] = (nodes[order], ray.get(_rd)[order])
-                nodes, rd = st
-                src = batch["src"].to_numpy(zero_copy_only=False)
-                pos = np.searchsorted(nodes, src)
-                c = (rd[pos, 0] * damping_num) // (damping_den * rd[pos, 1])
-                return pa.table({
-                    "dst": batch["dst"].combine_chunks().cast(pa.int64()),
-                    "c": pa.array(c, pa.int64())})
+        def contrib_j(batch: pa.Table) -> pa.Table:
+            r = batch["r"].to_numpy(zero_copy_only=False)
+            od = batch["outdeg"].to_numpy(zero_copy_only=False)
+            c = (r * damping_num) // (damping_den * od)
+            return pa.table({
+                "dst": batch["dst"].combine_chunks().cast(pa.int64()),
+                "c": pa.array(c, pa.int64())})
 
-            contribs = edges.map_batches(contrib, batch_format="pyarrow")
-        else:
-            joined = bucketed_hash_join(
-                edges, ranks.map_batches(
-                    lambda t: t.rename_columns(["src", "outdeg", "r"]),
-                    batch_format="pyarrow"),
-                "src", "src", num_buckets=num_buckets)
-
-            def contrib_j(batch: pa.Table) -> pa.Table:
-                r = batch["r"].to_numpy(zero_copy_only=False)
-                od = batch["outdeg"].to_numpy(zero_copy_only=False)
-                c = (r * damping_num) // (damping_den * od)
-                return pa.table({
-                    "dst": batch["dst"].combine_chunks().cast(pa.int64()),
-                    "c": pa.array(c, pa.int64())})
-
-            contribs = joined.map_batches(contrib_j, batch_format="pyarrow")
+        contribs = joined.map_batches(contrib_j, batch_format="pyarrow")
 
         sums = two_phase_aggregate(
             contribs, keys=["dst"],
@@ -113,55 +139,27 @@ def pagerank(edges, iterations: int = 5, damping_num: int = 85,
             final_aggs=[("ps", "sum")], final_names=["s"],
             num_buckets=num_buckets)
 
-        if broadcast:
-            sdf = sums.to_pandas()
-            sn_ref = ray.put(sdf["dst"].to_numpy())
-            sv_ref = ray.put(sdf["s"].to_numpy())
-            scache: dict = {}
+        nxt = bucketed_hash_join(
+            ranks.map_batches(lambda t: t.select(["node", "outdeg"]),
+                              batch_format="pyarrow"),
+            sums.map_batches(
+                lambda t: t.rename_columns(["node", "s"]),
+                batch_format="pyarrow"),
+            "node", "node", num_buckets=num_buckets, how="left")
 
-            def advance(batch: pa.Table, _n=sn_ref, _v=sv_ref) -> pa.Table:
-                st = scache.get(id(_n))
-                if st is None:
-                    nodes = ray.get(_n)
-                    order = np.argsort(nodes, kind="stable")
-                    st = scache[id(_n)] = (nodes[order], ray.get(_v)[order])
-                nodes, vals = st
-                nb = batch["src"].to_numpy(zero_copy_only=False)
-                pos = np.searchsorted(nodes, nb)
-                hit = (pos < len(nodes))
-                pos = np.minimum(pos, len(nodes) - 1)
-                hit &= nodes[pos] == nb
-                r = np.full(len(nb), base, np.int64)
-                r[hit] += vals[pos[hit]]
-                return pa.table({
-                    "node": batch["src"].combine_chunks().cast(pa.int64()),
-                    "outdeg": batch["outdeg"].combine_chunks().cast(pa.int64()),
-                    "r": pa.array(r, pa.int64())})
+        def advance_j(batch: pa.Table) -> pa.Table:
+            s = batch["s"].to_numpy(zero_copy_only=False)
+            s = np.where(np.isnan(s.astype(np.float64)), 0,
+                         s).astype(np.int64) if s.dtype != np.int64 \
+                else s
+            return pa.table({
+                "node": batch["node"].combine_chunks().cast(pa.int64()),
+                "outdeg":
+                    batch["outdeg"].combine_chunks().cast(pa.int64()),
+                "r": pa.array(base + s, pa.int64())})
 
-            ranks = deg.map_batches(advance,
-                                    batch_format="pyarrow").materialize()
-        else:
-            nxt = bucketed_hash_join(
-                ranks.map_batches(lambda t: t.select(["node", "outdeg"]),
-                                  batch_format="pyarrow"),
-                sums.map_batches(
-                    lambda t: t.rename_columns(["node", "s"]),
-                    batch_format="pyarrow"),
-                "node", "node", num_buckets=num_buckets, how="left")
-
-            def advance_j(batch: pa.Table) -> pa.Table:
-                s = batch["s"].to_numpy(zero_copy_only=False)
-                s = np.where(np.isnan(s.astype(np.float64)), 0,
-                             s).astype(np.int64) if s.dtype != np.int64 \
-                    else s
-                return pa.table({
-                    "node": batch["node"].combine_chunks().cast(pa.int64()),
-                    "outdeg":
-                        batch["outdeg"].combine_chunks().cast(pa.int64()),
-                    "r": pa.array(base + s, pa.int64())})
-
-            ranks = nxt.map_batches(advance_j,
-                                    batch_format="pyarrow").materialize()
+        ranks = nxt.map_batches(advance_j,
+                                batch_format="pyarrow").materialize()
 
     def finalize(batch: pa.Table) -> pa.Table:
         r = batch["r"].to_numpy(zero_copy_only=False).astype(np.int64)

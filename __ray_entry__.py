@@ -685,6 +685,33 @@ def _q_decode_images(sf_dir: str):
     return out.select_columns(["doc_id", "sniffed_fmt", "phash_recomputed"])
 
 
+def _q_image_near_dup(sf_dir: str):
+    """Image near-duplicate detection — the image-payload dedup flagship:
+    documents-derived images with PLANTED retouched copies (doc_id%5==4
+    re-uses doc_id-1's payload with one body byte flipped), decoded by
+    the DecodeImageStage actor pool, recomputed phash banded 8×8 bits
+    (pigeonhole: pairs within Hamming < 8 share a band), bucketed
+    candidates, popcount verify ≤ 8. Pixels never cross the shuffle —
+    only (doc_id, phash) does. Oracle re-derives decode → phash →
+    banding → verify in closed form."""
+    from mvt_wrangler_ray.sources.images import images_from_documents_retouched
+    from mvt_wrangler_ray.stages.dedup import hamming_near_dups
+    from mvt_wrangler_ray.stages.image import DecodeImageStage
+
+    ds = images_from_documents_retouched(sf_dir)
+    _cache: dict = {}
+
+    def decode(b):
+        st = _cache.get("s")
+        if st is None:
+            st = _cache["s"] = DecodeImageStage()
+        return st(b).select(["doc_id", "phash_recomputed"])
+
+    sig = ds.map_batches(decode, batch_format="pyarrow", batch_size=1024)
+    return hamming_near_dups(sig, "phash_recomputed", max_hamming=8,
+                             bands=8)
+
+
 def _q_thumbnails(sf_dir: str):
     """REAL thumbnail pipeline: nearest-neighbor resample to 32x32 and
     re-encode each thumb as a genuine PNG (ResizeStage), then decode the
@@ -1682,6 +1709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "kmeans": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
+        "image_near_dup": _q_image_near_dup,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -1701,7 +1729,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "nearest_site": _q_nearest_site,
         "cell_density": _q_cell_density,
-        "simhash": _q_simhash,
         "lang_id": _q_lang_id,
         "cells": _q_cells,
         "knn_ivf": _q_knn_ivf,
@@ -1732,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "distinct": _q_distinct,
+        "simhash": _q_simhash,
     }
 
 
@@ -2141,6 +2169,66 @@ SELECT d.doc_id,
        ELSE 'webp' END AS sniffed_fmt,
   {_sql_twos_comp("uval", "phash_recomputed")}
 FROM documents d JOIN bits ON d.doc_id = bits.doc_id
+"""
+
+
+def _sql_image_near_dup(max_hamming: int = 8) -> str:
+    """sources/images.images_from_documents_retouched + DecodeImageStage
+    + dedup.hamming_near_dups(bands=8) in closed form: copies (doc_id%5
+    == 4) decode doc_id-1's payload with body byte j = h%64 XOR 0x80,
+    phash = 8×8 block means vs median, 8×8-bit bands, per-(band,value)
+    cap 1000, popcount verify ≤ max_hamming."""
+    fnv = _sql_fnv64("printf('img%08d', bid)", 11)
+    med = "(ml[32] + ml[33]) / 2.0"
+    ham = "bit_count(xor(sa.ph, sb.ph))"
+    base_val = "(((r * w + c) % 64) * s8 + t8) % 256"
+    return f"""
+WITH base AS (SELECT doc_id,
+  CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS isc,
+  doc_id - CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS bid
+  FROM documents),
+img AS (SELECT doc_id, isc, {fnv} AS h FROM base),
+geom AS (SELECT doc_id, isc,
+  CAST(32 + CAST(h % 97 AS BIGINT) AS BIGINT) AS w,
+  CAST(32 + CAST((h >> 8) % 97 AS BIGINT) AS BIGINT) AS hh,
+  CAST((h | 1) & 255 AS BIGINT) AS s8,
+  CAST((h >> 7) & 255 AS BIGINT) AS t8,
+  CAST(h % 64 AS BIGINT) AS j
+  FROM img),
+rows_r AS (SELECT doc_id, isc, w, s8, t8, j, hh // 8 AS bh, w // 8 AS bw,
+  unnest(range(8 * (hh // 8))) AS r FROM geom),
+px AS (SELECT doc_id, r // bh AS br, c // bw AS bc,
+  CASE WHEN isc = 1 AND (r * w + c) % 64 = j
+       THEN xor({base_val}, 128) ELSE {base_val} END AS val
+  FROM (SELECT doc_id, isc, w, s8, t8, j, bh, bw, r,
+        unnest(range(8 * bw)) AS c FROM rows_r)),
+blocks AS (SELECT doc_id, br, bc,
+  CAST(sum(val) AS DOUBLE) / count(*) AS m
+  FROM px GROUP BY doc_id, br, bc),
+med AS (SELECT doc_id, list_sort(list(m)) AS ml FROM blocks GROUP BY doc_id),
+bits AS (SELECT b.doc_id,
+  sum(CASE WHEN b.m > {med} THEN CAST(1 AS HUGEINT) * pw ELSE CAST(0 AS HUGEINT) END)
+    AS uval
+  FROM blocks b JOIN med USING (doc_id)
+  JOIN (SELECT bb // 8 AS br, bb % 8 AS bc, pw
+        FROM (VALUES {", ".join(f"({b}, CAST({1 << (63 - b)} AS HUGEINT))"
+                                for b in range(64))}) v(bb, pw)) pwt
+    ON b.br = pwt.br AND b.bc = pwt.bc
+  GROUP BY b.doc_id),
+u AS (SELECT doc_id, CAST(uval AS UBIGINT) AS us FROM bits),
+bands AS (SELECT doc_id, bb AS band, CAST((us >> (8 * bb)) & 255 AS BIGINT) AS bv
+  FROM u CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t(bb)),
+bg AS (SELECT band, bv, count(*) AS cnt FROM bands GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+    AND a.doc_id < b.doc_id
+  JOIN bg g ON g.band = a.band AND g.bv = a.bv
+  WHERE g.cnt <= 1000),
+sig AS (SELECT doc_id, {_sql_twos_comp("uval", "ph")} FROM bits)
+SELECT c.id_a, c.id_b, CAST({ham} AS BIGINT) AS hamming
+FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE {ham} <= {max_hamming}
 """
 
 
@@ -2665,6 +2753,7 @@ def oracle_sql() -> dict[str, str]:
         "features_transform": _sql_features_transform(2000),
         "raster_vector": _sql_raster_vector(5, 32),
         "simhash_near_dup": _sql_simhash_near_dup(3),
+        "image_near_dup": _sql_image_near_dup(8),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

@@ -235,3 +235,48 @@ def images_from_documents(sf_dir: str, payload_bytes: int = 64):
         })
 
     return ds.map_batches(to_images, batch_format="pyarrow")
+
+
+def images_from_documents_retouched(sf_dir: str, payload_bytes: int = 64,
+                                    copy_mod: int = 5):
+    """images_from_documents with PLANTED near-duplicates: every doc with
+    ``doc_id % copy_mod == copy_mod - 1`` is a "retouched copy" of
+    ``doc_id - 1``'s image — identical deterministic payload and geometry
+    except ONE body byte (index ``h64 % payload_bytes``) XORed with 0x80.
+    The decoded pixel field then differs on ~1/payload_bytes of positions,
+    so the recomputed phash lands within a small Hamming distance of the
+    base image's: deterministic planted ground truth for the image
+    near-dup pipeline, exactly re-derivable by the DuckDB oracle."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_images(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        is_copy = (ids % copy_mod) == (copy_mod - 1)
+        bid = ids - is_copy.astype(np.int64)
+        base_image_id = np.array([f"img{i:08d}" for i in bid], dtype=object)
+        h64 = fnv1a64_strings(base_image_id)
+        w, h, fmt, phash = derive_image_fields(bid, h64)
+        seeds = (h64 | np.uint64(1)).astype(np.uint64)
+        tail = (h64 >> np.uint64(7)).astype(np.uint64)
+        idx = np.arange(payload_bytes, dtype=np.uint64)
+        mat = ((idx[None, :] * seeds[:, None]) + tail[:, None]).astype(np.uint8)
+        j = (h64 % np.uint64(payload_bytes)).astype(np.int64)
+        mat[is_copy, j[is_copy]] ^= np.uint8(0x80)
+        payloads = pa.array(
+            [_MAGIC[fmt[i]] + mat[i].tobytes() for i in range(n)], pa.binary())
+        image_id = np.array([f"img{i:08d}" for i in ids], dtype=object)
+        return pa.table({
+            "image_id": pa.array(image_id, pa.string()),
+            "bytes": payloads,
+            "w": pa.array(w, pa.int32()),
+            "h": pa.array(h, pa.int32()),
+            "fmt": pa.array(fmt, pa.string()),
+            "caption": batch["text"],
+            "phash": pa.array(phash, pa.int64()),
+            "doc_id": batch["doc_id"],
+        })
+
+    return ds.map_batches(to_images, batch_format="pyarrow")

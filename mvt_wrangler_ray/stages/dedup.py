@@ -930,38 +930,49 @@ def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(out, pa.int64()))
 
 
-def simhash_bands(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    """4 × 16-bit bands: pairs within Hamming distance 3 share ≥1 band."""
-    sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+def hamming_bands(batch: pa.Table, sig_col: str, id_col: str = "doc_id",
+                  bands: int = 4) -> pa.Table:
+    """Split a 64-bit signature into `bands` equal-width bands (pigeonhole:
+    any pair within Hamming distance < bands shares ≥ 1 band). The output
+    id column is always named ``doc_id`` — the shared contract of the
+    segment-pair candidate machinery downstream."""
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    sh = batch[sig_col].to_numpy(zero_copy_only=False).astype(np.uint64)
     ids = batch[id_col].to_numpy(zero_copy_only=False)
     n = len(sh)
-    bands = np.repeat(np.arange(4, dtype=np.int32), n)
-    vals = np.concatenate([((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-                           for b in range(4)])
-    return pa.table({"band": pa.array(bands), "band_val": pa.array(vals),
-                     "doc_id": pa.array(np.tile(ids, 4))})
+    bcol = np.repeat(np.arange(bands, dtype=np.int32), n)
+    vals = np.concatenate([((sh >> np.uint64(width * b)) & mask).astype(np.int64)
+                           for b in range(bands)])
+    return pa.table({"band": pa.array(bcol), "band_val": pa.array(vals),
+                     "doc_id": pa.array(np.tile(ids, bands))})
 
 
-def simhash_near_dups(ds_docs, max_hamming: int = 3, col: str = "text",
-                      id_col: str = "doc_id", num_buckets: int = 64,
-                      bucket_cap: int = 1000):
-    """SimHash near-dup pairs, Ray-Data-first: 64-bit simhash per doc →
-    4×16-bit band blocking (pigeonhole: any pair within Hamming ≤ 3
-    shares ≥ 1 band) → bucketed candidate generation (same segment-pair
-    pattern as minhash — bounded Python group count, per-(band,value)
-    cap against degenerate bands) → popcount verify against a broadcast
-    signature lookup. Returns (id_a, id_b, hamming) sorted."""
+def simhash_bands(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """4 × 16-bit bands: pairs within Hamming distance 3 share ≥1 band."""
+    return hamming_bands(batch, "simhash", id_col, bands=4)
+
+
+def hamming_near_dups(sig_ds, sig_col: str, max_hamming: int = 3,
+                      id_col: str = "doc_id", bands: int = 4,
+                      num_buckets: int = 64, bucket_cap: int = 1000):
+    """Near-dup pairs for ANY 64-bit signature column (simhash, image
+    phash, …): equal-width band blocking (pigeonhole: pairs within
+    Hamming < bands share ≥ 1 band) → bucketed candidate generation
+    (bounded Python group count, per-(band,value) cap against degenerate
+    bands) → popcount verify against a broadcast signature lookup of
+    candidate ids only. ``sig_ds`` is a Dataset carrying (id_col,
+    sig_col). Returns (id_a, id_b, hamming) sorted."""
     import ray
 
     from .shuffle import add_bucket_column
 
     empty = _empty_pairs("hamming", np.int64)
-    sh = ds_docs.map_batches(
-        lambda b: simhash_batch(b, col).select([id_col, "simhash"]),
-        batch_format="pyarrow").materialize()
-    bands = sh.map_batches(
-        lambda b: simhash_bands(b, id_col), batch_format="pyarrow")
-    bucketed = bands.map_batches(
+    sh = sig_ds.materialize()
+    band_rows = sh.map_batches(
+        lambda b: hamming_bands(b, sig_col, id_col, bands),
+        batch_format="pyarrow")
+    bucketed = band_rows.map_batches(
         lambda b: add_bucket_column(b, ["band", "band_val"], num_buckets),
         batch_format="pyarrow")
     cand = bucketed.groupby("bucket").map_groups(
@@ -974,7 +985,7 @@ def simhash_near_dups(ds_docs, max_hamming: int = 3, col: str = "text",
 
     # broadcast the (8-byte) signatures of candidate ids only; verify in
     # map_batches over the pairs Dataset
-    sig_ref = _broadcast_candidate_column(cand, sh, id_col, "simhash")
+    sig_ref = _broadcast_candidate_column(cand, sh, id_col, sig_col)
     cache: dict = {}
 
     def verify(b: pa.Table) -> pa.Table:
@@ -996,6 +1007,19 @@ def simhash_near_dups(ds_docs, max_hamming: int = 3, col: str = "text",
     if len(out) == 0:
         return empty
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def simhash_near_dups(ds_docs, max_hamming: int = 3, col: str = "text",
+                      id_col: str = "doc_id", num_buckets: int = 64,
+                      bucket_cap: int = 1000):
+    """SimHash near-dup pairs, Ray-Data-first: 64-bit simhash per doc →
+    4×16-bit band blocking → the generic hamming_near_dups tail."""
+    sh = ds_docs.map_batches(
+        lambda b: simhash_batch(b, col).select([id_col, "simhash"]),
+        batch_format="pyarrow")
+    return hamming_near_dups(sh, "simhash", max_hamming, id_col,
+                             bands=4, num_buckets=num_buckets,
+                             bucket_cap=bucket_cap)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -712,6 +712,27 @@ def _q_image_near_dup(sf_dir: str):
                              bands=8)
 
 
+def _q_image_stats(sf_dir: str):
+    """Image feature extraction (the image-payload analysis stage): decode
+    each payload in an actor-shaped map_batches, emit exact-integer moment
+    features (mean, variance) and Sobel |gx|+|gy| edge energy. Every
+    accumulation is an int64 sum, so the closed-form SQL oracle matches
+    bit-exactly; pixels never leave the stage."""
+    from mvt_wrangler_ray.sources.images import images_from_documents
+    from mvt_wrangler_ray.stages.image import ImageStatsStage
+
+    ds = images_from_documents(sf_dir)
+    _cache: dict = {}
+
+    def feats(b):
+        st = _cache.get("s")
+        if st is None:
+            st = _cache["s"] = ImageStatsStage()
+        return st(b)
+
+    return ds.map_batches(feats, batch_format="pyarrow", batch_size=1024)
+
+
 def _q_thumbnails(sf_dir: str):
     """REAL thumbnail pipeline: nearest-neighbor resample to 32x32 and
     re-encode each thumb as a genuine PNG (ResizeStage), then decode the
@@ -1710,6 +1731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "image_near_dup": _q_image_near_dup,
+        "image_stats": _q_image_stats,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -1730,7 +1752,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_site": _q_nearest_site,
         "cell_density": _q_cell_density,
         "lang_id": _q_lang_id,
-        "cells": _q_cells,
         "knn_ivf": _q_knn_ivf,
         "phash_knn": _q_phash_knn,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -1760,6 +1781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": _q_anti_join,
         "distinct": _q_distinct,
         "simhash": _q_simhash,
+        "cells": _q_cells,
     }
 
 
@@ -2229,6 +2251,53 @@ SELECT c.id_a, c.id_b, CAST({ham} AS BIGINT) AS hamming
 FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
 JOIN sig sb ON sb.doc_id = c.id_b
 WHERE {ham} <= {max_hamming}
+"""
+
+
+def _sql_image_stats() -> str:
+    """stages/image.ImageStatsStage in closed form: pixel (r, c) of the
+    tiled fake decode is V(r,c) = (((r*w + c) % 64) * s8 + t8) % 256;
+    moments are integer sums over the full field, Sobel gx/gy evaluate
+    the closed form at the 8 neighbors of each interior pixel (exact
+    int64 arithmetic — identical to the numpy slicing)."""
+    fnv = _sql_fnv64("printf('img%08d', doc_id)", 11)
+
+    def V(r: str, c: str) -> str:
+        # fully parenthesized: * and % share precedence in SQL, so a bare
+        # `2 * inner % 256` would reassociate as `(2 * inner) % 256`
+        return f"((((({r}) * w + ({c})) % 64) * s8 + t8) % 256)"
+
+    gx = (f"({V('r - 1', 'c + 1')} + 2 * {V('r', 'c + 1')} + {V('r + 1', 'c + 1')})"
+          f" - ({V('r - 1', 'c - 1')} + 2 * {V('r', 'c - 1')} + {V('r + 1', 'c - 1')})")
+    gy = (f"({V('r + 1', 'c - 1')} + 2 * {V('r + 1', 'c')} + {V('r + 1', 'c + 1')})"
+          f" - ({V('r - 1', 'c - 1')} + 2 * {V('r - 1', 'c')} + {V('r - 1', 'c + 1')})")
+    return f"""
+WITH img AS (SELECT doc_id, {fnv} AS h FROM documents),
+geom AS (SELECT doc_id,
+  CAST(32 + CAST(h % 97 AS BIGINT) AS BIGINT) AS w,
+  CAST(32 + CAST((h >> 8) % 97 AS BIGINT) AS BIGINT) AS hh,
+  CAST((h | 1) & 255 AS BIGINT) AS s8,
+  CAST((h >> 7) & 255 AS BIGINT) AS t8
+  FROM img),
+mom AS (SELECT doc_id, sum(val) AS s, sum(val * val) AS ss,
+  count(*) AS npx FROM (
+    SELECT doc_id, {V('r', 'c')} AS val
+    FROM (SELECT doc_id, w, s8, t8, r, unnest(range(w)) AS c
+          FROM (SELECT doc_id, w, hh, s8, t8, unnest(range(hh)) AS r
+                FROM geom)))
+  GROUP BY 1),
+edge AS (SELECT doc_id, sum(abs(gxv) + abs(gyv)) AS e FROM (
+    SELECT doc_id, {gx} AS gxv, {gy} AS gyv
+    FROM (SELECT doc_id, w, s8, t8, r, 1 + unnest(range(w - 2)) AS c
+          FROM (SELECT doc_id, w, hh, s8, t8, 1 + unnest(range(hh - 2)) AS r
+                FROM geom)))
+  GROUP BY 1)
+SELECT m.doc_id,
+  CAST(s AS DOUBLE) / npx AS px_mean,
+  CAST(ss AS DOUBLE) / npx
+    - (CAST(s AS DOUBLE) / npx) * (CAST(s AS DOUBLE) / npx) AS px_var,
+  CAST(e AS BIGINT) AS edge_energy
+FROM mom m JOIN edge USING (doc_id)
 """
 
 
@@ -2754,6 +2823,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_vector": _sql_raster_vector(5, 32),
         "simhash_near_dup": _sql_simhash_near_dup(3),
         "image_near_dup": _sql_image_near_dup(8),
+        "image_stats": _sql_image_stats(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

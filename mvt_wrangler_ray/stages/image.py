@@ -158,6 +158,56 @@ class DecodeImageStage:
         return out
 
 
+def sobel_edge_energy(p: np.ndarray) -> int:
+    """Exact integer Sobel energy: sum of |gx| + |gy| over interior
+    pixels (3×3 kernels [[-1,0,1],[-2,0,2],[-1,0,1]] and its transpose).
+    Pure int64 slicing arithmetic — no float drift, so the SQL oracle
+    reproduces it bit-exactly."""
+    if p.shape[0] < 3 or p.shape[1] < 3:
+        return 0
+    p = p.astype(np.int64)
+    gx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+          - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2]))
+    gy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+          - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:]))
+    return int(np.abs(gx).sum() + np.abs(gy).sum())
+
+
+class ImageStatsStage:
+    """Actor pool stage: decode → exact moment + edge features. All
+    accumulations are integer sums (mean/variance divide them at the
+    end), so results are bit-identical across engines and batch splits.
+    Pixels never leave the stage — only four scalars per image do."""
+
+    def __init__(self):
+        self._decoder = DecodeImageStage(compute_phash=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        n = len(payloads)
+        means = np.empty(n, np.float64)
+        variances = np.empty(n, np.float64)
+        edges = np.empty(n, np.int64)
+        for i in range(n):
+            px = self._decoder._decode(payloads[i], int(ws[i]), int(hs[i]))
+            p = px.astype(np.int64)
+            npx = p.size
+            s = int(p.sum())
+            ss = int((p * p).sum())
+            m = s / npx
+            means[i] = m
+            variances[i] = ss / npx - m * m
+            edges[i] = sobel_edge_energy(px)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "px_mean": pa.array(means, pa.float64()),
+            "px_var": pa.array(variances, pa.float64()),
+            "edge_energy": pa.array(edges, pa.int64()),
+        })
+
+
 class PngRecodeStage:
     """Actor-pool stage: decode each image, optionally quantize (the
     LOSSY path — step q maps pixels to q·round(px/q), a real fidelity

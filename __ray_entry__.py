@@ -712,6 +712,20 @@ def _q_image_near_dup(sf_dir: str):
                              bands=8)
 
 
+def _q_span_dedup(sf_dir: str):
+    """Repeated-substring (span) dedup stats over documents: every 8-word
+    window hashed, a window is duplicated iff its hash occurs ≥ 2 times
+    corpus-wide; per-doc n_windows / dup_windows / dup_ratio. The
+    streaming explode → count → join-back → aggregate plan from
+    stages/dedup.span_dedup_stats."""
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.dedup import span_dedup_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return span_dedup_stats(ds, width=8)
+
+
 def _q_image_stats(sf_dir: str):
     """Image feature extraction (the image-payload analysis stage): decode
     each payload in an actor-shaped map_batches, emit exact-integer moment
@@ -1732,6 +1746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "image_near_dup": _q_image_near_dup,
         "image_stats": _q_image_stats,
+        "span_dedup": _q_span_dedup,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -1746,7 +1761,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_tiles": _q_image_tiles,
         "hash_join": _q_hash_join,
         "extent_agg": _q_extent_agg,
-        "sliding_window": _q_sliding_window,
         "topk_per_group": _q_topk_per_group,
         "sessionize": _q_sessionize,
         "nearest_site": _q_nearest_site,
@@ -1782,6 +1796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct": _q_distinct,
         "simhash": _q_simhash,
         "cells": _q_cells,
+        "sliding_window": _q_sliding_window,
     }
 
 
@@ -2251,6 +2266,28 @@ SELECT c.id_a, c.id_b, CAST({ham} AS BIGINT) AS hamming
 FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
 JOIN sig sb ON sb.doc_id = c.id_b
 WHERE {ham} <= {max_hamming}
+"""
+
+
+def _sql_span_dedup(width: int = 8) -> str:
+    """stages/dedup.span_dedup_stats in SQL: same tokenization as the
+    shingle oracles, md5_number_lower over each joined width-word
+    window, corpus-wide counts, per-doc aggregate."""
+    return f"""
+WITH w AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents),
+wins AS (SELECT doc_id,
+  md5_number_lower(array_to_string(list_slice(ws, g + 1, g + {width}), ' '))
+    AS whash
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - {width - 1})) AS g
+        FROM w WHERE len(ws) >= {width})),
+cnt AS (SELECT whash, count(*) AS c FROM wins GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS dup_ratio
+FROM wins JOIN cnt USING (whash) GROUP BY 1
 """
 
 
@@ -2824,6 +2861,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _sql_simhash_near_dup(3),
         "image_near_dup": _sql_image_near_dup(8),
         "image_stats": _sql_image_stats(),
+        "span_dedup": _sql_span_dedup(8),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

@@ -742,6 +742,80 @@ def ngram_jaccard_near_dups(ds_docs, threshold: float = 0.5,
     return verify(cand, ds_docs, threshold, col, id_col, k)
 
 
+def span_windows_batch(batch: pa.Table, width: int = 8, col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """Explode every `width`-word window (lowercase whitespace tokens)
+    into (doc_id, whash) rows — md5 lower-64 of the joined window, the
+    same hash primitive the fingerprint/simhash oracles share with
+    DuckDB's ``md5_number_lower``."""
+    from .text import md5_lower64
+
+    texts = batch[col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    oid: list = []
+    oh: list = []
+    for i, t in enumerate(texts):
+        ws = (t or "").lower().split()
+        for g in range(len(ws) - width + 1):
+            oid.append(ids[i])
+            oh.append(md5_lower64(" ".join(ws[g:g + width])))
+    h = (np.array(oh, dtype=np.uint64).astype(np.int64) if oh
+         else np.empty(0, np.int64))
+    return pa.table({"doc_id": pa.array(np.asarray(oid, np.int64), pa.int64()),
+                     "whash": pa.array(h, pa.int64())})
+
+
+def span_dedup_stats(ds_docs, width: int = 8, col: str = "text",
+                     id_col: str = "doc_id", num_buckets: int = 64):
+    """Duplicated-substring detection (the repeated-span dedup family of
+    the LLM-training-data literature — Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", via fixed-width word
+    windows): a window is duplicated iff its hash occurs ≥ 2 times
+    corpus-wide (any doc, any position). Per-doc output: n_windows,
+    dup_windows, dup_ratio — docs shorter than `width` words emit no
+    windows and no row.
+
+    Fully streaming plan: window explode → two-phase per-hash counts →
+    bucketed hash join back onto the window rows → two-phase per-doc
+    aggregate. No driver-side state at any size; every row crosses
+    exactly one exchange per phase."""
+    from .shuffle import bucketed_hash_join, grouped_count, two_phase_aggregate
+
+    win = ds_docs.map_batches(
+        lambda b: span_windows_batch(b, width, col, id_col),
+        batch_format="pyarrow")
+    counts = grouped_count(win, ["whash"], "cnt", num_buckets=num_buckets)
+    joined = bucketed_hash_join(win, counts, "whash", "whash",
+                                num_buckets=num_buckets)
+
+    def flag(b: pa.Table) -> pa.Table:
+        cnt = b["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            "dup": pa.array((cnt >= 2).astype(np.int64), pa.int64()),
+        })
+
+    flagged = joined.map_batches(flag, batch_format="pyarrow")
+    per_doc = two_phase_aggregate(
+        flagged, ["doc_id"],
+        [("one", "sum"), ("dup", "sum")], ["pn", "pd"],
+        [("pn", "sum"), ("pd", "sum")], ["n_windows", "dup_windows"],
+        num_buckets=num_buckets)
+
+    def ratio(b: pa.Table) -> pa.Table:
+        n = b["n_windows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dup_windows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_windows": pa.array(n, pa.int64()),
+            "dup_windows": pa.array(d, pa.int64()),
+            "dup_ratio": pa.array(d / n, pa.float64()),
+        })
+
+    return per_doc.map_batches(ratio, batch_format="pyarrow")
+
+
 def cluster_pairs(pairs: pd.DataFrame, large_threshold: int = 2_000_000):
     """Duplicate-pair graph → cluster ids (connected components).
 

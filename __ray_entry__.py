@@ -712,6 +712,23 @@ def _q_image_near_dup(sf_dir: str):
                              bands=8)
 
 
+QUANT_LO, QUANT_HI, QUANT_BINS = 900.0, 105000.0, 4096
+
+
+def _q_quantile_sketch(sf_dir: str):
+    """Mergeable fixed-bin histogram quantiles over l_extendedprice — the
+    no-sort percentile path: per-block partial bincounts, two-phase sum,
+    driver walks ≤ 4096 cumulative rows. Bin-width-bounded error; the
+    SQL oracle reproduces the binning and interpolation IEEE-exactly."""
+    import ray.data as rd
+    from mvt_wrangler_ray.stages.sketch import histogram_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    return histogram_quantiles(ds, "l_extendedprice", QUANT_LO, QUANT_HI,
+                               QUANT_BINS)
+
+
 def _q_span_dedup(sf_dir: str):
     """Repeated-substring (span) dedup stats over documents: every 8-word
     window hashed, a window is duplicated iff its hash occurs ≥ 2 times
@@ -1747,12 +1764,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": _q_image_near_dup,
         "image_stats": _q_image_stats,
         "span_dedup": _q_span_dedup,
+        "quantile_sketch": _q_quantile_sketch,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
         "expr_filter": _q_expr_filter,
         "exact_dedup": _q_exact_dedup,
-        "token_count": _q_token_count,
         "quality": _q_quality,
         "knn": _q_knn,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1797,6 +1814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "cells": _q_cells,
         "sliding_window": _q_sliding_window,
+        "token_count": _q_token_count,
     }
 
 
@@ -2266,6 +2284,31 @@ SELECT c.id_a, c.id_b, CAST({ham} AS BIGINT) AS hamming
 FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
 JOIN sig sb ON sb.doc_id = c.id_b
 WHERE {ham} <= {max_hamming}
+"""
+
+
+def _sql_quantile_sketch() -> str:
+    """stages/sketch.histogram_quantiles in SQL: identical binning
+    (floor-div by the dyadic-exact width, clamp to edge bins), cumulative
+    walk, ceil(q*N) target rank, same interpolation expression."""
+    lo, hi, k = QUANT_LO, QUANT_HI, QUANT_BINS
+    width = (hi - lo) / k
+    return f"""
+WITH x AS (SELECT l_extendedprice AS v FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
+b AS (SELECT CAST(least(greatest(floor((v - {lo!r}) / {width!r}), 0),
+                        {k - 1}) AS BIGINT) AS bin FROM x),
+h AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum FROM h),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h),
+qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+t AS (SELECT q, CAST(ceil(q * total) AS BIGINT) AS target FROM qs, tot),
+sel AS (SELECT t.q, t.target, min(c.bin) AS bin
+        FROM t JOIN c ON c.cum >= t.target GROUP BY 1, 2)
+SELECT s.q, s.target AS target_rank, s.bin,
+  {lo!r} + {width!r} * (s.bin
+    + CAST(s.target - (c.cum - c.n) AS DOUBLE) / c.n) AS est
+FROM sel s JOIN c ON c.bin = s.bin
 """
 
 
@@ -2862,6 +2905,7 @@ def oracle_sql() -> dict[str, str]:
         "image_near_dup": _sql_image_near_dup(8),
         "image_stats": _sql_image_stats(),
         "span_dedup": _sql_span_dedup(8),
+        "quantile_sketch": _sql_quantile_sketch(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

@@ -272,3 +272,52 @@ def approx_counts(ds, col: str, values, w: int = 1 << 14, d: int = 4) -> dict:
     probe = pa.array(values)
     est = merged.estimate_hashes(_hash_column(probe))
     return dict(zip(values, (int(x) for x in est)))
+
+
+def histogram_quantiles(ds, col: str, lo: float, hi: float,
+                        num_bins: int = 4096,
+                        qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Mergeable fixed-bin histogram quantiles — the no-sort scale path
+    for percentiles (KLL/t-digest's deterministic cousin): each block
+    emits a pre-reduced partial bincount (≤ num_bins rows), a two-phase
+    sum merges them, and the driver walks ≤ num_bins cumulative rows.
+    Error is bounded by the bin width (hi - lo) / num_bins; no global
+    sort, no wide shuffle, bounded driver state at any input size.
+    Domain bounds are fixed a priori (at scale: from metadata or one
+    cheap mergeable min/max pass); values outside clamp to the edge
+    bins. Returns one row per requested quantile:
+    (q, target_rank, bin, est) with est linearly interpolated inside
+    the selected bin — every arithmetic step mirrors the SQL oracle's
+    IEEE ops exactly."""
+    import pandas as pd
+
+    from .shuffle import two_phase_aggregate
+
+    width = (hi - lo) / num_bins
+
+    def part(b: pa.Table) -> pa.Table:
+        x = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        idx = np.clip(np.floor((x - lo) / width).astype(np.int64),
+                      0, num_bins - 1)
+        cnt = np.bincount(idx, minlength=num_bins)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bin": pa.array(nz.astype(np.int64), pa.int64()),
+                         "pc": pa.array(cnt[nz].astype(np.int64), pa.int64())})
+
+    partials = ds.map_batches(part, batch_format="pyarrow")
+    totals = two_phase_aggregate(
+        partials, ["bin"], [("pc", "sum")], ["pp"], [("pp", "sum")], ["n"])
+    hist = totals.to_pandas().sort_values("bin").reset_index(drop=True)
+    cum = hist["n"].cumsum().to_numpy()
+    total = int(hist["n"].sum())
+    rows = []
+    for q in qs:
+        target = int(np.ceil(q * total))
+        pos = int(np.searchsorted(cum, target))
+        b = int(hist["bin"].iloc[pos])
+        binn = int(hist["n"].iloc[pos])
+        cumb = int(cum[pos]) - binn
+        est = lo + width * (b + (target - cumb) / binn)
+        rows.append((float(q), target, b, est))
+    return pd.DataFrame(rows, columns=["q", "target_rank", "bin", "est"])

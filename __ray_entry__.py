@@ -712,6 +712,22 @@ def _q_image_near_dup(sf_dir: str):
                              bands=8)
 
 
+def _q_triangles(sf_dir: str):
+    """Per-node triangle counts over the part co-purchase graph (parts
+    sharing an order): distinct co-occurrence edges via the bucketed
+    segment-pair exchange, then the degree-ordered wedge join
+    (Suri & Vassilvitskii MapReduce plan — wedge volume O(m^1.5)
+    regardless of skew). Output (node, n_tri) for nodes in triangles."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.graph import cooccurrence_edges, triangle_counts
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_counts(edges)
+
+
 QUANT_LO, QUANT_HI, QUANT_BINS = 900.0, 105000.0, 4096
 
 
@@ -1765,12 +1781,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_stats": _q_image_stats,
         "span_dedup": _q_span_dedup,
         "quantile_sketch": _q_quantile_sketch,
+        "triangles": _q_triangles,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
         "expr_filter": _q_expr_filter,
         "exact_dedup": _q_exact_dedup,
-        "quality": _q_quality,
         "knn": _q_knn,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
@@ -1815,6 +1831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cells": _q_cells,
         "sliding_window": _q_sliding_window,
         "token_count": _q_token_count,
+        "quality": _q_quality,
     }
 
 
@@ -2284,6 +2301,24 @@ SELECT c.id_a, c.id_b, CAST({ham} AS BIGINT) AS hamming
 FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
 JOIN sig sb ON sb.doc_id = c.id_b
 WHERE {ham} <= {max_hamming}
+"""
+
+
+def _sql_triangles() -> str:
+    """stages/graph.cooccurrence_edges + triangle_counts in SQL: distinct
+    part pairs per order, the a<b<c triple join, each triangle credited
+    to all three nodes."""
+    return """
+WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+nodes AS (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nodes GROUP BY 1
 """
 
 
@@ -2906,6 +2941,7 @@ def oracle_sql() -> dict[str, str]:
         "image_stats": _sql_image_stats(),
         "span_dedup": _sql_span_dedup(8),
         "quantile_sketch": _sql_quantile_sketch(),
+        "triangles": _sql_triangles(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

@@ -728,6 +728,24 @@ def _q_triangles(sf_dir: str):
     return triangle_counts(edges)
 
 
+# sized so the pair count is meaningful at every SF: ~6 pairs over the
+# 50 sf0.001 docs, ~500 at sf0.01, ~5e4 at sf0.1 (uniform geotag area law)
+DWITHIN_RADIUS = 9.0
+
+
+def _q_dwithin_pairs(sf_dir: str):
+    """Radius spatial self-join: all document pairs whose deterministic
+    geotag positions lie within DWITHIN_RADIUS planar degrees — grid
+    cells of side radius, 3x3 ghost replication, each pair emitted once
+    in the home cell of the smaller id (stages/geospatial.py)."""
+    from mvt_wrangler_ray.stages.geospatial import within_distance_pairs
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        _geotag_docs, batch_format="pyarrow")
+    return within_distance_pairs(ds, id_col="doc_id",
+                                 radius=DWITHIN_RADIUS)
+
+
 QUANT_LO, QUANT_HI, QUANT_BINS = 900.0, 105000.0, 4096
 
 
@@ -1782,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": _q_span_dedup,
         "quantile_sketch": _q_quantile_sketch,
         "triangles": _q_triangles,
+        "dwithin_pairs": _q_dwithin_pairs,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -1793,7 +1812,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "groupby_agg": _q_groupby_agg,
         "image_tiles": _q_image_tiles,
         "hash_join": _q_hash_join,
-        "extent_agg": _q_extent_agg,
         "topk_per_group": _q_topk_per_group,
         "sessionize": _q_sessionize,
         "nearest_site": _q_nearest_site,
@@ -1832,6 +1850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": _q_sliding_window,
         "token_count": _q_token_count,
         "quality": _q_quality,
+        "extent_agg": _q_extent_agg,
     }
 
 
@@ -2320,6 +2339,23 @@ nodes AS (SELECT a AS node FROM tri
           UNION ALL SELECT c FROM tri)
 SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nodes GROUP BY 1
 """
+
+
+def _sql_dwithin_pairs() -> str:
+    """stages/geospatial.within_distance_pairs in SQL: the exact planar
+    radius self-join over the same deterministic geotag positions —
+    identical float64 expression tree ((dlon*dlon + dlat*dlat) <= r*r),
+    pairs canonicalized id_a < id_b."""
+    lon = SQL_LON.format(id="doc_id")
+    lat = SQL_LAT.format(id="doc_id")
+    r2 = repr(DWITHIN_RADIUS * DWITHIN_RADIUS)
+    return (
+        f"WITH geo AS (SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM geo a JOIN geo b ON a.doc_id < b.doc_id "
+        f"WHERE (a.lon - b.lon) * (a.lon - b.lon) + "
+        f"(a.lat - b.lat) * (a.lat - b.lat) <= {r2}"
+    )
 
 
 def _sql_quantile_sketch() -> str:
@@ -2942,6 +2978,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _sql_span_dedup(8),
         "quantile_sketch": _sql_quantile_sketch(),
         "triangles": _sql_triangles(),
+        "dwithin_pairs": _sql_dwithin_pairs(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

@@ -176,3 +176,98 @@ def pyramid_assign_batch(batch: pa.Table, cfg: EngineConfig = EngineConfig()) ->
              .append_column("quadkey", pa.array(qk, pa.string())))
         pieces.append(t)
     return pa.concat_tables(pieces)
+
+
+def within_distance_pairs(ds, id_col: str = "doc_id", lon_col: str = "lon",
+                          lat_col: str = "lat", radius: float = 2.0,
+                          num_buckets: int = 64,
+                          cell_cap: int | None = 50_000):
+    """Exact planar radius self-join (the ST_DWithin pair generator):
+    every unordered point pair with (dlon^2 + dlat^2) <= radius^2, each
+    emitted exactly once as (id_a < id_b).
+
+    Plan (the classic grid partitioned-spatial-join): square cells of
+    side ``radius``; every point is replicated to its home cell plus the
+    8 neighbors (ghosts), so any in-range partner is visible in the home
+    cell of the smaller id — the one cell where the pair is generated.
+    Cells co-locate via the bucketed exchange; per-cell pairing is one
+    triu_indices + vectorized distance verify. Only (id, lon, lat)
+    replicate (9x three narrow columns), never payloads; a dense city
+    cell is bounded by ``cell_cap`` (raises — this is an exact operator,
+    silently skipping a cell would drop pairs; pick a larger radius grid
+    or cap upstream for degenerate data).
+
+    Planar degree semantics (no meridian wrap, no haversine) — matches
+    the SQL oracle bit-for-bit: same float64 expression tree on both
+    sides. Cell assignment uses floor((lon+180)/radius); a pair at
+    distance <= radius always lands in adjacent cells except a
+    measure-zero float-boundary sliver (separation within 3e-14
+    relative of EXACTLY radius AND straddling a cell edge) that the
+    deterministic geotag lattice cannot produce."""
+    r = float(radius)
+    r2 = r * r
+    from .shuffle import add_bucket_column
+
+    def replicate(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = b[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = b[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cx = np.floor((lon + 180.0) / r).astype(np.int64)
+        cy = np.floor((lat + 90.0) / r).astype(np.int64)
+        n = len(ids)
+        pieces = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                home = dx == 0 and dy == 0
+                cell = ((cx + dx + 2) << np.int64(32)) | (cy + dy + 2)
+                pieces.append(pa.table({
+                    "cell": pa.array(cell, pa.int64()),
+                    "pid": pa.array(ids, pa.int64()),
+                    "plon": pa.array(lon, pa.float64()),
+                    "plat": pa.array(lat, pa.float64()),
+                    "home": pa.array(np.full(n, home), pa.bool_())}))
+        return pa.concat_tables(pieces)
+
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F401  (to_pandas group body)
+        df = g.select(["cell", "pid", "plon", "plat", "home"]).to_pandas()
+        df = df.sort_values(["cell", "pid"], kind="stable")
+        cell = df["cell"].to_numpy()
+        pid = df["pid"].to_numpy()
+        plon = df["plon"].to_numpy()
+        plat = df["plat"].to_numpy()
+        home = df["home"].to_numpy()
+        n = len(pid)
+        boundary = np.zeros(n, dtype=bool)
+        boundary[1:] = cell[1:] != cell[:-1]
+        cuts = np.nonzero(boundary)[0]
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [n]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            if cell_cap is not None and m > cell_cap:
+                raise ValueError(
+                    f"within_distance_pairs: cell with {m} points exceeds "
+                    f"cell_cap={cell_cap}; use a finer grid (smaller "
+                    f"radius) or raise cell_cap")
+            ia, ib = np.triu_indices(m, k=1)
+            dlon = plon[s + ia] - plon[s + ib]
+            dlat = plat[s + ia] - plat[s + ib]
+            keep = home[s + ia] & (dlon * dlon + dlat * dlat <= r2)
+            out_a.append(pid[s + ia[keep]])
+            out_b.append(pid[s + ib[keep]])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "id_b": pa.array(np.concatenate(out_b), pa.int64())})
+
+    rep = ds.map_batches(replicate, batch_format="pyarrow")
+    bucketed = rep.map_batches(
+        lambda b: add_bucket_column(b, ["cell"], num_buckets),
+        batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(
+        cell_pairs, batch_format="pyarrow")

@@ -712,6 +712,22 @@ def _q_image_near_dup(sf_dir: str):
                              bands=8)
 
 
+def _q_image_dup_clusters(sf_dir: str):
+    """Image near-dup pair graph → connected-component cluster ids: the
+    image-payload dedup composition (decode actor pool → recomputed
+    phash → Hamming-band LSH pairs → union-find clustering). Verified
+    pairs are bounded-small (LSH + popcount verify already ran), so the
+    driver-side union-find lane of cluster_pairs is the right plan; the
+    distributed label-propagation lane takes over past 2M edges."""
+    from mvt_wrangler_ray.stages.dedup import cluster_pairs
+
+    pairs = _q_image_near_dup(sf_dir)
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "cluster_id": pd.Series([], dtype=np.int64)})
+    return cluster_pairs(pairs)
+
+
 def _q_triangles(sf_dir: str):
     """Per-node triangle counts over the part co-purchase graph (parts
     sharing an order): distinct co-occurrence edges via the bucketed
@@ -1796,6 +1812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "image_near_dup": _q_image_near_dup,
+        "image_dup_clusters": _q_image_dup_clusters,
         "image_stats": _q_image_stats,
         "span_dedup": _q_span_dedup,
         "quantile_sketch": _q_quantile_sketch,
@@ -1816,7 +1833,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "nearest_site": _q_nearest_site,
         "cell_density": _q_cell_density,
-        "lang_id": _q_lang_id,
         "knn_ivf": _q_knn_ivf,
         "phash_knn": _q_phash_knn,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -1851,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "quality": _q_quality,
         "extent_agg": _q_extent_agg,
+        "lang_id": _q_lang_id,
     }
 
 
@@ -2263,18 +2280,19 @@ FROM documents d JOIN bits ON d.doc_id = bits.doc_id
 """
 
 
-def _sql_image_near_dup(max_hamming: int = 8) -> str:
-    """sources/images.images_from_documents_retouched + DecodeImageStage
-    + dedup.hamming_near_dups(bands=8) in closed form: copies (doc_id%5
-    == 4) decode doc_id-1's payload with body byte j = h%64 XOR 0x80,
-    phash = 8×8 block means vs median, 8×8-bit bands, per-(band,value)
-    cap 1000, popcount verify ≤ max_hamming."""
+def _sql_image_near_dup_ctes(max_hamming: int = 8) -> str:
+    """CTE chain (no leading WITH) ending in ``img_pairs`` (id_a, id_b,
+    hamming): sources/images.images_from_documents_retouched +
+    DecodeImageStage + dedup.hamming_near_dups(bands=8) in closed form:
+    copies (doc_id%5 == 4) decode doc_id-1's payload with body byte
+    j = h%64 XOR 0x80, phash = 8×8 block means vs median, 8×8-bit
+    bands, per-(band,value) cap 1000, popcount verify ≤ max_hamming."""
     fnv = _sql_fnv64("printf('img%08d', bid)", 11)
     med = "(ml[32] + ml[33]) / 2.0"
     ham = "bit_count(xor(sa.ph, sb.ph))"
     base_val = "(((r * w + c) % 64) * s8 + t8) % 256"
     return f"""
-WITH base AS (SELECT doc_id,
+base AS (SELECT doc_id,
   CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS isc,
   doc_id - CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS bid
   FROM documents),
@@ -2315,12 +2333,26 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     AND a.doc_id < b.doc_id
   JOIN bg g ON g.band = a.band AND g.bv = a.bv
   WHERE g.cnt <= 1000),
-sig AS (SELECT doc_id, {_sql_twos_comp("uval", "ph")} FROM bits)
+sig AS (SELECT doc_id, {_sql_twos_comp("uval", "ph")} FROM bits),
+img_pairs AS MATERIALIZED (
 SELECT c.id_a, c.id_b, CAST({ham} AS BIGINT) AS hamming
 FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
 JOIN sig sb ON sb.doc_id = c.id_b
-WHERE {ham} <= {max_hamming}
+WHERE {ham} <= {max_hamming})
 """
+
+
+def _sql_image_near_dup(max_hamming: int = 8) -> str:
+    return ("WITH " + _sql_image_near_dup_ctes(max_hamming)
+            + " SELECT id_a, id_b, hamming FROM img_pairs")
+
+
+def _sql_image_dup_clusters(max_hamming: int = 8) -> str:
+    """image near-dup pairs → connected-component cluster ids (same
+    composition as _sql_dedup_clusters, over the phash pair graph)."""
+    return ("WITH RECURSIVE " + _sql_image_near_dup_ctes(max_hamming)
+            + ", " + _sql_components("img_pairs", "icomp")
+            + " SELECT doc_id, cluster_id FROM icomp")
 
 
 def _sql_triangles() -> str:
@@ -2974,6 +3006,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_vector": _sql_raster_vector(5, 32),
         "simhash_near_dup": _sql_simhash_near_dup(3),
         "image_near_dup": _sql_image_near_dup(8),
+        "image_dup_clusters": _sql_image_dup_clusters(8),
         "image_stats": _sql_image_stats(),
         "span_dedup": _sql_span_dedup(8),
         "quantile_sketch": _sql_quantile_sketch(),

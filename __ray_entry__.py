@@ -744,6 +744,25 @@ def _q_triangles(sf_dir: str):
     return triangle_counts(edges)
 
 
+def _q_path_length(sf_dir: str):
+    """Per-user planar path length over the geotagged event log
+    (trajectory aggregation): events positioned deterministically from
+    event_id, ordered per user by (ts, event_id), consecutive legs
+    summed as int64 nanodegrees (order-independent fixed point) — the
+    sessionize-family one-pass bucketed plan, no per-user groupby."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.geo.geotag import append_lonlat_batch
+    from mvt_wrangler_ray.stages.events import path_length
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    ev = ev.map_batches(
+        lambda b: append_lonlat_batch(b, id_col="event_id"),
+        batch_format="pyarrow")
+    return path_length(ev)
+
+
 # sized so the pair count is meaningful at every SF: ~6 pairs over the
 # 50 sf0.001 docs, ~500 at sf0.01, ~5e4 at sf0.1 (uniform geotag area law)
 DWITHIN_RADIUS = 9.0
@@ -1818,6 +1837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch": _q_quantile_sketch,
         "triangles": _q_triangles,
         "dwithin_pairs": _q_dwithin_pairs,
+        "path_length": _q_path_length,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -1831,7 +1851,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": _q_hash_join,
         "topk_per_group": _q_topk_per_group,
         "sessionize": _q_sessionize,
-        "nearest_site": _q_nearest_site,
         "cell_density": _q_cell_density,
         "knn_ivf": _q_knn_ivf,
         "phash_knn": _q_phash_knn,
@@ -1868,6 +1887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "extent_agg": _q_extent_agg,
         "lang_id": _q_lang_id,
+        "nearest_site": _q_nearest_site,
     }
 
 
@@ -2370,6 +2390,28 @@ nodes AS (SELECT a AS node FROM tri
           UNION ALL SELECT b FROM tri
           UNION ALL SELECT c FROM tri)
 SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nodes GROUP BY 1
+"""
+
+
+def _sql_path_length() -> str:
+    """stages/events.path_length in SQL: same geotag formula on
+    event_id, same (ts, event_id) per-user order via lag() window,
+    identical float64 leg expression quantized to int64 nanodegrees
+    before the (order-independent) integer sum."""
+    lon = SQL_LON.format(id="event_id")
+    lat = SQL_LAT.format(id="event_id")
+    return f"""
+WITH geo AS (SELECT user_id, ts, event_id, {lon} AS lon, {lat} AS lat
+             FROM events),
+legs AS (SELECT user_id,
+  lon - lag(lon) OVER w AS dlon,
+  lat - lag(lat) OVER w AS dlat
+  FROM geo WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+  CAST(sum(CAST(floor(sqrt(dlon * dlon + dlat * dlat) * 1e9) AS BIGINT))
+       AS BIGINT) AS path_nano,
+  CAST(count(*) AS BIGINT) AS n_legs
+FROM legs WHERE dlon IS NOT NULL GROUP BY 1
 """
 
 
@@ -3012,6 +3054,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch": _sql_quantile_sketch(),
         "triangles": _sql_triangles(),
         "dwithin_pairs": _sql_dwithin_pairs(),
+        "path_length": _sql_path_length(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

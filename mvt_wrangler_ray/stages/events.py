@@ -148,3 +148,58 @@ def distinct_values(ds, col: str, num_buckets: int = 16):
     return (bucketed.groupby("bucket")
             .map_groups(merge, batch_format="pyarrow")
             .map_batches(lambda b: b.select([col]), batch_format="pyarrow"))
+
+
+def path_length(ds, user_col: str = "user_id", ts_col: str = "ts",
+                lon_col: str = "lon", lat_col: str = "lat",
+                order_col: str = "event_id", num_buckets: int = 64):
+    """Per-user planar path length over a positioned event log: order
+    each user's events by (ts, order_col), sum the consecutive-leg
+    distances sqrt(dlon² + dlat²). Emits (user_id, path_nano, n_legs)
+    for users with ≥ 2 events.
+
+    Same plan as sessionize: bucket by USER HASH, one vectorized pass
+    per bucket (sort → diff → mask user boundaries → reduceat segment
+    sums) — never a per-user Python group. Legs are quantized to int64
+    NANODEGREES (floor(leg · 1e9)) before summing so the per-user total
+    is addition-order independent and bit-equal to the SQL oracle's
+    window-function derivation (float sums would differ by reduction
+    tree). Overflow bound: a leg is < 509°·1e9 < 2^39, so int64 holds
+    > 1.8e7 legs per user."""
+    from .shuffle import add_bucket_column
+
+    bucketed = ds.map_batches(
+        lambda b: add_bucket_column(b, [user_col], num_buckets),
+        batch_format="pyarrow")
+
+    def legs(g: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            g, sort_keys=[(user_col, "ascending"), (ts_col, "ascending"),
+                          (order_col, "ascending")])
+        g = g.take(idx)
+        users = g[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = g[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = g[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(users)
+        if n == 0:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "path_nano": pa.array([], pa.int64()),
+                             "n_legs": pa.array([], pa.int64())})
+        same = np.zeros(n, dtype=bool)
+        same[1:] = users[1:] == users[:-1]
+        dlon = np.zeros(n, dtype=np.float64)
+        dlat = np.zeros(n, dtype=np.float64)
+        dlon[1:] = lon[1:] - lon[:-1]
+        dlat[1:] = lat[1:] - lat[:-1]
+        leg = np.floor(np.sqrt(dlon * dlon + dlat * dlat) * 1e9)
+        contrib = np.where(same, leg, 0.0).astype(np.int64)
+        starts = np.nonzero(~same)[0]
+        path = np.add.reduceat(contrib, starts)
+        nlegs = np.add.reduceat(same.astype(np.int64), starts)
+        keep = nlegs > 0
+        return pa.table({
+            user_col: pa.array(users[starts][keep], pa.int64()),
+            "path_nano": pa.array(path[keep], pa.int64()),
+            "n_legs": pa.array(nlegs[keep], pa.int64())})
+
+    return bucketed.groupby("bucket").map_groups(legs, batch_format="pyarrow")

@@ -204,7 +204,9 @@ def _pack_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)
 
 
-def triangle_counts(edges, num_buckets: int = 64):
+def triangle_counts(edges, num_buckets: int = 64,
+                    broadcast_nodes_limit: int = 5_000_000,
+                    broadcast_edges_limit: int = 5_000_000):
     """Per-node triangle participation counts via the degree-ordered
     wedge join (the distributed node-iterator++ plan of the MapReduce
     triangle literature, Suri & Vassilvitskii 2011): orient every edge
@@ -214,9 +216,21 @@ def triangle_counts(edges, num_buckets: int = 64):
     bounds wedge volume at O(m^1.5) regardless of skew — a hub of
     degree d generates wedges only toward HIGHER-degree nodes.
 
+    Two broadcast↔join cutovers (the repo's standard small-side plan):
+    - degree lookup: below ``broadcast_nodes_limit`` nodes, the (node,
+      deg) table ships once via ray.put and orientation is ONE
+      map_batches with searchsorted lookups — no join exchanges; above
+      it, two bucketed hash joins.
+    - edge membership: below ``broadcast_edges_limit`` edges, the packed
+      (src,dst) key set ships once and the wedge→triangle closure is a
+      map-side searchsorted filter — the wedge set (the O(m^1.5) bulk)
+      NEVER crosses an exchange; above it, a bucketed hash join.
+
     edges: Dataset of distinct undirected (id_a < id_b) int64 pairs,
     ids < 2^31 (packed composite join key). Returns a Dataset
     (node, n_tri) for nodes in ≥ 1 triangle."""
+    import ray
+
     from .shuffle import (add_bucket_column, bucketed_hash_join,
                           grouped_count, two_phase_aggregate)
 
@@ -232,33 +246,63 @@ def triangle_counts(edges, num_buckets: int = 64):
 
     deg = grouped_count(edges.map_batches(endpoints, batch_format="pyarrow"),
                         ["node"], "deg", num_buckets=num_buckets)
-    ea = bucketed_hash_join(
-        edges, deg.map_batches(
-            lambda b: pa.table({"id_a": b["node"], "da": b["deg"]}),
-            batch_format="pyarrow"),
-        "id_a", "id_a", num_buckets=num_buckets)
-    eab = bucketed_hash_join(
-        ea, deg.map_batches(
-            lambda b: pa.table({"id_b": b["node"], "db": b["deg"]}),
-            batch_format="pyarrow"),
-        "id_b", "id_b", num_buckets=num_buckets)
+    deg = deg.materialize()
 
-    def orient(b: pa.Table) -> pa.Table:
-        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        da = b["da"].to_numpy(zero_copy_only=False).astype(np.int64)
-        db = b["db"].to_numpy(zero_copy_only=False).astype(np.int64)
-        fwd = (da < db) | ((da == db) & (a < bb))
-        return pa.table({
-            "src": pa.array(np.where(fwd, a, bb), pa.int64()),
-            "dst": pa.array(np.where(fwd, bb, a), pa.int64()),
-            "ddst": pa.array(np.where(fwd, db, da), pa.int64()),
-        })
+    if deg.count() <= broadcast_nodes_limit:
+        dd = deg.to_pandas()
+        nodes_arr = dd["node"].to_numpy().astype(np.int64)
+        order = np.argsort(nodes_arr, kind="stable")
+        deg_ref = ray.put((nodes_arr[order],
+                           dd["deg"].to_numpy().astype(np.int64)[order]))
+        _dcache: dict = {}
 
-    oriented = eab.map_batches(orient, batch_format="pyarrow").materialize()
+        def orient_bcast(b: pa.Table) -> pa.Table:
+            lut = _dcache.get("d")
+            if lut is None:
+                lut = _dcache["d"] = ray.get(deg_ref)
+            dn, dv = lut
+            a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            da = dv[np.searchsorted(dn, a)]
+            db = dv[np.searchsorted(dn, bb)]
+            fwd = (da < db) | ((da == db) & (a < bb))
+            return pa.table({
+                "src": pa.array(np.where(fwd, a, bb), pa.int64()),
+                "dst": pa.array(np.where(fwd, bb, a), pa.int64()),
+                "ddst": pa.array(np.where(fwd, db, da), pa.int64()),
+            })
+
+        oriented = edges.map_batches(orient_bcast, batch_format="pyarrow")
+    else:
+        ea = bucketed_hash_join(
+            edges, deg.map_batches(
+                lambda b: pa.table({"id_a": b["node"], "da": b["deg"]}),
+                batch_format="pyarrow"),
+            "id_a", "id_a", num_buckets=num_buckets)
+        eab = bucketed_hash_join(
+            ea, deg.map_batches(
+                lambda b: pa.table({"id_b": b["node"], "db": b["deg"]}),
+                batch_format="pyarrow"),
+            "id_b", "id_b", num_buckets=num_buckets)
+
+        def orient(b: pa.Table) -> pa.Table:
+            a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            da = b["da"].to_numpy(zero_copy_only=False).astype(np.int64)
+            db = b["db"].to_numpy(zero_copy_only=False).astype(np.int64)
+            fwd = (da < db) | ((da == db) & (a < bb))
+            return pa.table({
+                "src": pa.array(np.where(fwd, a, bb), pa.int64()),
+                "dst": pa.array(np.where(fwd, bb, a), pa.int64()),
+                "ddst": pa.array(np.where(fwd, db, da), pa.int64()),
+            })
+
+        oriented = eab.map_batches(orient, batch_format="pyarrow")
+
+    oriented = oriented.materialize()
 
     def wedge_group(g: pa.Table) -> pa.Table:
-        import pandas as pd
+        import pandas as pd  # noqa: F401
         df = g.select(["src", "dst", "ddst"]).to_pandas()
         # within each src, neighbors sorted by the SAME (deg, id) order
         # used for orientation, so emitted wedge pairs are themselves
@@ -293,28 +337,62 @@ def triangle_counts(edges, num_buckets: int = 64):
     wedge_src = oriented.map_batches(
         lambda b: add_bucket_column(b, ["src"], num_buckets),
         batch_format="pyarrow")
-    wedges = wedge_src.groupby("bucket").map_groups(
-        wedge_group, batch_format="pyarrow")
 
-    ekeys = oriented.map_batches(
-        lambda b: pa.table({"wkey": pa.array(_pack_pair(
-            b["src"].to_numpy(zero_copy_only=False),
-            b["dst"].to_numpy(zero_copy_only=False)), pa.int64())}),
-        batch_format="pyarrow")
-    tri = bucketed_hash_join(wedges, ekeys, "wkey", "wkey",
-                             num_buckets=num_buckets)
+    if edges.count() <= broadcast_edges_limit:
+        ek = oriented.map_batches(
+            lambda b: pa.table({"wkey": pa.array(_pack_pair(
+                b["src"].to_numpy(zero_copy_only=False),
+                b["dst"].to_numpy(zero_copy_only=False)), pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        ekeys_ref = ray.put(np.sort(ek["wkey"].to_numpy().astype(np.int64)))
+        _ecache: dict = {}
 
-    def tri_nodes(b: pa.Table) -> pa.Table:
-        u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-        k = b["wkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = k >> np.int64(32)
-        w = k & np.int64(0xFFFFFFFF)
-        return pa.table({"node": pa.array(np.concatenate([u, v, w]),
-                                          pa.int64()),
-                         "one": pa.array(np.ones(3 * len(b), np.int64),
-                                         pa.int64())})
+        def closed_wedges(g: pa.Table) -> pa.Table:
+            t = wedge_group(g)
+            if len(t) == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "one": pa.array([], pa.int64())})
+            ek_sorted = _ecache.get("e")
+            if ek_sorted is None:
+                ek_sorted = _ecache["e"] = ray.get(ekeys_ref)
+            k = t["wkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ek_sorted, k)
+            pos[pos >= len(ek_sorted)] = len(ek_sorted) - 1
+            hit = ek_sorted[pos] == k
+            u = t["u"].to_numpy(zero_copy_only=False)[hit].astype(np.int64)
+            kk = k[hit]
+            v = kk >> np.int64(32)
+            w = kk & np.int64(0xFFFFFFFF)
+            node = np.concatenate([u, v, w]).astype(np.int64)
+            return pa.table({"node": pa.array(node, pa.int64()),
+                             "one": pa.array(np.ones(len(node), np.int64),
+                                             pa.int64())})
 
-    nodes = tri.map_batches(tri_nodes, batch_format="pyarrow")
+        nodes = wedge_src.groupby("bucket").map_groups(
+            closed_wedges, batch_format="pyarrow")
+    else:
+        wedges = wedge_src.groupby("bucket").map_groups(
+            wedge_group, batch_format="pyarrow")
+        ekeys = oriented.map_batches(
+            lambda b: pa.table({"wkey": pa.array(_pack_pair(
+                b["src"].to_numpy(zero_copy_only=False),
+                b["dst"].to_numpy(zero_copy_only=False)), pa.int64())}),
+            batch_format="pyarrow")
+        tri = bucketed_hash_join(wedges, ekeys, "wkey", "wkey",
+                                 num_buckets=num_buckets)
+
+        def tri_nodes(b: pa.Table) -> pa.Table:
+            u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            k = b["wkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = k >> np.int64(32)
+            w = k & np.int64(0xFFFFFFFF)
+            return pa.table({"node": pa.array(np.concatenate([u, v, w]),
+                                              pa.int64()),
+                             "one": pa.array(np.ones(3 * len(b), np.int64),
+                                             pa.int64())})
+
+        nodes = tri.map_batches(tri_nodes, batch_format="pyarrow")
+
     return two_phase_aggregate(
         nodes, ["node"], [("one", "sum")], ["p"], [("p", "sum")], ["n_tri"],
         num_buckets=num_buckets)

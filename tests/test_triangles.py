@@ -53,3 +53,20 @@ def test_cooccurrence_edges_dedup(ray_session):
     out = cooccurrence_edges(rd.from_arrow(t), "g", "i").to_pandas()
     got = sorted(map(tuple, out[["id_a", "id_b"]].to_numpy()))
     assert got == [(5, 7), (5, 9), (7, 9)]
+
+
+def test_triangles_cutover_equivalence(ray_session):
+    # broadcast lanes (defaults) vs forced join lanes must be identical
+    rng = np.random.default_rng(5)
+    n = 60
+    edges = sorted({(int(a), int(b)) for a, b in
+                    rng.integers(0, n, (400, 2)) if a < b})
+    t = pa.table({
+        "id_a": pa.array([a for a, _ in edges], pa.int64()),
+        "id_b": pa.array([b for _, b in edges], pa.int64())})
+    fast = triangle_counts(rd.from_arrow(t)).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    slow = triangle_counts(rd.from_arrow(t), broadcast_nodes_limit=0,
+                           broadcast_edges_limit=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert fast.equals(slow)

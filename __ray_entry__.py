@@ -744,6 +744,19 @@ def _q_triangles(sf_dir: str):
     return triangle_counts(edges)
 
 
+PMI_K, PMI_MIN_DF, PMI_MIN_PAIR = 20, 5, 3
+
+
+def _q_pmi_pairs(sf_dir: str):
+    """Top-k token collocations by pointwise mutual information over
+    per-doc distinct co-occurrence (vocab-trim broadcast, bucketed
+    segment-pair exchange, fixed-point nanonat scores)."""
+    from mvt_wrangler_ray.stages.retrieval import pmi_top_pairs
+
+    return pmi_top_pairs(_docs(sf_dir, ["doc_id", "text"]), k=PMI_K,
+                         min_df=PMI_MIN_DF, min_pair=PMI_MIN_PAIR)
+
+
 def _q_path_length(sf_dir: str):
     """Per-user planar path length over the geotagged event log
     (trajectory aggregation): events positioned deterministically from
@@ -1838,6 +1851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": _q_triangles,
         "dwithin_pairs": _q_dwithin_pairs,
         "path_length": _q_path_length,
+        "pmi_pairs": _q_pmi_pairs,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -1851,7 +1865,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": _q_hash_join,
         "topk_per_group": _q_topk_per_group,
         "sessionize": _q_sessionize,
-        "cell_density": _q_cell_density,
         "knn_ivf": _q_knn_ivf,
         "phash_knn": _q_phash_knn,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -1888,6 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extent_agg": _q_extent_agg,
         "lang_id": _q_lang_id,
         "nearest_site": _q_nearest_site,
+        "cell_density": _q_cell_density,
     }
 
 
@@ -2390,6 +2404,39 @@ nodes AS (SELECT a AS node FROM tri
           UNION ALL SELECT b FROM tri
           UNION ALL SELECT c FROM tri)
 SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nodes GROUP BY 1
+"""
+
+
+def _sql_pmi_pairs() -> str:
+    """stages/retrieval.pmi_top_pairs in SQL: same whitespace split,
+    distinct per-doc tokens, df >= min_df vocabulary, a.tok < b.tok
+    pairs (UTF-8 byte order == code-point order == the engine's sorted
+    vocab-index order), pmi as ONE exact-int division then libm-parity
+    ln, quantized to int64 nanonats."""
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+      unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS tok
+    FROM documents)),
+nn AS (SELECT count(*) AS n FROM documents),
+dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+v AS (SELECT tok, df FROM dfs WHERE df >= {PMI_MIN_DF}),
+dtv AS (SELECT d.doc_id, d.tok FROM dt d JOIN v USING (tok)),
+pr AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_pair
+       FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+       GROUP BY 1, 2),
+sc AS (SELECT tok_a, tok_b, CAST(n_pair AS BIGINT) AS n_pair,
+  CAST(floor(ln(CAST(p.n_pair * nn.n AS DOUBLE) /
+                CAST(va.df * vb.df AS DOUBLE)) * 1e9 + 5e-1) AS BIGINT)
+    AS pmi_nano
+  FROM pr p, nn
+  JOIN v va ON va.tok = p.tok_a
+  JOIN v vb ON vb.tok = p.tok_b
+  WHERE p.n_pair >= {PMI_MIN_PAIR})
+SELECT tok_a, tok_b, n_pair, pmi_nano FROM sc
+ORDER BY pmi_nano DESC, tok_a ASC, tok_b ASC LIMIT {PMI_K}
 """
 
 
@@ -3055,6 +3102,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": _sql_triangles(),
         "dwithin_pairs": _sql_dwithin_pairs(),
         "path_length": _sql_path_length(),
+        "pmi_pairs": _sql_pmi_pairs(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

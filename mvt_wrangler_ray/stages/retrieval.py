@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["bm25_topk", "bigram_logprob", "whitespace_tokens"]
+__all__ = ["bm25_topk", "bigram_logprob", "whitespace_tokens", "pmi_top_pairs"]
 
 
 def _libm_log(x: np.ndarray) -> np.ndarray:
@@ -304,3 +304,106 @@ def _contrib_table(batch: pa.Table, id_col: str, c2: np.ndarray,
     lpi = np.floor(lp * 1.0e9 + 0.5).astype(np.int64)
     return pa.table({id_col: batch[id_col].combine_chunks().cast(pa.int64()),
                      "lp_int": pa.array(lpi, pa.int64())})
+
+
+def pmi_top_pairs(ds_docs, k: int = 20, min_df: int = 5, min_pair: int = 3,
+                  col: str = "text", id_col: str = "doc_id",
+                  num_buckets: int = 64, group_cap: int = 10_000):
+    """Top-k token pairs by pointwise mutual information over per-doc
+    DISTINCT co-occurrence: pmi = ln(n_pair·N / (df_a·df_b)), the
+    classic collocation statistic.
+
+    Plan: distinct (doc, token) explode → two-phase doc-frequency counts
+    → vocabulary TRIM (df ≥ min_df) broadcast once via ray.put (the trim
+    bounds the broadcast at total_token_occurrences/min_df — at corpus
+    scale raise min_df, the statistic is meaningless for rare tokens
+    anyway) → token-id pairs per doc via the bucketed segment-pair
+    exchange (vocab index order == lexicographic order, so id_a < id_b
+    ⇔ tok_a < tok_b) → two-phase pair counts → vectorized PMI in int64
+    NANONATS (floor(ln(arg)·1e9 + 0.5), libm log for DuckDB ulp parity,
+    the ratio formed as one exact-int division so the float tree is
+    deterministic) → distributed sort + limit k.
+
+    Returns a Dataset (tok_a, tok_b, n_pair, pmi_nano)."""
+    import ray
+
+    from .dedup import _segment_pairs_table
+    from .shuffle import add_bucket_column, grouped_count
+
+    docs = ds_docs.materialize()
+    n_docs = docs.count()
+
+    def distinct_tokens(b: pa.Table) -> pa.Table:
+        toks, parent, _ = whitespace_tokens(b[col])
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)[parent]
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()), "tok": toks})
+        return pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(), preserve_index=False)
+
+    dt = docs.map_batches(distinct_tokens, batch_format="pyarrow")
+    dfc = grouped_count(dt, ["tok"], "df", num_buckets=num_buckets)
+    vd = dfc.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["df"], min_df)),
+        batch_format="pyarrow").to_pandas()
+    if len(vd) == 0:
+        # an all-empty filter result can come back column-less
+        vtok = np.empty(0, dtype=str)
+        vdfs = np.empty(0, dtype=np.int64)
+    else:
+        raw = np.asarray(vd["tok"].to_numpy(), dtype=object).astype(str)
+        order = np.argsort(raw, kind="stable")
+        vtok = raw[order]
+        vdfs = vd["df"].to_numpy().astype(np.int64)[order]
+    vocab_ref = ray.put((vtok, vdfs))
+    _cache: dict = {}
+
+    def _vocab():
+        v = _cache.get("v")
+        if v is None:
+            v = _cache["v"] = ray.get(vocab_ref)
+        return v
+
+    def to_tid(b: pa.Table) -> pa.Table:
+        vt, _ = _vocab()
+        tok = np.asarray(b["tok"].to_pandas(), dtype=object).astype(str)
+        if len(vt) == 0 or len(tok) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "tid": pa.array([], pa.int64())})
+        pos = np.searchsorted(vt, tok)
+        pos_c = np.minimum(pos, len(vt) - 1)
+        hit = vt[pos_c] == tok
+        return pa.table({
+            "doc_id": pa.array(
+                b["doc_id"].to_numpy(zero_copy_only=False)[hit], pa.int64()),
+            "tid": pa.array(pos_c[hit].astype(np.int64), pa.int64())})
+
+    dtv = dt.map_batches(to_tid, batch_format="pyarrow")
+    bucketed = dtv.map_batches(
+        lambda b: add_bucket_column(b, ["doc_id"], num_buckets),
+        batch_format="pyarrow")
+    pairs = bucketed.groupby("bucket").map_groups(
+        lambda g: _segment_pairs_table(g, ["doc_id"], "tid", group_cap),
+        batch_format="pyarrow")
+    counts = grouped_count(pairs, ["id_a", "id_b"], "n_pair",
+                           num_buckets=num_buckets)
+
+    def score(b: pa.Table) -> pa.Table:
+        vt, vdf = _vocab()
+        n_pair = b["n_pair"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n_pair >= min_pair
+        n_pair = n_pair[keep]
+        ia = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        ib = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        num = (n_pair * np.int64(n_docs)).astype(np.float64)
+        den = (vdf[ia] * vdf[ib]).astype(np.float64)
+        pmi = np.floor(_libm_log(num / den) * 1e9 + 0.5).astype(np.int64)
+        return pa.table({
+            "tok_a": pa.array(vt[ia].astype(object), pa.string()),
+            "tok_b": pa.array(vt[ib].astype(object), pa.string()),
+            "n_pair": pa.array(n_pair, pa.int64()),
+            "pmi_nano": pa.array(pmi, pa.int64())})
+
+    scored = counts.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["pmi_nano", "tok_a", "tok_b"],
+                       descending=[True, False, False]).limit(k)

@@ -744,6 +744,31 @@ def _q_triangles(sf_dir: str):
     return triangle_counts(edges)
 
 
+def _q_inverted_index(sf_dir: str):
+    """Inverted-index build: per-term document frequency + md5 digest of
+    the ascending posting list, assembled where each term's hash lands
+    (never on the driver)."""
+    from mvt_wrangler_ray.stages.retrieval import inverted_index
+
+    return inverted_index(_docs(sf_dir, ["doc_id", "text"]), min_df=2)
+
+
+def _q_zscore(sf_dir: str):
+    """Per-group z-score feature normalization of l_quantity by
+    l_returnflag: exact int64 moments through the two-phase exchange,
+    broadcast stats, one vectorized normalize pass."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.shuffle import group_zscore
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_quantity"])
+    return group_zscore(li, ["l_returnflag"], "l_quantity",
+                        id_cols=["l_orderkey", "l_linenumber"])
+
+
 PMI_K, PMI_MIN_DF, PMI_MIN_PAIR = 20, 5, 3
 
 
@@ -1852,6 +1877,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dwithin_pairs": _q_dwithin_pairs,
         "path_length": _q_path_length,
         "pmi_pairs": _q_pmi_pairs,
+        "inverted_index": _q_inverted_index,
+        "zscore": _q_zscore,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -1872,8 +1899,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_site_kd": _q_nearest_site_kd,
         "events_asof": _q_events_asof,
         "range_count": _q_range_count,
-        "chunk_docs": _q_chunk_docs,
-        "top_terms": _q_top_terms,
         "tile_smooth": _q_tile_smooth,
         "minhash_near_dup": _q_minhash_near_dup,
         "jaccard_near_dup": _q_jaccard_near_dup,
@@ -1902,6 +1927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "nearest_site": _q_nearest_site,
         "cell_density": _q_cell_density,
+        "chunk_docs": _q_chunk_docs,
+        "top_terms": _q_top_terms,
     }
 
 
@@ -2404,6 +2431,44 @@ nodes AS (SELECT a AS node FROM tri
           UNION ALL SELECT b FROM tri
           UNION ALL SELECT c FROM tri)
 SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nodes GROUP BY 1
+"""
+
+
+def _sql_inverted_index() -> str:
+    """stages/retrieval.inverted_index in SQL: same whitespace split,
+    distinct per-doc terms, ordered string_agg posting digest."""
+    return """
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+      unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS tok
+    FROM documents))
+SELECT tok, CAST(count(*) AS BIGINT) AS df,
+  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+    AS postings_md5
+FROM dt GROUP BY tok HAVING count(*) >= 2
+"""
+
+
+def _sql_zscore() -> str:
+    """stages/shuffle.group_zscore in SQL: identical integer moments and
+    float tree (mean = s/n; vp = ss/n - mean*mean; z = (x - mean) /
+    sqrt(vp); zero-variance groups emit 0.0)."""
+    mean = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    return f"""
+WITH st AS (SELECT l_returnflag, count(*) AS n,
+  sum(CAST(l_quantity AS BIGINT)) AS s,
+  sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS ss
+  FROM lineitem GROUP BY 1),
+p AS (SELECT l_returnflag, {mean} AS mean,
+  CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) - {mean} * {mean} AS vp
+  FROM st)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+  CASE WHEN p.vp <= 0e0 THEN 0e0
+       ELSE (CAST(CAST(l.l_quantity AS BIGINT) AS DOUBLE) - p.mean)
+            / sqrt(p.vp) END AS z
+FROM lineitem l JOIN p USING (l_returnflag)
 """
 
 
@@ -3103,6 +3168,8 @@ def oracle_sql() -> dict[str, str]:
         "dwithin_pairs": _sql_dwithin_pairs(),
         "path_length": _sql_path_length(),
         "pmi_pairs": _sql_pmi_pairs(),
+        "inverted_index": _sql_inverted_index(),
+        "zscore": _sql_zscore(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

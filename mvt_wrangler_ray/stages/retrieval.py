@@ -27,7 +27,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["bm25_topk", "bigram_logprob", "whitespace_tokens", "pmi_top_pairs"]
+__all__ = ["bm25_topk", "bigram_logprob", "whitespace_tokens", "pmi_top_pairs",
+           "inverted_index"]
 
 
 def _libm_log(x: np.ndarray) -> np.ndarray:
@@ -407,3 +408,62 @@ def pmi_top_pairs(ds_docs, k: int = 20, min_df: int = 5, min_pair: int = 3,
     scored = counts.map_batches(score, batch_format="pyarrow")
     return scored.sort(["pmi_nano", "tok_a", "tok_b"],
                        descending=[True, False, False]).limit(k)
+
+
+def inverted_index(ds_docs, col: str = "text", id_col: str = "doc_id",
+                   min_df: int = 1, num_buckets: int = 64):
+    """Distributed inverted-index build: one row per term with its
+    document frequency and an md5 digest of the ascending-doc_id posting
+    list ("id,id,..."). The digest certifies the exact posting-list
+    CONTENT through the driver's hash compare without shipping list
+    columns; a real deployment would write the lists themselves to the
+    partitioned sink — the construction (distinct-explode, term-hash
+    co-location, in-bucket ordered assembly) is identical.
+
+    Plan: distinct (doc, token) explode → bucket by TERM hash (posting
+    lists assemble where their term lands, never on the driver) → one
+    sorted pass per bucket, md5 per term segment. Returns a Dataset
+    (tok, df, postings_md5)."""
+    import hashlib
+
+    from .shuffle import add_bucket_column
+
+    def distinct_tokens(b: pa.Table) -> pa.Table:
+        toks, parent, _ = whitespace_tokens(b[col])
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)[parent]
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()), "tok": toks})
+        return pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(), preserve_index=False)
+
+    dt = ds_docs.map_batches(distinct_tokens, batch_format="pyarrow")
+    bucketed = dt.map_batches(
+        lambda b: add_bucket_column(b, ["tok"], num_buckets),
+        batch_format="pyarrow")
+
+    def assemble(g: pa.Table) -> pa.Table:
+        df = g.select(["tok", "doc_id"]).to_pandas()
+        df = df.sort_values(["tok", "doc_id"], kind="stable")
+        tok = df["tok"].to_numpy()
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        n = len(tok)
+        boundary = np.zeros(n, dtype=bool)
+        boundary[1:] = tok[1:] != tok[:-1]
+        cuts = np.nonzero(boundary)[0]
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [n]])
+        out_t, out_df, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < min_df:
+                continue
+            out_t.append(tok[s])
+            out_df.append(e - s)
+            out_h.append(hashlib.md5(
+                ",".join(map(str, ids[s:e])).encode()).hexdigest())
+        return pa.table({
+            "tok": pa.array(out_t, pa.string()),
+            "df": pa.array(np.asarray(out_df, np.int64), pa.int64()),
+            "postings_md5": pa.array(out_h, pa.string())})
+
+    return bucketed.groupby("bucket").map_groups(
+        assemble, batch_format="pyarrow")

@@ -303,3 +303,72 @@ def grouped_count(ds, keys: Sequence[str], out: str = "n",
     return two_phase_aggregate(ds, keys, partial_aggs, partial_names,
                                final_aggs, final_names, num_buckets,
                                coalesce_blocks)
+
+
+def group_zscore(ds, keys: "Sequence[str]", value_col: str,
+                 id_cols: "Sequence[str]" = (), out_col: str = "z",
+                 num_buckets: int = 64):
+    """Per-group z-score feature normalization with EXACT integer
+    moments: ``value_col`` must be integral-valued (asserted per batch);
+    n / Σx / Σx² accumulate as int64, so the group statistics are
+    summation-order independent and the final floats (one division, one
+    sqrt, one subtract-divide per row — each correctly rounded) are
+    bit-equal to the SQL oracle regardless of parallelism.
+
+    Plan: map-side integer partials → the two-phase bucketed exchange
+    (#groups rows) → the tiny stats table broadcasts via ray.put →
+    one vectorized normalize pass. Groups with zero variance emit
+    z = 0.0. Returns (id_cols..., keys..., out_col)."""
+    import ray
+
+    keys = list(keys)
+    id_cols = list(id_cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        vi = v.astype(np.int64)
+        assert np.array_equal(vi.astype(np.float64),
+                              v.astype(np.float64)), \
+            f"group_zscore requires integral {value_col}"
+        t = b.select(keys).append_column(
+            "one", pa.array(np.ones(len(b), np.int64), pa.int64())
+        ).append_column(
+            "v", pa.array(vi, pa.int64())
+        ).append_column("v2", pa.array(vi * vi, pa.int64()))
+        return t
+
+    stats = two_phase_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=keys,
+        partial_aggs=[("one", "sum"), ("v", "sum"), ("v2", "sum")],
+        partial_names=["pn", "ps", "pss"],
+        final_aggs=[("pn", "sum"), ("ps", "sum"), ("pss", "sum")],
+        final_names=["n", "s", "ss"],
+        num_buckets=num_buckets).to_pandas()
+    lut = {}
+    for r in stats.itertuples(index=False):
+        kt = tuple(getattr(r, c) for c in keys)
+        n = np.float64(r.n)
+        mean = np.float64(r.s) / n
+        vp = np.float64(r.ss) / n - mean * mean
+        sd = np.sqrt(vp) if vp > 0.0 else 0.0
+        lut[kt] = (mean, sd)
+    lut_ref = ray.put(lut)
+    _cache: dict = {}
+
+    def normalize(b: pa.Table) -> pa.Table:
+        m = _cache.get("m")
+        if m is None:
+            m = _cache["m"] = ray.get(lut_ref)
+        kcols = [np.asarray(b[c].to_pandas()) for c in keys]
+        x = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        z = np.zeros(len(b), dtype=np.float64)
+        kt = list(zip(*kcols)) if keys else [()] * len(b)
+        means = np.fromiter((m[t][0] for t in kt), np.float64, len(b))
+        sds = np.fromiter((m[t][1] for t in kt), np.float64, len(b))
+        nz = sds > 0.0
+        z[nz] = (x[nz] - means[nz]) / sds[nz]
+        out = b.select(id_cols + keys)
+        return out.append_column(out_col, pa.array(z, pa.float64()))
+
+    return ds.map_batches(normalize, batch_format="pyarrow")

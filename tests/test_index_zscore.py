@@ -1,0 +1,59 @@
+"""Inverted index digest + group z-score vs row-wise oracles."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from mvt_wrangler_ray.stages.retrieval import inverted_index
+from mvt_wrangler_ray.stages.shuffle import group_zscore
+
+
+def test_inverted_index_matches_oracle(ray_session):
+    texts = ["a b c", "b c d", "c d e", "  a   c ", ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = inverted_index(ds, min_df=1).to_pandas().set_index("tok")
+    want = {"a": [10, 40], "b": [10, 20], "c": [10, 20, 30, 40],
+            "d": [20, 30], "e": [30]}
+    assert set(got.index) == set(want)
+    for t, ids in want.items():
+        assert got.loc[t, "df"] == len(ids)
+        assert got.loc[t, "postings_md5"] == hashlib.md5(
+            ",".join(map(str, ids)).encode()).hexdigest()
+    # min_df filters
+    got2 = inverted_index(ds, min_df=2).to_pandas()
+    assert set(got2["tok"]) == {"a", "b", "c", "d"}
+
+
+def test_group_zscore_matches_oracle(ray_session):
+    rng = np.random.default_rng(17)
+    n = 5000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "grp": rng.choice(["X", "Y", "Z"], n),
+        "val": rng.integers(1, 51, n).astype(np.float64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = group_zscore(ds, ["grp"], "val", id_cols=["id"]).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    for g, sub in df.groupby("grp"):
+        v = sub["val"].to_numpy().astype(np.int64)
+        nn = np.float64(len(v))
+        mean = np.float64(v.sum()) / nn
+        vp = np.float64((v * v).sum()) / nn - mean * mean
+        want = (v.astype(np.float64) - mean) / np.sqrt(vp)
+        gv = got.set_index("id").loc[sub["id"], "z"].to_numpy()
+        assert np.array_equal(gv, want)
+
+
+def test_group_zscore_constant_group(ray_session):
+    df = pd.DataFrame({
+        "id": np.arange(4, dtype=np.int64),
+        "grp": ["C"] * 4,
+        "val": [7.0] * 4})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = group_zscore(ds, ["grp"], "val", id_cols=["id"]).to_pandas()
+    assert (got["z"] == 0.0).all()

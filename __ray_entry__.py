@@ -769,6 +769,68 @@ def _q_zscore(sf_dir: str):
                         id_cols=["l_orderkey", "l_linenumber"])
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-shaped composite: lineitem ⋈ orders ⋈ customer ⋈ nation.
+    Two bucketed large×large joins (every row moves once), the 25-row
+    nation dimension broadcast via ray.put, and EXACT fixed-point money:
+    revenue per item = cents(extprice) · (100 − pct(discount)) as int64
+    (1e-4 currency units), so the two-phase sum is order-independent."""
+    import ray
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.shuffle import (bucketed_hash_join,
+                                                 two_phase_aggregate)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def money(b: pa.Table) -> pa.Table:
+        ep = np.floor(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                      * 100.0 + 0.5).astype(np.int64)
+        dc = np.floor(b["l_discount"].to_numpy(zero_copy_only=False)
+                      * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "rev_e4": pa.array(ep * (100 - dc), pa.int64())})
+
+    liq = li.map_batches(money, batch_format="pyarrow")
+    oc = bucketed_hash_join(orders, cust, "o_custkey", "c_custkey")
+    oc_sel = oc.map_batches(
+        lambda b: b.select(["o_orderkey", "c_nationkey"]),
+        batch_format="pyarrow")
+    ol = bucketed_hash_join(liq, oc_sel, "l_orderkey", "o_orderkey")
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(),
+                    nat["n_name"].to_pylist()))
+    nref = ray.put(nmap)
+    _cache: dict = {}
+
+    def to_name(b: pa.Table) -> pa.Table:
+        m = _cache.get("n")
+        if m is None:
+            m = _cache["n"] = ray.get(nref)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = [m[int(k)] for k in nk]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "rev_e4": b["rev_e4"]})
+
+    named = ol.map_batches(to_name, batch_format="pyarrow")
+    return two_phase_aggregate(
+        named, keys=["n_name"],
+        partial_aggs=[("rev_e4", "sum"), ("rev_e4", "count")],
+        partial_names=["pr", "pn"],
+        final_aggs=[("pr", "sum"), ("pn", "sum")],
+        final_names=["revenue_e4", "n_items"], num_buckets=8)
+
+
 PMI_K, PMI_MIN_DF, PMI_MIN_PAIR = 20, 5, 3
 
 
@@ -1879,6 +1941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_pairs": _q_pmi_pairs,
         "inverted_index": _q_inverted_index,
         "zscore": _q_zscore,
+        "revenue_by_nation": _q_revenue_by_nation,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -1889,7 +1952,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "groupby_agg": _q_groupby_agg,
         "image_tiles": _q_image_tiles,
-        "hash_join": _q_hash_join,
         "topk_per_group": _q_topk_per_group,
         "sessionize": _q_sessionize,
         "knn_ivf": _q_knn_ivf,
@@ -1929,6 +1991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_density": _q_cell_density,
         "chunk_docs": _q_chunk_docs,
         "top_terms": _q_top_terms,
+        "hash_join": _q_hash_join,
     }
 
 
@@ -2431,6 +2494,23 @@ nodes AS (SELECT a AS node FROM tri
           UNION ALL SELECT b FROM tri
           UNION ALL SELECT c FROM tri)
 SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nodes GROUP BY 1
+"""
+
+
+def _sql_revenue_by_nation() -> str:
+    """_q_revenue_by_nation in SQL: same fixed-point money rule
+    (floor(x·1e2 + 0.5) on identical parquet doubles)."""
+    rev = ("CAST(floor(l.l_extendedprice * 1e2 + 5e-1) AS BIGINT) * "
+           "(100 - CAST(floor(l.l_discount * 1e2 + 5e-1) AS BIGINT))")
+    return f"""
+SELECT n.n_name,
+  CAST(sum({rev}) AS BIGINT) AS revenue_e4,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
 """
 
 
@@ -3170,6 +3250,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_pairs": _sql_pmi_pairs(),
         "inverted_index": _sql_inverted_index(),
         "zscore": _sql_zscore(),
+        "revenue_by_nation": _sql_revenue_by_nation(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

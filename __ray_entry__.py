@@ -831,6 +831,24 @@ def _q_revenue_by_nation(sf_dir: str):
         final_names=["revenue_e4", "n_items"], num_buckets=8)
 
 
+WSAMPLE_K = 50
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-res,
+    Efraimidis–Spirakis): 50 orders sampled proportional to
+    o_totalprice — replayable hash randomness, block-head merge, no
+    shuffle."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.shuffle import weighted_sample_topk
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    return weighted_sample_topk(orders, "o_orderkey", "o_totalprice",
+                                k=WSAMPLE_K)
+
+
 PMI_K, PMI_MIN_DF, PMI_MIN_PAIR = 20, 5, 3
 
 
@@ -1942,6 +1960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "zscore": _q_zscore,
         "revenue_by_nation": _q_revenue_by_nation,
+        "weighted_sample": _q_weighted_sample,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -1950,7 +1969,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window": _q_events_window,
-        "groupby_agg": _q_groupby_agg,
         "image_tiles": _q_image_tiles,
         "topk_per_group": _q_topk_per_group,
         "sessionize": _q_sessionize,
@@ -1992,6 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "top_terms": _q_top_terms,
         "hash_join": _q_hash_join,
+        "groupby_agg": _q_groupby_agg,
     }
 
 
@@ -2494,6 +2513,20 @@ nodes AS (SELECT a AS node FROM tri
           UNION ALL SELECT b FROM tri
           UNION ALL SELECT c FROM tri)
 SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nodes GROUP BY 1
+"""
+
+
+def _sql_weighted_sample() -> str:
+    """stages/shuffle.weighted_sample_topk in SQL: same hash→uniform
+    mapping (u = (knuth32(id) + 1) / 2^32), same -ln(u)/w priority."""
+    h32 = ("((((CAST(o_orderkey AS HUGEINT) % 4294967296) + 4294967296) "
+           "% 4294967296) * 2654435761) % 4294967296")
+    return f"""
+WITH p AS (SELECT o_orderkey,
+  -ln((CAST({h32} AS DOUBLE) + 1e0) / 4294967296e0) / o_totalprice AS prio
+  FROM orders)
+SELECT o_orderkey, prio FROM p
+ORDER BY prio ASC, o_orderkey ASC LIMIT {WSAMPLE_K}
 """
 
 
@@ -3251,6 +3284,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _sql_inverted_index(),
         "zscore": _sql_zscore(),
         "revenue_by_nation": _sql_revenue_by_nation(),
+        "weighted_sample": _sql_weighted_sample(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

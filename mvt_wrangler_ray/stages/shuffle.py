@@ -372,3 +372,44 @@ def group_zscore(ds, keys: "Sequence[str]", value_col: str,
         return out.append_column(out_col, pa.array(z, pa.float64()))
 
     return ds.map_batches(normalize, batch_format="pyarrow")
+
+
+def weighted_sample_topk(ds, id_col: str, weight_col: str, k: int,
+                         num_buckets: int = 64):
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis–Spirakis A-res scheme): each row gets priority
+    -ln(u)/w where u ∈ (0,1] derives from the SQL-reproducible
+    multiplicative hash of the id (so the "randomness" is replayable
+    and oracle-checkable) and w is the row's weight; the k smallest
+    priorities are the sample — inclusion probability proportional to
+    weight, exactly the classic reservoir semantics.
+
+    Plan: one map_batches computes priorities vectorized and keeps each
+    BLOCK's k-head under the global total order (priority asc, id asc);
+    the driver merges k × #blocks rows — no shuffle, no full sort.
+    libm log for DuckDB ulp parity. Returns a k-row pandas DataFrame
+    (id_col, prio)."""
+    import pandas as pd
+
+    from .retrieval import _libm_log
+
+    def heads(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             & np.uint64(0xFFFFFFFF))
+        u = (h.astype(np.float64) + 1.0) / 4294967296.0
+        prio = -_libm_log(u) / w
+        if len(ids) > k:
+            order = np.lexsort((ids, prio))[:k]
+        else:
+            order = np.argsort(prio, kind="stable")
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "prio": pa.array(prio[order], pa.float64())})
+
+    hd = ds.map_batches(heads, batch_format="pyarrow").to_pandas()
+    if len(hd) == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "prio": pd.Series([], dtype="float64")})
+    return (hd.sort_values(["prio", id_col], ascending=[True, True])
+            .head(k).reset_index(drop=True))

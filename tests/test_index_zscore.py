@@ -57,3 +57,22 @@ def test_group_zscore_constant_group(ray_session):
     ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
     got = group_zscore(ds, ["grp"], "val", id_cols=["id"]).to_pandas()
     assert (got["z"] == 0.0).all()
+
+
+def test_weighted_sample_favors_heavy_weights(ray_session):
+    from mvt_wrangler_ray.stages.shuffle import weighted_sample_topk
+    n = 10_000
+    ids = np.arange(n, dtype=np.int64)
+    # ids 0..9 carry 1e6x the weight of the rest
+    w = np.where(ids < 10, 1e6, 1.0)
+    ds = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array(ids, pa.int64()),
+        "o_totalprice": pa.array(w, pa.float64())}))
+    out = weighted_sample_topk(ds, "o_orderkey", "o_totalprice", k=20)
+    assert len(out) == 20
+    # at 1e6x weight every heavy id's priority (~1e-6) beats the 20th
+    # order statistic of 9990 unit exponentials (~2e-3)
+    assert sum(1 for i in out["o_orderkey"] if i < 10) == 10
+    # deterministic: same input -> same sample
+    out2 = weighted_sample_topk(ds, "o_orderkey", "o_totalprice", k=20)
+    assert list(out["o_orderkey"]) == list(out2["o_orderkey"])

@@ -831,6 +831,40 @@ def _q_revenue_by_nation(sf_dir: str):
         final_names=["revenue_e4", "n_items"], num_buckets=8)
 
 
+def _q_pixel_histogram(sf_dir: str):
+    """Whole-corpus pixel-value histogram — the mergeable image
+    statistic: actor-shaped decode, 256-bin int64 partials per block,
+    one tiny exchange keyed by bin."""
+    from mvt_wrangler_ray.sources.images import images_from_documents
+    from mvt_wrangler_ray.stages.image import pixel_histogram
+
+    return pixel_histogram(images_from_documents(sf_dir))
+
+
+SCENE_MIN_SAD = 19000
+
+
+def _q_scene_changes(sf_dir: str):
+    """Video scene-boundary detection: exact-integer SAD between
+    consecutive FVID frames, boundaries where SAD ≥ SCENE_MIN_SAD —
+    one vectorized whole-clip diff per row in an actor-shaped
+    map_batches."""
+    from mvt_wrangler_ray.sources.media import videos_from_documents
+    from mvt_wrangler_ray.stages.media import SceneChangeStage
+
+    _cache: dict = {}
+
+    def detect(b):
+        st = _cache.get("s")
+        if st is None:
+            st = _cache["s"] = SceneChangeStage(
+                min_sad=SCENE_MIN_SAD, id_col="doc_id")
+        return st(b)
+
+    return videos_from_documents(sf_dir).map_batches(
+        detect, batch_format="pyarrow", batch_size=128)
+
+
 WSAMPLE_K = 50
 
 
@@ -1961,6 +1995,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore": _q_zscore,
         "revenue_by_nation": _q_revenue_by_nation,
         "weighted_sample": _q_weighted_sample,
+        "pixel_histogram": _q_pixel_histogram,
+        "scene_changes": _q_scene_changes,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -1975,11 +2011,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "phash_knn": _q_phash_knn,
         "simhash_near_dup": _q_simhash_near_dup,
-        "pyramid_rollup": _q_pyramid_rollup,
         "nearest_site_kd": _q_nearest_site_kd,
         "events_asof": _q_events_asof,
         "range_count": _q_range_count,
-        "tile_smooth": _q_tile_smooth,
         "minhash_near_dup": _q_minhash_near_dup,
         "jaccard_near_dup": _q_jaccard_near_dup,
         "decode_images": _q_decode_images,
@@ -2011,6 +2045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "hash_join": _q_hash_join,
         "groupby_agg": _q_groupby_agg,
+        "pyramid_rollup": _q_pyramid_rollup,
+        "tile_smooth": _q_tile_smooth,
     }
 
 
@@ -2513,6 +2549,52 @@ nodes AS (SELECT a AS node FROM tri
           UNION ALL SELECT b FROM tri
           UNION ALL SELECT c FROM tri)
 SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nodes GROUP BY 1
+"""
+
+
+def _sql_scene_changes() -> str:
+    """stages/media.SceneChangeStage over the documents-derived FVID
+    clips, in closed form: frame f pixel p = ((p + f·7919)·s + tl) mod
+    256; sad(f) = Σ_p |V(p,f) − V(p,f−1)| (exact integers)."""
+    fnv = _sql_fnv64("printf('vid%08d', doc_id)", 11)
+    v = "(((p + f * 7919) * s + tl) % 256)"
+    vprev = "(((p + (f - 1) * 7919) * s + tl) % 256)"
+    return f"""
+WITH vi AS (SELECT doc_id, {fnv} AS h FROM documents),
+par AS (SELECT doc_id,
+  CAST(8 + CAST(h % 9 AS BIGINT) AS BIGINT) AS nf,
+  CAST((h | CAST(1 AS UBIGINT)) % 256 AS BIGINT) AS s,
+  CAST((h >> 7) % 256 AS BIGINT) AS tl FROM vi),
+sf AS (SELECT doc_id, s, tl, f
+  FROM (SELECT doc_id, s, tl, 1 + unnest(range(nf - 1)) AS f FROM par)),
+sad AS (SELECT doc_id, f, sum(abs({v} - {vprev})) AS sad
+  FROM (SELECT doc_id, f, s, tl, unnest(range(225)) AS p FROM sf)
+  GROUP BY 1, 2)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(sad AS BIGINT) AS sad
+FROM sad WHERE sad >= {SCENE_MIN_SAD}
+"""
+
+
+def _sql_pixel_histogram() -> str:
+    """stages/image.pixel_histogram in closed form: flat pixel i of the
+    tiled fake decode has value ((i % 64)·s8 + t8) % 256, so residue
+    class j (j < 64 ≤ w·h) contributes ((w·hh − 1 − j) // 64) + 1
+    pixels of value (j·s8 + t8) % 256 — s8 is odd, so the 64 classes
+    hit 64 distinct bins per image."""
+    fnv = _sql_fnv64("printf('img%08d', doc_id)", 11)
+    return f"""
+WITH img AS (SELECT doc_id, {fnv} AS h FROM documents),
+geom AS (SELECT doc_id,
+  CAST(32 + CAST(h % 97 AS BIGINT) AS BIGINT) AS w,
+  CAST(32 + CAST((h >> 8) % 97 AS BIGINT) AS BIGINT) AS hh,
+  CAST((h | 1) & 255 AS BIGINT) AS s8,
+  CAST((h >> 7) & 255 AS BIGINT) AS t8
+  FROM img),
+per AS (SELECT ((j * s8 + t8) % 256) AS bin,
+  ((w * hh - 1 - j) // 64) + 1 AS cnt
+  FROM (SELECT w, hh, s8, t8, unnest(range(64)) AS j FROM geom))
+SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(cnt) AS BIGINT) AS n_px
+FROM per GROUP BY 1
 """
 
 
@@ -3285,6 +3367,8 @@ def oracle_sql() -> dict[str, str]:
         "zscore": _sql_zscore(),
         "revenue_by_nation": _sql_revenue_by_nation(),
         "weighted_sample": _sql_weighted_sample(),
+        "pixel_histogram": _sql_pixel_histogram(),
+        "scene_changes": _sql_scene_changes(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

@@ -208,6 +208,53 @@ class ImageStatsStage:
         })
 
 
+class PixelHistogramStage:
+    """Actor pool stage: decode → per-block 256-bin pixel-value
+    histogram partials. The per-image bincount merges by elementwise
+    addition (a mergeable sketch, like the HLL/Count-Min stages), so a
+    whole-corpus value distribution costs ONE tiny 256-row exchange —
+    pixels never leave the stage, each block emits at most 256 rows."""
+
+    def __init__(self):
+        self._decoder = DecodeImageStage(compute_phash=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        counts = np.zeros(256, np.int64)
+        for i in range(len(payloads)):
+            px = self._decoder._decode(payloads[i], int(ws[i]), int(hs[i]))
+            counts += np.bincount(px.ravel(), minlength=256)
+        nz = np.nonzero(counts)[0]
+        return pa.table({
+            "bin": pa.array(nz.astype(np.int64), pa.int64()),
+            "n_px": pa.array(counts[nz], pa.int64()),
+        })
+
+
+def pixel_histogram(ds_images, num_buckets: int = 8):
+    """Whole-corpus pixel-value histogram: actor-shaped decode +
+    per-block partials, then one tiny two-phase merge keyed by bin.
+    Returns a Dataset (bin, n_px) for non-empty bins."""
+    from .shuffle import two_phase_aggregate
+
+    _cache: dict = {}
+
+    def partial(b: pa.Table) -> pa.Table:
+        st = _cache.get("s")
+        if st is None:
+            st = _cache["s"] = PixelHistogramStage()
+        return st(b)
+
+    parts = ds_images.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=1024)
+    return two_phase_aggregate(
+        parts, keys=["bin"], partial_aggs=[("n_px", "sum")],
+        partial_names=["p"], final_aggs=[("p", "sum")],
+        final_names=["n_px"], num_buckets=num_buckets)
+
+
 class PngRecodeStage:
     """Actor-pool stage: decode each image, optionally quantize (the
     LOSSY path — step q maps pixels to q·round(px/q), a real fidelity

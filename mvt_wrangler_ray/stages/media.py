@@ -147,3 +147,45 @@ class FrameSampleStage:
         if self.encode_frames:
             cols["frame_bytes"] = pa.array(out_png, pa.binary())
         return pa.table(cols)
+
+
+class SceneChangeStage:
+    """Scene-boundary detection over FVID video rows: per consecutive
+    frame pair, the sum of absolute pixel differences (SAD, exact
+    int64); frames whose SAD from their predecessor reaches
+    ``min_sad`` are emitted as (id, frame_idx, sad) boundary rows.
+    One vectorized diff over the whole clip per row — pixels never
+    leave the stage; compressed codecs raise the documented gate."""
+
+    def __init__(self, min_sad: int = 19000, bytes_col: str = "bytes",
+                 id_col: str = "video_id"):
+        self.min_sad = int(min_sad)
+        self.bytes_col, self.id_col = bytes_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.bytes_col].to_pylist()
+        src_ids = batch[self.id_col].to_pylist()
+        out_id: list = []
+        out_idx: list = []
+        out_sad: list = []
+        for rid, raw in zip(src_ids, payloads):
+            codec = sniff_media(raw)
+            if codec is not None:
+                raise NotImplementedError(
+                    f"compressed video ({codec}) needs codec libraries "
+                    "not present in this environment; provide FVID "
+                    "payloads")
+            frames, _fps = decode_fvid(raw)
+            nf = frames.shape[0]
+            if nf < 2:
+                continue
+            p = frames.reshape(nf, -1).astype(np.int64)
+            sad = np.abs(p[1:] - p[:-1]).sum(axis=1)
+            hit = np.nonzero(sad >= self.min_sad)[0]
+            out_id.extend([rid] * len(hit))
+            out_idx.extend((hit + 1).tolist())
+            out_sad.extend(sad[hit].tolist())
+        return pa.table({
+            self.id_col: pa.array(out_id, type=batch[self.id_col].type),
+            "frame_idx": pa.array(out_idx, pa.int64()),
+            "sad": pa.array(out_sad, pa.int64())})

@@ -126,3 +126,25 @@ def test_synthesis_closed_forms():
         tt = np.arange(4096, dtype=np.int64)
         expect = ((tt * s16 + tl) % 65536) - 32768
         assert np.array_equal(got.astype(np.int64), expect)
+
+
+def test_scene_change_stage_matches_brute_force():
+    import pyarrow as pa
+
+    from mvt_wrangler_ray.stages.media import SceneChangeStage
+
+    rng = np.random.default_rng(23)
+    frames = rng.integers(0, 256, (6, 4, 4), dtype=np.uint8)
+    # force one identical consecutive pair (no boundary there)
+    frames[3] = frames[2]
+    blob = encode_fvid(frames, 2400)
+    batch = pa.table({"video_id": pa.array([9], pa.int64()),
+                      "bytes": pa.array([blob], pa.binary())})
+    p = frames.reshape(6, -1).astype(np.int64)
+    sad = np.abs(p[1:] - p[:-1]).sum(axis=1)
+    thr = int(np.median(sad))
+    out = SceneChangeStage(min_sad=thr)(batch)
+    want_idx = (np.nonzero(sad >= thr)[0] + 1).tolist()
+    assert out["frame_idx"].to_pylist() == want_idx
+    assert out["sad"].to_pylist() == sad[sad >= thr].tolist()
+    assert 3 not in out["frame_idx"].to_pylist()  # identical pair

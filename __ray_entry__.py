@@ -808,17 +808,19 @@ def _q_revenue_by_nation(sf_dir: str):
 
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name"])
-    nmap = dict(zip(nat["n_nationkey"].to_pylist(),
-                    nat["n_name"].to_pylist()))
-    nref = ray.put(nmap)
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(nkeys)
+    nref = ray.put((nkeys[order],
+                    np.asarray(nat["n_name"].to_pylist(),
+                               dtype=object)[order]))
     _cache: dict = {}
 
     def to_name(b: pa.Table) -> pa.Table:
         m = _cache.get("n")
         if m is None:
             m = _cache["n"] = ray.get(nref)
-        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
-        names = [m[int(k)] for k in nk]
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = m[1][np.searchsorted(m[0], nk)]
         return pa.table({"n_name": pa.array(names, pa.string()),
                          "rev_e4": b["rev_e4"]})
 
@@ -839,6 +841,22 @@ def _q_pixel_histogram(sf_dir: str):
     from mvt_wrangler_ray.stages.image import pixel_histogram
 
     return pixel_histogram(images_from_documents(sf_dir))
+
+
+def _q_left_join(sf_dir: str):
+    """Left outer bucketed hash join: every customer with each of their
+    orders, orderless customers kept with a null o_orderkey — certifies
+    the outer lane of the partitioned join."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.shuffle import bucketed_hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    return bucketed_hash_join(cust, orders, "c_custkey", "o_custkey",
+                              how="left")
 
 
 SCENE_MIN_SAD = 19000
@@ -1997,6 +2015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "pixel_histogram": _q_pixel_histogram,
         "scene_changes": _q_scene_changes,
+        "left_join": _q_left_join,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -2004,7 +2023,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "knn": _q_knn,
         "embedding_near_dup": _q_embedding_near_dup,
-        "events_window": _q_events_window,
         "image_tiles": _q_image_tiles,
         "topk_per_group": _q_topk_per_group,
         "sessionize": _q_sessionize,
@@ -2047,6 +2065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "groupby_agg": _q_groupby_agg,
         "pyramid_rollup": _q_pyramid_rollup,
         "tile_smooth": _q_tile_smooth,
+        "events_window": _q_events_window,
     }
 
 
@@ -3369,6 +3388,9 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _sql_weighted_sample(),
         "pixel_histogram": _sql_pixel_histogram(),
         "scene_changes": _sql_scene_changes(),
+        "left_join":
+            "SELECT c.c_custkey, o.o_orderkey FROM customer c "
+            "LEFT JOIN orders o ON o.o_custkey = c.c_custkey",
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

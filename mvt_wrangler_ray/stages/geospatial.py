@@ -256,7 +256,10 @@ def within_distance_pairs(ds, id_col: str = "doc_id", lon_col: str = "lon",
             ia, ib = np.triu_indices(m, k=1)
             dlon = plon[s + ia] - plon[s + ib]
             dlat = plat[s + ia] - plat[s + ib]
-            keep = home[s + ia] & (dlon * dlon + dlat * dlat <= r2)
+            # strict < drops degenerate self-pairs if the input violates
+            # the documented unique-id contract
+            keep = (home[s + ia] & (pid[s + ia] < pid[s + ib])
+                    & (dlon * dlon + dlat * dlat <= r2))
             out_a.append(pid[s + ia[keep]])
             out_b.append(pid[s + ib[keep]])
         if not out_a:

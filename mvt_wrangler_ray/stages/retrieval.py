@@ -342,7 +342,9 @@ def pmi_top_pairs(ds_docs, k: int = 20, min_df: int = 5, min_pair: int = 3,
         return pa.Table.from_pandas(
             t.to_pandas().drop_duplicates(), preserve_index=False)
 
-    dt = docs.map_batches(distinct_tokens, batch_format="pyarrow")
+    # two consumers (df counts + the pair stage) — pin the explode once
+    dt = docs.map_batches(distinct_tokens,
+                          batch_format="pyarrow").materialize()
     dfc = grouped_count(dt, ["tok"], "df", num_buckets=num_buckets)
     vd = dfc.map_batches(
         lambda b: b.filter(pc.greater_equal(b["df"], min_df)),

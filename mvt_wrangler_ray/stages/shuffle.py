@@ -387,7 +387,9 @@ def weighted_sample_topk(ds, id_col: str, weight_col: str, k: int,
     Plan: one map_batches computes priorities vectorized and keeps each
     BLOCK's k-head under the global total order (priority asc, id asc);
     the driver merges k × #blocks rows — no shuffle, no full sort.
-    libm log for DuckDB ulp parity. Returns a k-row pandas DataFrame
+    libm log for DuckDB ulp parity. Weights must be strictly positive
+    (non-positive weights corrupt the priority order); ids must be
+    unique (the hash replays per id). Returns a k-row pandas DataFrame
     (id_col, prio)."""
     import pandas as pd
 

@@ -63,3 +63,12 @@ def test_dwithin_cell_cap_raises(ray_session):
     # uncapped degenerate cell is exact
     got = _run(ids, lon, lat, 1.0, cell_cap=None)
     assert len(got) == 50 * 49 // 2
+
+
+def test_dwithin_duplicate_ids_no_self_pairs(ray_session):
+    # input violating the unique-id contract must not emit (x, x) pairs
+    ids = np.array([5, 5, 9], dtype=np.int64)
+    lon = np.array([0.0, 0.1, 0.2])
+    lat = np.array([0.0, 0.0, 0.0])
+    got = _run(ids, lon, lat, 1.0)
+    assert got == {(5, 9)}

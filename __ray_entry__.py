@@ -769,68 +769,136 @@ def _q_zscore(sf_dir: str):
                         id_cols=["l_orderkey", "l_linenumber"])
 
 
-def _q_revenue_by_nation(sf_dir: str):
+def _q_revenue_by_nation(sf_dir: str, broadcast_orders_limit: int = 2_000_000):
     """TPC-H-Q5-shaped composite: lineitem ⋈ orders ⋈ customer ⋈ nation.
-    Two bucketed large×large joins (every row moves once), the 25-row
-    nation dimension broadcast via ray.put, and EXACT fixed-point money:
-    revenue per item = cents(extprice) · (100 − pct(discount)) as int64
-    (1e-4 currency units), so the two-phase sum is order-independent."""
+
+    Map-side plan (the 100-TB shape): the orderkey → nation-name index
+    (one narrow int row per order, built from orders ⋈ customer ⋈
+    nation driver-side) ships ONCE via ray.put, so the fact table never
+    crosses an exchange — one pass computes exact fixed-point revenue
+    (cents(extprice)·(100 − pct(discount)) as int64, 1e-4 units) and
+    map-side-combines to 25 partial rows per block; the only exchange
+    moves ≤ 25·blocks tiny rows. Above ``broadcast_orders_limit``
+    orders, the bucketed lane takes over: lineitem revenue
+    pre-aggregates per order, then partitioned hash joins against
+    orders and customer (every row moves once) — equivalence pytest
+    forces this lane."""
+    import pyarrow.parquet as _pq
+
     import ray
     import ray.data as rd
 
     from mvt_wrangler_ray.stages.shuffle import (bucketed_hash_join,
                                                  two_phase_aggregate)
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_nationkey"])
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey"])
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def money(b: pa.Table) -> pa.Table:
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    norder = np.argsort(nkeys)
+    nkeys_s = nkeys[norder]
+    nnames_s = np.asarray(nat["n_name"].to_pylist(), dtype=object)[norder]
+
+    def _money(b: pa.Table) -> np.ndarray:
         ep = np.floor(b["l_extendedprice"].to_numpy(zero_copy_only=False)
                       * 100.0 + 0.5).astype(np.int64)
         dc = np.floor(b["l_discount"].to_numpy(zero_copy_only=False)
                       * 100.0 + 0.5).astype(np.int64)
-        return pa.table({"l_orderkey": b["l_orderkey"],
-                         "rev_e4": pa.array(ep * (100 - dc), pa.int64())})
+        return ep * (100 - dc)
 
-    liq = li.map_batches(money, batch_format="pyarrow")
-    oc = bucketed_hash_join(orders, cust, "o_custkey", "c_custkey")
-    oc_sel = oc.map_batches(
-        lambda b: b.select(["o_orderkey", "c_nationkey"]),
-        batch_format="pyarrow")
-    ol = bucketed_hash_join(liq, oc_sel, "l_orderkey", "o_orderkey")
+    n_orders = _pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders <= broadcast_orders_limit:
+        ot = _pq.read_table(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey"])
+        ct = _pq.read_table(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+        ck = ct["c_custkey"].to_numpy().astype(np.int64)
+        cn = ct["c_nationkey"].to_numpy().astype(np.int64)
+        co = np.argsort(ck)
+        ok = ot["o_orderkey"].to_numpy().astype(np.int64)
+        oc = ot["o_custkey"].to_numpy().astype(np.int64)
+        oo = np.argsort(ok)
+        # orderkey (sorted) → nation index, one int8 per order
+        onat = np.searchsorted(
+            nkeys_s, cn[co][np.searchsorted(ck[co], oc[oo])]
+        ).astype(np.int8)
+        ref = ray.put((ok[oo], onat, nnames_s))
+        _cache: dict = {}
 
-    import pyarrow.parquet as pq
+        def partials(b: pa.Table) -> pa.Table:
+            m = _cache.get("m")
+            if m is None:
+                m = _cache["m"] = ray.get(ref)
+            okeys, onation, names = m
+            lk = b["l_orderkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ni = onation[np.searchsorted(okeys, lk)].astype(np.int64)
+            rev = _money(b)
+            nnat = len(names)
+            rev_sums = np.zeros(nnat, np.int64)
+            np.add.at(rev_sums, ni, rev)  # exact int64 scatter-add
+            return pa.table({
+                "n_name": pa.array(names, pa.string()),
+                "rev_e4": pa.array(rev_sums, pa.int64()),
+                "n_items": pa.array(np.bincount(ni, minlength=nnat)
+                                    .astype(np.int64), pa.int64())})
 
-    nat = pq.read_table(f"{sf_dir}/nation.parquet",
-                        columns=["n_nationkey", "n_name"])
-    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
-    order = np.argsort(nkeys)
-    nref = ray.put((nkeys[order],
-                    np.asarray(nat["n_name"].to_pylist(),
-                               dtype=object)[order]))
-    _cache: dict = {}
+        named = li.map_batches(partials, batch_format="pyarrow")
+    else:
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"])
+        cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
 
-    def to_name(b: pa.Table) -> pa.Table:
-        m = _cache.get("n")
-        if m is None:
-            m = _cache["n"] = ray.get(nref)
-        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        names = m[1][np.searchsorted(m[0], nk)]
-        return pa.table({"n_name": pa.array(names, pa.string()),
-                         "rev_e4": b["rev_e4"]})
+        def money(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "rev_e4": pa.array(_money(b), pa.int64()),
+                "one": pa.array(np.ones(n, np.int64), pa.int64())})
 
-    named = ol.map_batches(to_name, batch_format="pyarrow")
-    return two_phase_aggregate(
+        per_order = two_phase_aggregate(
+            li.map_batches(money, batch_format="pyarrow"),
+            keys=["l_orderkey"],
+            partial_aggs=[("rev_e4", "sum"), ("one", "sum")],
+            partial_names=["pr", "pn"],
+            final_aggs=[("pr", "sum"), ("pn", "sum")],
+            final_names=["rev_e4", "n_items"], num_buckets=32)
+        oc_j = bucketed_hash_join(orders, cust, "o_custkey", "c_custkey")
+        oc_sel = oc_j.map_batches(
+            lambda b: b.select(["o_orderkey", "c_nationkey"]),
+            batch_format="pyarrow")
+        ol = bucketed_hash_join(per_order, oc_sel, "l_orderkey",
+                                "o_orderkey")
+        nref = ray.put((nkeys_s, nnames_s))
+        _ncache: dict = {}
+
+        def to_name(b: pa.Table) -> pa.Table:
+            m = _ncache.get("n")
+            if m is None:
+                m = _ncache["n"] = ray.get(nref)
+            nk = b["c_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            names = m[1][np.searchsorted(m[0], nk)]
+            return pa.table({"n_name": pa.array(names, pa.string()),
+                             "rev_e4": b["rev_e4"],
+                             "n_items": b["n_items"]})
+
+        named = ol.map_batches(to_name, batch_format="pyarrow")
+
+    agg = two_phase_aggregate(
         named, keys=["n_name"],
-        partial_aggs=[("rev_e4", "sum"), ("rev_e4", "count")],
+        partial_aggs=[("rev_e4", "sum"), ("n_items", "sum")],
         partial_names=["pr", "pn"],
         final_aggs=[("pr", "sum"), ("pn", "sum")],
         final_names=["revenue_e4", "n_items"], num_buckets=8)
+    # drop nations that never occur (broadcast-lane partials emit all 25)
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater(b["n_items"], 0)),
+        batch_format="pyarrow")
 
 
 def _q_pixel_histogram(sf_dir: str):

@@ -76,3 +76,13 @@ def test_weighted_sample_favors_heavy_weights(ray_session):
     # deterministic: same input -> same sample
     out2 = weighted_sample_topk(ds, "o_orderkey", "o_totalprice", k=20)
     assert list(out["o_orderkey"]) == list(out2["o_orderkey"])
+
+
+def test_revenue_by_nation_cutover_equivalence(ray_session):
+    import __ray_entry__ as entry
+    sf = "/root/testdata/sf0.001"
+    a = entry._q_revenue_by_nation(sf).to_pandas() \
+        .sort_values("n_name").reset_index(drop=True)
+    b = entry._q_revenue_by_nation(sf, broadcast_orders_limit=0) \
+        .to_pandas().sort_values("n_name").reset_index(drop=True)
+    assert a.equals(b)

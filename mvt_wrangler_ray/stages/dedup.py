@@ -766,7 +766,8 @@ def span_windows_batch(batch: pa.Table, width: int = 8, col: str = "text",
 
 
 def span_dedup_stats(ds_docs, width: int = 8, col: str = "text",
-                     id_col: str = "doc_id", num_buckets: int = 64):
+                     id_col: str = "doc_id", num_buckets: int = 64,
+                     broadcast_dup_limit: int = 5_000_000):
     """Duplicated-substring detection (the repeated-span dedup family of
     the LLM-training-data literature — Lee et al. 2022 "Deduplicating
     Training Data Makes Language Models Better", via fixed-width word
@@ -775,33 +776,79 @@ def span_dedup_stats(ds_docs, width: int = 8, col: str = "text",
     dup_windows, dup_ratio — docs shorter than `width` words emit no
     windows and no row.
 
-    Fully streaming plan: window explode → two-phase per-hash counts →
-    bucketed hash join back onto the window rows → two-phase per-doc
-    aggregate. No driver-side state at any size; every row crosses
-    exactly one exchange per phase."""
+    Plan: window explode (pinned once — two consumers) → two-phase
+    per-hash counts → the DUPLICATED-hash set (count ≥ 2, typically a
+    small fraction of distinct windows) broadcasts via ray.put below
+    ``broadcast_dup_limit`` and flagging is a map-side searchsorted
+    with in-block per-doc scatter-add partials — the window rows never
+    cross a join exchange; above the limit, the original bucketed
+    hash-join lane takes over (forced-equivalence pytest). No
+    driver-side state beyond the bounded dup-hash set."""
+    import ray
+
     from .shuffle import bucketed_hash_join, grouped_count, two_phase_aggregate
 
     win = ds_docs.map_batches(
         lambda b: span_windows_batch(b, width, col, id_col),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     counts = grouped_count(win, ["whash"], "cnt", num_buckets=num_buckets)
-    joined = bucketed_hash_join(win, counts, "whash", "whash",
-                                num_buckets=num_buckets)
+    dup = counts.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b["cnt"], 2))
+                   .select(["whash"]),
+        batch_format="pyarrow").materialize()
 
-    def flag(b: pa.Table) -> pa.Table:
-        cnt = b["cnt"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "doc_id": b["doc_id"],
-            "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
-            "dup": pa.array((cnt >= 2).astype(np.int64), pa.int64()),
-        })
+    if dup.count() <= broadcast_dup_limit:
+        dh = dup.to_pandas()
+        dup_sorted = (np.sort(dh["whash"].to_numpy().astype(np.int64))
+                      if len(dh) else np.empty(0, np.int64))
+        dref = ray.put(dup_sorted)
+        _cache: dict = {}
 
-    flagged = joined.map_batches(flag, batch_format="pyarrow")
-    per_doc = two_phase_aggregate(
-        flagged, ["doc_id"],
-        [("one", "sum"), ("dup", "sum")], ["pn", "pd"],
-        [("pn", "sum"), ("pd", "sum")], ["n_windows", "dup_windows"],
-        num_buckets=num_buckets)
+        def flag_partial(b: pa.Table) -> pa.Table:
+            ds_ = _cache.get("d")
+            if ds_ is None:
+                ds_ = _cache["d"] = ray.get(dref)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            wh = b["whash"].to_numpy(zero_copy_only=False)
+            if len(ds_):
+                pos = np.searchsorted(ds_, wh)
+                pos[pos >= len(ds_)] = len(ds_) - 1
+                isdup = (ds_[pos] == wh).astype(np.int64)
+            else:
+                isdup = np.zeros(len(wh), np.int64)
+            uids, inv = np.unique(ids, return_inverse=True)
+            pn = np.bincount(inv, minlength=len(uids)).astype(np.int64)
+            pd_ = np.zeros(len(uids), np.int64)
+            np.add.at(pd_, inv, isdup)
+            return pa.table({
+                "doc_id": pa.array(uids, pa.int64()),
+                "pn": pa.array(pn, pa.int64()),
+                "pd": pa.array(pd_, pa.int64())})
+
+        flagged = win.map_batches(flag_partial, batch_format="pyarrow")
+        per_doc = two_phase_aggregate(
+            flagged, ["doc_id"],
+            [("pn", "sum"), ("pd", "sum")], ["ppn", "ppd"],
+            [("ppn", "sum"), ("ppd", "sum")], ["n_windows", "dup_windows"],
+            num_buckets=num_buckets)
+    else:
+        joined = bucketed_hash_join(win, counts, "whash", "whash",
+                                    num_buckets=num_buckets)
+
+        def flag(b: pa.Table) -> pa.Table:
+            cnt = b["cnt"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+                "dup": pa.array((cnt >= 2).astype(np.int64), pa.int64()),
+            })
+
+        flagged = joined.map_batches(flag, batch_format="pyarrow")
+        per_doc = two_phase_aggregate(
+            flagged, ["doc_id"],
+            [("one", "sum"), ("dup", "sum")], ["pn", "pd"],
+            [("pn", "sum"), ("pd", "sum")], ["n_windows", "dup_windows"],
+            num_buckets=num_buckets)
 
     def ratio(b: pa.Table) -> pa.Table:
         n = b["n_windows"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -57,3 +57,22 @@ def test_span_windows_batch_handles_empty_and_null():
     out = span_windows_batch(b, width=2)
     assert out["doc_id"].to_pylist() == [3, 3]
     assert out.schema.field("whash").type == pa.int64()
+
+
+def test_span_dedup_cutover_equivalence(ray_session):
+    # broadcast flag lane (default) ≡ the bucketed join lane
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.dedup import span_dedup_stats
+
+    texts = ["a b c d e f g h i j", "z b c d e f g h i k",
+             "a b c d e f g h i j extra", "short text", ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    fast = span_dedup_stats(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    slow = span_dedup_stats(ds, broadcast_dup_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert fast.equals(slow)

@@ -951,6 +951,22 @@ def _q_scene_changes(sf_dir: str):
         detect, batch_format="pyarrow", batch_size=128)
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _q_funnel(sf_dir: str):
+    """Ordered funnel (view → click → purchase): per-user max depth
+    reached with step i+1 at ts >= the earliest qualifying step-i time —
+    user-hash buckets, one sort + |steps| masked reduceat passes."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.events import funnel_depth
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel_depth(ev, FUNNEL_STEPS)
+
+
 WSAMPLE_K = 50
 
 
@@ -2084,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pixel_histogram": _q_pixel_histogram,
         "scene_changes": _q_scene_changes,
         "left_join": _q_left_join,
+        "funnel": _q_funnel,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -2093,7 +2110,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "image_tiles": _q_image_tiles,
         "topk_per_group": _q_topk_per_group,
-        "sessionize": _q_sessionize,
         "knn_ivf": _q_knn_ivf,
         "phash_knn": _q_phash_knn,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -2134,6 +2150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pyramid_rollup": _q_pyramid_rollup,
         "tile_smooth": _q_tile_smooth,
         "events_window": _q_events_window,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -2682,6 +2699,27 @@ per AS (SELECT ((j * s8 + t8) % 256) AS bin,
   FROM (SELECT w, hh, s8, t8, unnest(range(64)) AS j FROM geom))
 SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(cnt) AS BIGINT) AS n_px
 FROM per GROUP BY 1
+"""
+
+
+def _sql_funnel() -> str:
+    """stages/events.funnel_depth in SQL: chained earliest-qualifying
+    mins with the same >= threshold rule."""
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+WITH e1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = '{s1}' GROUP BY 1),
+e2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN e1 USING (user_id)
+       WHERE e.event_type = '{s2}' AND e.ts >= e1.t1 GROUP BY 1),
+e3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN e2 USING (user_id)
+       WHERE e.event_type = '{s3}' AND e.ts >= e2.t2 GROUP BY 1)
+SELECT e1.user_id,
+  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2
+            ELSE 1 END AS BIGINT) AS depth
+FROM e1 LEFT JOIN e2 USING (user_id) LEFT JOIN e3 USING (user_id)
 """
 
 
@@ -3459,6 +3497,7 @@ def oracle_sql() -> dict[str, str]:
         "left_join":
             "SELECT c.c_custkey, o.o_orderkey FROM customer c "
             "LEFT JOIN orders o ON o.o_custkey = c.c_custkey",
+        "funnel": _sql_funnel(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

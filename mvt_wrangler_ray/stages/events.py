@@ -203,3 +203,58 @@ def path_length(ds, user_col: str = "user_id", ts_col: str = "ts",
             "n_legs": pa.array(nlegs[keep], pa.int64())})
 
     return bucketed.groupby("bucket").map_groups(legs, batch_format="pyarrow")
+
+
+def funnel_depth(ds, steps, user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type", num_buckets: int = 64):
+    """Ordered funnel analysis: for each user, how deep into the step
+    sequence they progressed, where step i+1 counts only at a timestamp
+    >= the earliest qualifying time of step i (the classic
+    event-analytics funnel; >= keeps the semantics total and
+    tie-stable). Emits (user_id, depth) for users who reached step 1.
+
+    Plan: user-hash buckets (the sessionize-family shape), then per
+    bucket ONE sort and |steps| vectorized masked-min passes
+    (minimum.reduceat per user segment) — no per-user Python, no join:
+    each pass reuses the previous step's per-user threshold."""
+    from .shuffle import add_bucket_column
+
+    steps = list(steps)
+    bucketed = ds.map_batches(
+        lambda b: add_bucket_column(b, [user_col], num_buckets),
+        batch_format="pyarrow")
+
+    def depths(g: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            g, sort_keys=[(user_col, "ascending"), (ts_col, "ascending")])
+        g = g.take(idx)
+        users = g[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        types = np.asarray(g[type_col].to_pandas(), dtype=object)
+        n = len(users)
+        if n == 0:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "depth": pa.array([], pa.int64())})
+        new = np.ones(n, dtype=bool)
+        new[1:] = users[1:] != users[:-1]
+        starts = np.nonzero(new)[0]
+        seg = np.cumsum(new) - 1          # row → user segment index
+        big = np.int64(np.iinfo(np.int64).max)
+        thresh = np.full(len(starts), -np.iinfo(np.int64).max - 1,
+                         dtype=np.int64)  # step-0 threshold: -inf
+        depth = np.zeros(len(starts), dtype=np.int64)
+        for si, step in enumerate(steps):
+            ok = (types == step) & (ts >= thresh[seg])
+            cand = np.where(ok, ts, big)
+            tmin = np.minimum.reduceat(cand, starts)
+            reached = tmin < big
+            depth[reached & (depth == si)] = si + 1
+            thresh = np.where(reached, tmin, big)  # unreached: block next
+        keep = depth >= 1
+        return pa.table({
+            user_col: pa.array(users[starts][keep], pa.int64()),
+            "depth": pa.array(depth[keep], pa.int64())})
+
+    return bucketed.groupby("bucket").map_groups(
+        depths, batch_format="pyarrow")

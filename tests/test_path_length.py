@@ -66,3 +66,49 @@ def test_path_length_single_event_users_excluded(ray_session):
     got = path_length(ds).to_pandas()
     assert set(got["user_id"]) == {1}
     assert int(got["path_nano"].iloc[0]) == 5 * 10**9
+
+
+def test_funnel_depth_matches_brute_force(ray_session):
+    from mvt_wrangler_ray.stages.events import funnel_depth
+
+    rng = np.random.default_rng(29)
+    n = 3000
+    steps = ["a", "b", "c"]
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 80, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "event_type": rng.choice(["a", "b", "c", "x"], n)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = funnel_depth(ds, steps).to_pandas()
+    gd = dict(zip(got["user_id"].astype(int), got["depth"].astype(int)))
+
+    want = {}
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        thresh = pd.Timestamp.min
+        depth = 0
+        for s in steps:
+            q = g[(g["event_type"] == s) & (g["ts"] >= thresh)]
+            if len(q) == 0:
+                break
+            thresh = q["ts"].min()
+            depth += 1
+        if depth >= 1:
+            want[int(uid)] = depth
+    assert gd == want
+    assert {2, 3} <= set(gd.values())
+
+
+def test_funnel_requires_order(ray_session):
+    from mvt_wrangler_ray.stages.events import funnel_depth
+
+    # user 1: b before a -> depth 1 (b at t0 doesn't count, no b after a)
+    # user 2: a then b then c -> depth 3
+    df = pd.DataFrame({
+        "user_id": np.array([1, 1, 2, 2, 2], dtype=np.int64),
+        "ts": pd.to_datetime([1, 2, 0, 1, 2], unit="s"),
+        "event_type": ["b", "a", "a", "b", "c"]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = funnel_depth(ds, ["a", "b", "c"]).to_pandas()
+    gd = dict(zip(got["user_id"].astype(int), got["depth"].astype(int)))
+    assert gd == {1: 1, 2: 3}

@@ -951,6 +951,48 @@ def _q_scene_changes(sf_dir: str):
         detect, batch_format="pyarrow", batch_size=128)
 
 
+COPURCHASE_K = 5
+
+
+def _q_copurchase_topk(sf_dir: str):
+    """Item-item recommendations: for each part, its top-5 co-purchased
+    parts by shared-order count (ties broken by neighbor id) — the
+    co-occurrence-count exchange + symmetrize + bucketed per-item
+    head."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.graph import cooccurrence_pair_counts
+    from mvt_wrangler_ray.stages.shuffle import add_bucket_column
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pc_ = cooccurrence_pair_counts(li, "l_orderkey", "l_partkey")
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n_co"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "item": pa.array(np.concatenate([a, bb]), pa.int64()),
+            "rec": pa.array(np.concatenate([bb, a]), pa.int64()),
+            "n_co": pa.array(np.concatenate([n, n]), pa.int64())})
+
+    sym = pc_.map_batches(symmetrize, batch_format="pyarrow")
+    bucketed = sym.map_batches(
+        lambda b: add_bucket_column(b, ["item"], 16),
+        batch_format="pyarrow")
+
+    def head(g: pa.Table) -> pa.Table:
+        df = g.select(["item", "rec", "n_co"]).to_pandas().sort_values(
+            ["item", "n_co", "rec"], ascending=[True, False, True],
+            kind="stable")
+        out = df.groupby("item", sort=False).head(COPURCHASE_K)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed.groupby("bucket").map_groups(
+        head, batch_format="pyarrow")
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -2101,11 +2143,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scene_changes": _q_scene_changes,
         "left_join": _q_left_join,
         "funnel": _q_funnel,
+        "copurchase_topk": _q_copurchase_topk,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
         "expr_filter": _q_expr_filter,
-        "exact_dedup": _q_exact_dedup,
         "knn": _q_knn,
         "embedding_near_dup": _q_embedding_near_dup,
         "image_tiles": _q_image_tiles,
@@ -2151,6 +2193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_smooth": _q_tile_smooth,
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
+        "exact_dedup": _q_exact_dedup,
     }
 
 
@@ -2699,6 +2742,21 @@ per AS (SELECT ((j * s8 + t8) % 256) AS bin,
   FROM (SELECT w, hh, s8, t8, unnest(range(64)) AS j FROM geom))
 SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(cnt) AS BIGINT) AS n_px
 FROM per GROUP BY 1
+"""
+
+
+def _sql_copurchase_topk() -> str:
+    """_q_copurchase_topk in SQL: distinct (order, part) rows, pair
+    counts, symmetrize, row_number head per item."""
+    return f"""
+WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pc AS (SELECT a.p AS u, b.p AS v, count(*) AS n
+       FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+sym AS (SELECT u, v, n FROM pc UNION ALL SELECT v, u, n FROM pc),
+r AS (SELECT u, v, n, row_number() OVER (
+        PARTITION BY u ORDER BY n DESC, v ASC) AS rn FROM sym)
+SELECT u AS item, v AS rec, CAST(n AS BIGINT) AS n_co
+FROM r WHERE rn <= {COPURCHASE_K}
 """
 
 
@@ -3498,6 +3556,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.c_custkey, o.o_orderkey FROM customer c "
             "LEFT JOIN orders o ON o.o_custkey = c.c_custkey",
         "funnel": _sql_funnel(),
+        "copurchase_topk": _sql_copurchase_topk(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

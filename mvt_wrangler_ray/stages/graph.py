@@ -31,7 +31,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["pagerank", "cooccurrence_edges", "triangle_counts"]
+__all__ = ["pagerank", "cooccurrence_edges", "triangle_counts",
+           "cooccurrence_pair_counts"]
 
 SCALE = 10**12
 
@@ -396,3 +397,61 @@ def triangle_counts(edges, num_buckets: int = 64,
     return two_phase_aggregate(
         nodes, ["node"], [("one", "sum")], ["p"], [("p", "sum")], ["n_tri"],
         num_buckets=num_buckets)
+
+
+def cooccurrence_pair_counts(ds, group_col: str, item_col: str,
+                             num_buckets: int = 64,
+                             group_cap: int = 10_000):
+    """Co-occurrence pair COUNTS: for every unordered item pair
+    (id_a < id_b), the number of groups containing both (the
+    co-purchase / co-view statistic behind item-item recommenders).
+    Groups co-locate via the bucketed exchange; each group's items are
+    deduped in-segment before the triu pair expansion, so a repeated
+    item in one group counts that group once. Returns a Dataset
+    (id_a, id_b, n_co)."""
+    from .shuffle import add_bucket_column, grouped_count
+
+    rows = ds.map_batches(
+        lambda b: b.select([group_col, item_col]), batch_format="pyarrow")
+    bucketed = rows.map_batches(
+        lambda b: add_bucket_column(b, [group_col], num_buckets),
+        batch_format="pyarrow")
+
+    def seg_pairs(g: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F401
+        df = g.select([group_col, item_col]).to_pandas()
+        df = df.sort_values([group_col, item_col], kind="stable")
+        gv = df[group_col].to_numpy()
+        iv = df[item_col].to_numpy().astype(np.int64)
+        n = len(gv)
+        if n == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        # drop consecutive duplicates (same group, same item)
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (gv[1:] != gv[:-1]) | (iv[1:] != iv[:-1])
+        gv, iv = gv[keep], iv[keep]
+        n = len(gv)
+        boundary = np.zeros(n, dtype=bool)
+        boundary[1:] = gv[1:] != gv[:-1]
+        cuts = np.nonzero(boundary)[0]
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [n]])
+        oa, ob = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > group_cap:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            oa.append(iv[s + ia])
+            ob.append(iv[s + ib])
+        if not oa:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(oa), pa.int64()),
+                         "id_b": pa.array(np.concatenate(ob), pa.int64())})
+
+    pairs = bucketed.groupby("bucket").map_groups(
+        seg_pairs, batch_format="pyarrow")
+    return grouped_count(pairs, ["id_a", "id_b"], "n_co",
+                         num_buckets=num_buckets)

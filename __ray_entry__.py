@@ -951,6 +951,73 @@ def _q_scene_changes(sf_dir: str):
         detect, batch_format="pyarrow", batch_size=128)
 
 
+def _q_p95_value(sf_dir: str):
+    """p95 of the event value per event type (percentile_disc
+    semantics: the exact kth smallest element, k = ceil(0.95·n) − 1) —
+    the operational latency-percentile aggregate, bucketed groupby +
+    vectorized in-group kth-element."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.shuffle import add_bucket_column
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    bucketed = ds.map_batches(
+        lambda b: add_bucket_column(b, ["event_type"], 8),
+        batch_format="pyarrow")
+
+    def p95(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        rows = []
+        for et, sub in df.groupby("event_type"):
+            v = np.sort(sub["value"].to_numpy())
+            k = int(np.ceil(len(v) * 0.95)) - 1
+            rows.append((et, float(v[max(k, 0)])))
+        return pa.table({
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "p95_value": pa.array([r[1] for r in rows], pa.float64())})
+
+    return bucketed.groupby("bucket").map_groups(p95,
+                                                 batch_format="pyarrow")
+
+
+def _q_daily_active(sf_dir: str):
+    """Daily active users: exact distinct user count per UTC day —
+    two-phase (day, user) dedup then a per-day count; days as epoch-day
+    int64 for clean parity."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.shuffle import grouped_count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def day_user(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "day": pa.array(ts // 86_400_000_000, pa.int64()),
+            "user_id": b["user_id"]})
+
+    du = grouped_count(ev.map_batches(day_user, batch_format="pyarrow"),
+                       ["day", "user_id"], "c")
+    return grouped_count(
+        du.map_batches(lambda b: b.select(["day"]),
+                       batch_format="pyarrow"),
+        ["day"], "n_users", num_buckets=8)
+
+
+TFIDF_K = 3
+
+
+def _q_tfidf_topk(sf_dir: str):
+    """Per-document top-3 keywords by tf·idf (fixed-point nano scores,
+    block-local heads — only the tiny (term, df) table broadcasts)."""
+    from mvt_wrangler_ray.stages.retrieval import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir, ["doc_id", "text"]), k=TFIDF_K)
+
+
 COPURCHASE_K = 5
 
 
@@ -2144,13 +2211,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join": _q_left_join,
         "funnel": _q_funnel,
         "copurchase_topk": _q_copurchase_topk,
+        "tfidf_topk": _q_tfidf_topk,
+        "p95_value": _q_p95_value,
+        "daily_active": _q_daily_active,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
         "expr_filter": _q_expr_filter,
-        "knn": _q_knn,
         "embedding_near_dup": _q_embedding_near_dup,
-        "image_tiles": _q_image_tiles,
         "topk_per_group": _q_topk_per_group,
         "knn_ivf": _q_knn_ivf,
         "phash_knn": _q_phash_knn,
@@ -2160,7 +2228,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_count": _q_range_count,
         "minhash_near_dup": _q_minhash_near_dup,
         "jaccard_near_dup": _q_jaccard_near_dup,
-        "decode_images": _q_decode_images,
         "audio_features": _q_audio_features,
         "frame_sample": _q_frame_sample,
         "thumbnails": _q_thumbnails,
@@ -2194,6 +2261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "exact_dedup": _q_exact_dedup,
+        "image_tiles": _q_image_tiles,
+        "knn": _q_knn,
+        "decode_images": _q_decode_images,
     }
 
 
@@ -2742,6 +2812,42 @@ per AS (SELECT ((j * s8 + t8) % 256) AS bin,
   FROM (SELECT w, hh, s8, t8, unnest(range(64)) AS j FROM geom))
 SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(cnt) AS BIGINT) AS n_px
 FROM per GROUP BY 1
+"""
+
+
+def _sql_p95_value() -> str:
+    return ("SELECT event_type, "
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY value) "
+            "AS p95_value FROM events GROUP BY 1")
+
+
+def _sql_daily_active() -> str:
+    return ("SELECT CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000)"
+            " AS BIGINT) AS day, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1")
+
+
+def _sql_tfidf_topk() -> str:
+    """stages/retrieval.tfidf_topk in SQL: same split, per-(doc, term)
+    tf, distinct-doc df, score = floor(tf·ln(N/df)·1e9 + 0.5),
+    row_number head with the identical tie order."""
+    return f"""
+WITH tt AS (SELECT doc_id,
+  unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tt GROUP BY 1, 2),
+dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM documents),
+sc AS (SELECT doc_id, t.tok,
+  CAST(floor(CAST(tf AS DOUBLE)
+             * ln(CAST(nn.n AS DOUBLE) / CAST(df AS DOUBLE))
+             * 1e9 + 5e-1) AS BIGINT) AS tfidf_nano
+  FROM tf t, nn JOIN dfr d ON d.tok = t.tok),
+r AS (SELECT doc_id, tok, tfidf_nano, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf_nano DESC, tok ASC) AS rn
+      FROM sc)
+SELECT doc_id, tok, tfidf_nano FROM r WHERE rn <= {TFIDF_K}
 """
 
 
@@ -3557,6 +3663,9 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN orders o ON o.o_custkey = c.c_custkey",
         "funnel": _sql_funnel(),
         "copurchase_topk": _sql_copurchase_topk(),
+        "tfidf_topk": _sql_tfidf_topk(),
+        "p95_value": _sql_p95_value(),
+        "daily_active": _sql_daily_active(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["bm25_topk", "bigram_logprob", "whitespace_tokens", "pmi_top_pairs",
-           "inverted_index"]
+           "inverted_index", "tfidf_topk"]
 
 
 def _libm_log(x: np.ndarray) -> np.ndarray:
@@ -469,3 +469,66 @@ def inverted_index(ds_docs, col: str = "text", id_col: str = "doc_id",
 
     return bucketed.groupby("bucket").map_groups(
         assemble, batch_format="pyarrow")
+
+
+def tfidf_topk(ds_docs, k: int = 3, col: str = "text",
+               id_col: str = "doc_id", num_buckets: int = 64):
+    """Per-document top-k terms by tf·idf (idf = ln(N/df) over distinct
+    per-doc occurrence), ties broken by term ascending — the classic
+    keyword-extraction primitive.
+
+    Plan: one explode pass feeds BOTH the per-(doc, term) tf counts
+    (in-block, no exchange — a doc's tokens live in one row) and the
+    distinct-doc df counts (two-phase). The (term, df) table broadcasts
+    once via ray.put (bounded by the distinct vocabulary; trim upstream
+    for open-web scale), scoring is one vectorized pass, and the
+    per-doc head needs no exchange either — a doc's candidate rows are
+    already block-local. Scores are fixed-point int64 nano-units
+    (floor(tf·idf·1e9 + 0.5), libm log) for bit-exact SQL parity."""
+    import ray
+
+    from .shuffle import grouped_count
+
+    def doc_term_counts(b: pa.Table) -> pa.Table:
+        toks, parent, _ = whitespace_tokens(b[col])
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)[parent]
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()), "tok": toks})
+        df = t.to_pandas().groupby(["doc_id", "tok"], sort=False) \
+            .size().reset_index(name="tf")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dtc = ds_docs.map_batches(doc_term_counts,
+                              batch_format="pyarrow").materialize()
+    n_docs = ds_docs.count()
+    dfc = grouped_count(
+        dtc.map_batches(lambda b: b.select(["tok"]),
+                        batch_format="pyarrow"),
+        ["tok"], "df", num_buckets=num_buckets).to_pandas()
+    raw = np.asarray(dfc["tok"].to_numpy(), dtype=object).astype(str)
+    order = np.argsort(raw, kind="stable")
+    vref = ray.put((raw[order],
+                    dfc["df"].to_numpy().astype(np.int64)[order]))
+    _cache: dict = {}
+
+    def score_head(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        m = _cache.get("v")
+        if m is None:
+            m = _cache["v"] = ray.get(vref)
+        vt, vdf = m
+        tok = np.asarray(b["tok"].to_pandas(), dtype=object).astype(str)
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_ = vdf[np.searchsorted(vt, tok)]
+        idf = _libm_log((np.float64(n_docs) / df_.astype(np.float64)))
+        score = np.floor(tf.astype(np.float64) * idf * 1e9
+                         + 0.5).astype(np.int64)
+        d = pd.DataFrame({"doc_id": ids, "tok": tok,
+                          "tfidf_nano": score})
+        d = d.sort_values(["doc_id", "tfidf_nano", "tok"],
+                          ascending=[True, False, True], kind="stable")
+        d = d.groupby("doc_id", sort=False).head(k)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    return dtc.map_batches(score_head, batch_format="pyarrow")

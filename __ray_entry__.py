@@ -1007,6 +1007,130 @@ def _q_daily_active(sf_dir: str):
         ["day"], "n_users", num_buckets=8)
 
 
+WEEK_US = 7 * 86_400_000_000
+
+
+def _q_retention(sf_dir: str):
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted at each later week they return — (user, week) distinct
+    rows, then cohort/offset derived in ONE user-hash-bucket pass (sort
+    + reduceat min, no join, no broadcast), then tiny cohort counts."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.shuffle import (add_bucket_column,
+                                                 grouped_count)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def user_week(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": b["user_id"],
+                         "week": pa.array(ts // WEEK_US, pa.int64())})
+
+    uw = grouped_count(ev.map_batches(user_week, batch_format="pyarrow"),
+                       ["user_id", "week"], "c")
+    bucketed = uw.map_batches(
+        lambda b: add_bucket_column(b, ["user_id"], 16),
+        batch_format="pyarrow")
+
+    def offsets(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = g.select(["user_id", "week"]).to_pandas() \
+            .sort_values(["user_id", "week"], kind="stable")
+        u = df["user_id"].to_numpy().astype(np.int64)
+        w = df["week"].to_numpy().astype(np.int64)
+        n = len(u)
+        if n == 0:
+            return pa.table({"cohort_week": pa.array([], pa.int64()),
+                             "week_offset": pa.array([], pa.int64())})
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new) - 1
+        first = w[np.nonzero(new)[0]]  # sorted → first week per user
+        return pa.table({
+            "cohort_week": pa.array(first[seg], pa.int64()),
+            "week_offset": pa.array(w - first[seg], pa.int64())})
+
+    co = bucketed.groupby("bucket").map_groups(offsets,
+                                               batch_format="pyarrow")
+    return grouped_count(co, ["cohort_week", "week_offset"], "n_users",
+                         num_buckets=8)
+
+
+def _q_behavior_overlap(sf_dir: str):
+    """Jaccard overlap between event types' user sets (which behaviors
+    share an audience): distinct (type, user) rows, per-user type-pair
+    explode in user-hash buckets, pair counts, tiny set sizes broadcast,
+    one float division per pair."""
+    import ray
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.shuffle import (add_bucket_column,
+                                                 grouped_count)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    tu = grouped_count(ev, ["event_type", "user_id"], "c")
+    sizes = grouped_count(
+        tu.map_batches(lambda b: b.select(["event_type"]),
+                       batch_format="pyarrow"),
+        ["event_type"], "n", num_buckets=4).to_pandas()
+    smap = dict(zip(sizes["event_type"], sizes["n"].astype(np.int64)))
+    sref = ray.put(smap)
+    bucketed = tu.map_batches(
+        lambda b: add_bucket_column(b, ["user_id"], 16),
+        batch_format="pyarrow")
+
+    def type_pairs(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = g.select(["user_id", "event_type"]).to_pandas() \
+            .sort_values(["user_id", "event_type"], kind="stable")
+        u = df["user_id"].to_numpy().astype(np.int64)
+        t = df["event_type"].to_numpy()
+        n = len(u)
+        new = np.ones(n, dtype=bool)
+        if n:
+            new[1:] = u[1:] != u[:-1]
+        cuts = np.nonzero(new)[0]
+        starts = np.concatenate([cuts, [n]]) if n else np.array([0])
+        oa, ob = [], []
+        for i in range(len(cuts)):
+            s, e = starts[i], starts[i + 1]
+            m = e - s
+            if m < 2:
+                continue
+            ia, ib = np.triu_indices(m, k=1)
+            oa.append(t[s + ia])
+            ob.append(t[s + ib])
+        if not oa:
+            return pa.table({"ta": pa.array([], pa.string()),
+                             "tb": pa.array([], pa.string())})
+        return pa.table({
+            "ta": pa.array(np.concatenate(oa).astype(object), pa.string()),
+            "tb": pa.array(np.concatenate(ob).astype(object), pa.string())})
+
+    pairs = bucketed.groupby("bucket").map_groups(type_pairs,
+                                                  batch_format="pyarrow")
+    counts = grouped_count(pairs, ["ta", "tb"], "n_both", num_buckets=4)
+    _cache: dict = {}
+
+    def score(b: pa.Table) -> pa.Table:
+        m = _cache.get("s")
+        if m is None:
+            m = _cache["s"] = ray.get(sref)
+        ta = np.asarray(b["ta"].to_pandas(), dtype=object)
+        tb = np.asarray(b["tb"].to_pandas(), dtype=object)
+        i = b["n_both"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = np.fromiter((m[x] for x in ta), np.int64, len(ta))
+        nb = np.fromiter((m[x] for x in tb), np.int64, len(tb))
+        j = i.astype(np.float64) / (na + nb - i).astype(np.float64)
+        return (b.append_column("jaccard", pa.array(j, pa.float64())))
+
+    return counts.map_batches(score, batch_format="pyarrow")
+
+
 TFIDF_K = 3
 
 
@@ -2214,11 +2338,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "p95_value": _q_p95_value,
         "daily_active": _q_daily_active,
+        "retention": _q_retention,
+        "behavior_overlap": _q_behavior_overlap,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
         "expr_filter": _q_expr_filter,
-        "embedding_near_dup": _q_embedding_near_dup,
         "topk_per_group": _q_topk_per_group,
         "knn_ivf": _q_knn_ivf,
         "phash_knn": _q_phash_knn,
@@ -2231,7 +2356,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "frame_sample": _q_frame_sample,
         "thumbnails": _q_thumbnails,
-        "wrangle_tiles": _q_wrangle_tiles,
         "normalize_text": _q_normalize_text,
         "fingerprint": _q_fingerprint,
         "tile_topk": _q_tile_topk,
@@ -2264,6 +2388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_tiles": _q_image_tiles,
         "knn": _q_knn,
         "decode_images": _q_decode_images,
+        "wrangle_tiles": _q_wrangle_tiles,
+        "embedding_near_dup": _q_embedding_near_dup,
     }
 
 
@@ -2815,6 +2941,33 @@ FROM per GROUP BY 1
 """
 
 
+def _sql_retention() -> str:
+    wk = "CAST(epoch_us(ts) // 604800000000 AS BIGINT)"
+    return f"""
+WITH uw AS (SELECT DISTINCT user_id, {wk} AS w FROM events),
+f AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1)
+SELECT f.cw AS cohort_week, uw.w - f.cw AS week_offset,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN f USING (user_id) GROUP BY 1, 2
+"""
+
+
+def _sql_behavior_overlap() -> str:
+    return """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sz AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+ix AS (SELECT a.event_type AS ta, b.event_type AS tb,
+       CAST(count(*) AS BIGINT) AS n_both
+       FROM tu a JOIN tu b ON a.user_id = b.user_id
+         AND a.event_type < b.event_type GROUP BY 1, 2)
+SELECT ta, tb, n_both,
+  CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - ix.n_both AS DOUBLE)
+    AS jaccard
+FROM ix JOIN sz sa ON sa.event_type = ix.ta
+JOIN sz sb ON sb.event_type = ix.tb
+"""
+
+
 def _sql_p95_value() -> str:
     return ("SELECT event_type, "
             "percentile_disc(0.95) WITHIN GROUP (ORDER BY value) "
@@ -2822,8 +2975,7 @@ def _sql_p95_value() -> str:
 
 
 def _sql_daily_active() -> str:
-    return ("SELECT CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000)"
-            " AS BIGINT) AS day, "
+    return ("SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events GROUP BY 1")
 
@@ -3666,6 +3818,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _sql_tfidf_topk(),
         "p95_value": _sql_p95_value(),
         "daily_active": _sql_daily_active(),
+        "retention": _sql_retention(),
+        "behavior_overlap": _sql_behavior_overlap(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

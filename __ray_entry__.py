@@ -1007,6 +1007,19 @@ def _q_daily_active(sf_dir: str):
         ["day"], "n_users", num_buckets=8)
 
 
+def _q_knn_self(sf_dir: str):
+    """All-pairs nearest-neighbor self-join over the embeddings table
+    (cosine, ties by lowest id): broadcast normalized matrix + per-block
+    matmul — the SemDeDup-family primitive."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.knn import knn_self_join
+
+    return knn_self_join(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]))
+
+
 WEEK_US = 7 * 86_400_000_000
 
 
@@ -2340,6 +2353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active": _q_daily_active,
         "retention": _q_retention,
         "behavior_overlap": _q_behavior_overlap,
+        "knn_self": _q_knn_self,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -2355,7 +2369,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_near_dup": _q_jaccard_near_dup,
         "audio_features": _q_audio_features,
         "frame_sample": _q_frame_sample,
-        "thumbnails": _q_thumbnails,
         "normalize_text": _q_normalize_text,
         "fingerprint": _q_fingerprint,
         "tile_topk": _q_tile_topk,
@@ -2390,6 +2403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_images": _q_decode_images,
         "wrangle_tiles": _q_wrangle_tiles,
         "embedding_near_dup": _q_embedding_near_dup,
+        "thumbnails": _q_thumbnails,
     }
 
 
@@ -3820,6 +3834,13 @@ def oracle_sql() -> dict[str, str]:
         "daily_active": _sql_daily_active(),
         "retention": _sql_retention(),
         "behavior_overlap": _sql_behavior_overlap(),
+        "knn_self":
+            "WITH r AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, "
+            "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+            "list_cosine_similarity(a.embedding, b.embedding) DESC, "
+            "b.vec_id ASC) AS rn "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) "
+            "SELECT vec_id, nn_id FROM r WHERE rn = 1",
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

@@ -241,3 +241,54 @@ def ivf_knn_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
             b["ivf_partition"].to_numpy(zero_copy_only=False), list(allowed)))),
         batch_format="pyarrow")
     return knn_topk(pruned, queries, query_ids, k, vec_col, id_col)
+
+
+def knn_self_join(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                  broadcast_limit: int = 500_000):
+    """All-pairs nearest-neighbor self-join: each row's closest OTHER
+    row by cosine (ties by lowest id) — the primitive under SemDeDup /
+    duplicate-mining pipelines. The (id, vector) matrix broadcasts once
+    via ray.put (normalized float64, near-zero-copy via _as_matrix) and
+    every block computes one matmul + masked argmax against it — the
+    vectors never cross a shuffle. Above ``broadcast_limit`` rows this
+    exact plan is refused: route through build_ivf_index +
+    ivf_index_knn_topk (the documented scale path) instead of silently
+    materializing an unbounded matrix. Returns (id_col, nn_id)."""
+    import ray
+
+    full = ds.materialize()
+    n = full.count()
+    if n > broadcast_limit:
+        raise ValueError(
+            f"knn_self_join exact broadcast plan refused at {n} rows "
+            f"(> broadcast_limit={broadcast_limit}); build an IVF "
+            "layout (build_ivf_index) and probe per partition instead")
+    ref_tbl = full.to_pandas()
+    ids = ref_tbl[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    mat = _normalize(np.vstack(ref_tbl[vec_col].to_numpy()[order])
+                     .astype(np.float64))
+    ref = ray.put((ids[order], mat))
+    _cache: dict = {}
+
+    def nn(b: pa.Table) -> pa.Table:
+        m = _cache.get("m")
+        if m is None:
+            m = _cache["m"] = ray.get(ref)
+        all_ids, all_mat = m
+        q = _normalize(_as_matrix(b[vec_col]))
+        qids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(qids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "nn_id": pa.array([], pa.int64())})
+        sims = q @ all_mat.T
+        # mask self matches by ID (robust to duplicate vectors)
+        pos = np.searchsorted(all_ids, qids)
+        pos_c = np.minimum(pos, len(all_ids) - 1)
+        selfmask = all_ids[pos_c] == qids
+        sims[np.arange(len(qids))[selfmask], pos_c[selfmask]] = -np.inf
+        best = np.argmax(sims, axis=1)  # first max → lowest id (sorted)
+        return pa.table({id_col: pa.array(qids, pa.int64()),
+                         "nn_id": pa.array(all_ids[best], pa.int64())})
+
+    return full.map_batches(nn, batch_format="pyarrow")

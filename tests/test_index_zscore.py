@@ -86,3 +86,39 @@ def test_revenue_by_nation_cutover_equivalence(ray_session):
     b = entry._q_revenue_by_nation(sf, broadcast_orders_limit=0) \
         .to_pandas().sort_values("n_name").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_knn_self_join_matches_brute_force(ray_session):
+    from mvt_wrangler_ray.stages.knn import knn_self_join
+    rng = np.random.default_rng(31)
+    n, dim = 200, 16
+    vecs = rng.normal(size=(n, dim))
+    ids = rng.permutation(n).astype(np.int64) * 3  # non-dense ids
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(vecs),
+                                        pa.list_(pa.float32()))})
+    got = knn_self_join(rd.from_arrow(t)).to_pandas() \
+        .set_index("vec_id")["nn_id"]
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    # brute force on the SAME float32-rounded vectors the table stores
+    v32 = np.asarray(list(t["embedding"].to_pylist()), dtype=np.float64)
+    v32 = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+    sims = v32 @ v32.T
+    np.fill_diagonal(sims, -np.inf)
+    order = np.argsort(ids, kind="stable")
+    for row, i in enumerate(ids):
+        srow = sims[row]
+        best = np.max(srow)
+        cands = ids[np.nonzero(srow == best)[0]]
+        assert got.loc[i] == cands.min()
+
+
+def test_knn_self_join_refuses_above_limit(ray_session):
+    import pytest as _pytest
+
+    from mvt_wrangler_ray.stages.knn import knn_self_join
+    t = pa.table({"vec_id": pa.array([1, 2, 3], pa.int64()),
+                  "embedding": pa.array([[1.0], [2.0], [3.0]],
+                                        pa.list_(pa.float32()))})
+    with _pytest.raises(Exception, match="broadcast_limit"):
+        knn_self_join(rd.from_arrow(t), broadcast_limit=2).to_pandas()

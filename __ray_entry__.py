@@ -2312,12 +2312,13 @@ FROM ann GROUP BY doc_id
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order is deliberate: the round-2 driver artifact
     # recorded exactly the FIRST 50 dict entries, dropping the tail —
-    # so never-certified queries come first and the 11 most trivial
-    # always-green SQL ops (normalize_text/fingerprint, tile_topk/
-    # median/broadcast_join/stratified_sample, sort_limit/sample/
-    # distinct/semi/anti join — each with a richer relative inside the
-    # first 50) sit last where a 50-row cut costs the least
-    # certification value. All 61 stay covered by test_oracle_parity.
+    # so the first 50 are exactly the 35 never-certified round-3
+    # queries plus 15 flagship families, and the 35 rotated to the tail
+    # are ALL green in CORRECTNESS_r02 (verified by set difference) and
+    # each keeps a richer relative inside the window (e.g. exact_dedup
+    # → clean_corpus, hash_join → revenue_by_nation, thumbnails →
+    # pixel_histogram). All 85 stay covered by test_oracle_parity at
+    # sf0.001 and sf0.01.
     return {
         "features_transform": _q_features_transform,
         "dedup_clusters": _q_dedup_clusters,

@@ -1007,6 +1007,58 @@ def _q_daily_active(sf_dir: str):
         ["day"], "n_users", num_buckets=8)
 
 
+def _q_caption_pixel_corr(sf_dir: str):
+    """Cross-modal dataset diagnostic: Pearson correlation between each
+    image's caption token count and its exact decoded pixel sum — the
+    text × image sanity check a multimodal pipeline runs before
+    training. One actor-shaped pass emits int64 moment partials
+    (n, Σx, Σy, Σxy, Σx², Σy²) per block — mergeable, no shuffle; the
+    driver folds a handful of ints and computes one float expression
+    (identical tree in the SQL oracle, so bit-exact)."""
+    from mvt_wrangler_ray.sources.images import images_from_documents
+    from mvt_wrangler_ray.stages.image import DecodeImageStage
+    from mvt_wrangler_ray.stages.retrieval import whitespace_tokens
+
+    ds = images_from_documents(sf_dir)
+    _cache: dict = {}
+
+    def partials(b: pa.Table) -> pa.Table:
+        st = _cache.get("s")
+        if st is None:
+            st = _cache["s"] = DecodeImageStage(compute_phash=False)
+        _, _, dl = whitespace_tokens(b["caption"])
+        x = dl.astype(np.int64)
+        payloads = b["bytes"].to_pylist()
+        ws = b["w"].to_numpy(zero_copy_only=False)
+        hs = b["h"].to_numpy(zero_copy_only=False)
+        y = np.empty(len(payloads), np.int64)
+        for i in range(len(payloads)):
+            y[i] = int(st._decode(payloads[i], int(ws[i]),
+                                  int(hs[i])).astype(np.int64).sum())
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64())})
+
+    s = ds.map_batches(partials, batch_format="pyarrow",
+                       batch_size=1024).sum(
+        ["n", "sx", "sy", "sxy", "sxx", "syy"])
+    n = np.float64(s["sum(n)"])
+    sx = np.float64(s["sum(sx)"])
+    sy = np.float64(s["sum(sy)"])
+    sxy = np.float64(s["sum(sxy)"])
+    sxx = np.float64(s["sum(sxx)"])
+    syy = np.float64(s["sum(syy)"])
+    corr = (n * sxy - sx * sy) / np.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    return pd.DataFrame({"n": pd.Series([int(s["sum(n)"])], dtype=np.int64),
+                         "corr": pd.Series([float(corr)],
+                                           dtype=np.float64)})
+
+
 def _q_knn_self(sf_dir: str):
     """All-pairs nearest-neighbor self-join over the embeddings table
     (cosine, ties by lowest id): broadcast normalized matrix + per-block
@@ -2317,7 +2369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # are ALL green in CORRECTNESS_r02 (verified by set difference) and
     # each keeps a richer relative inside the window (e.g. exact_dedup
     # → clean_corpus, hash_join → revenue_by_nation, thumbnails →
-    # pixel_histogram). All 85 stay covered by test_oracle_parity at
+    # pixel_histogram). All 86 stay covered by test_oracle_parity at
     # sf0.001 and sf0.01.
     return {
         "features_transform": _q_features_transform,
@@ -2355,6 +2407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": _q_retention,
         "behavior_overlap": _q_behavior_overlap,
         "knn_self": _q_knn_self,
+        "caption_pixel_corr": _q_caption_pixel_corr,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
@@ -2368,7 +2421,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_count": _q_range_count,
         "minhash_near_dup": _q_minhash_near_dup,
         "jaccard_near_dup": _q_jaccard_near_dup,
-        "audio_features": _q_audio_features,
         "frame_sample": _q_frame_sample,
         "normalize_text": _q_normalize_text,
         "fingerprint": _q_fingerprint,
@@ -2405,6 +2457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wrangle_tiles": _q_wrangle_tiles,
         "embedding_near_dup": _q_embedding_near_dup,
         "thumbnails": _q_thumbnails,
+        "audio_features": _q_audio_features,
     }
 
 
@@ -2953,6 +3006,44 @@ per AS (SELECT ((j * s8 + t8) % 256) AS bin,
   FROM (SELECT w, hh, s8, t8, unnest(range(64)) AS j FROM geom))
 SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(cnt) AS BIGINT) AS n_px
 FROM per GROUP BY 1
+"""
+
+
+def _sql_caption_pixel_corr() -> str:
+    """_q_caption_pixel_corr in closed form: x = whitespace token count
+    of the caption (= document text), y = exact pixel sum of the tiled
+    fake decode (the image_stats moment CTE), Pearson r with the
+    identical float64 expression tree over the exact integer moments."""
+    fnv = _sql_fnv64("printf('img%08d', doc_id)", 11)
+    v = "((((r * w + c) % 64) * s8 + t8) % 256)"
+    return f"""
+WITH img AS (SELECT doc_id, {fnv} AS h FROM documents),
+geom AS (SELECT doc_id,
+  CAST(32 + CAST(h % 97 AS BIGINT) AS BIGINT) AS w,
+  CAST(32 + CAST((h >> 8) % 97 AS BIGINT) AS BIGINT) AS hh,
+  CAST((h | 1) & 255 AS BIGINT) AS s8,
+  CAST((h >> 7) & 255 AS BIGINT) AS t8
+  FROM img),
+ps AS (SELECT doc_id, sum(val) AS y FROM (
+    SELECT doc_id, {v} AS val
+    FROM (SELECT doc_id, w, s8, t8, r, unnest(range(w)) AS c
+          FROM (SELECT doc_id, w, hh, s8, t8, unnest(range(hh)) AS r
+                FROM geom)))
+  GROUP BY 1),
+tk AS (SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '')) AS BIGINT) AS x
+  FROM documents),
+mo AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+  CAST(sum(x * y) AS DOUBLE) AS sxy,
+  CAST(sum(x * x) AS DOUBLE) AS sxx,
+  CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM tk JOIN ps USING (doc_id))
+SELECT CAST(n AS BIGINT) AS n,
+  (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    AS corr
+FROM mo
 """
 
 
@@ -3834,6 +3925,7 @@ def oracle_sql() -> dict[str, str]:
         "p95_value": _sql_p95_value(),
         "daily_active": _sql_daily_active(),
         "retention": _sql_retention(),
+        "caption_pixel_corr": _sql_caption_pixel_corr(),
         "behavior_overlap": _sql_behavior_overlap(),
         "knn_self":
             "WITH r AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, "

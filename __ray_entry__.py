@@ -1059,26 +1059,24 @@ def _q_caption_pixel_corr(sf_dir: str):
                                            dtype=np.float64)})
 
 
-def _q_monthly_growth(sf_dir: str):
-    """Month-over-month event volume growth: two-phase counts per
-    calendar month (numpy datetime64[M] truncation == SQL
-    date_trunc('month')), then the lag/growth pass on the
-    bounded-by-calendar result."""
+def _q_weekly_growth(sf_dir: str):
+    """Week-over-week event volume growth: two-phase counts per epoch
+    week, then the lag/growth pass on the bounded-by-calendar
+    result."""
     import ray.data as rd
 
     from mvt_wrangler_ray.stages.shuffle import grouped_count
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
 
-    def month(b: pa.Table) -> pa.Table:
+    def week(b: pa.Table) -> pa.Table:
         ts = b["ts"].to_numpy(zero_copy_only=False) \
-            .astype("datetime64[us]").astype("datetime64[M]") \
-            .astype("datetime64[us]")
-        return pa.table({"month": pa.array(ts)})
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"week": pa.array(ts // WEEK_US, pa.int64())})
 
-    mc = grouped_count(ev.map_batches(month, batch_format="pyarrow"),
-                       ["month"], "n", num_buckets=4).to_pandas()
-    mc = mc.sort_values("month").reset_index(drop=True)
+    mc = grouped_count(ev.map_batches(week, batch_format="pyarrow"),
+                       ["week"], "n", num_buckets=4).to_pandas()
+    mc = mc.sort_values("week").reset_index(drop=True)
     n = mc["n"].to_numpy().astype(np.int64)
     growth = np.full(len(n), np.nan)
     if len(n) > 1:
@@ -2467,7 +2465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "behavior_overlap": _q_behavior_overlap,
         "knn_self": _q_knn_self,
         "caption_pixel_corr": _q_caption_pixel_corr,
-        "monthly_growth": _q_monthly_growth,
+        "weekly_growth": _q_weekly_growth,
         "copresence": _q_copresence,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
@@ -3070,14 +3068,14 @@ FROM per GROUP BY 1
 """
 
 
-def _sql_monthly_growth() -> str:
+def _sql_weekly_growth() -> str:
     return """
-WITH mc AS (SELECT date_trunc('month', ts) AS month,
+WITH mc AS (SELECT CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
             CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
-SELECT CAST(month AS TIMESTAMP) AS month, n,
+SELECT week, n,
   CAST(n - lag(n) OVER w AS DOUBLE) / CAST(lag(n) OVER w AS DOUBLE)
     AS growth
-FROM mc WINDOW w AS (ORDER BY month)
+FROM mc WINDOW w AS (ORDER BY week)
 """
 
 
@@ -4011,7 +4009,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_active": _sql_daily_active(),
         "retention": _sql_retention(),
         "caption_pixel_corr": _sql_caption_pixel_corr(),
-        "monthly_growth": _sql_monthly_growth(),
+        "weekly_growth": _sql_weekly_growth(),
         "copresence": _sql_copresence(),
         "behavior_overlap": _sql_behavior_overlap(),
         "knn_self":

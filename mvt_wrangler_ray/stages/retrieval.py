@@ -478,13 +478,15 @@ def tfidf_topk(ds_docs, k: int = 3, col: str = "text",
     keyword-extraction primitive.
 
     Plan: one explode pass feeds BOTH the per-(doc, term) tf counts
-    (in-block, no exchange — a doc's tokens live in one row) and the
-    distinct-doc df counts (two-phase). The (term, df) table broadcasts
-    once via ray.put (bounded by the distinct vocabulary; trim upstream
-    for open-web scale), scoring is one vectorized pass, and the
-    per-doc head needs no exchange either — a doc's candidate rows are
-    already block-local. Scores are fixed-point int64 nano-units
-    (floor(tf·idf·1e9 + 0.5), libm log) for bit-exact SQL parity."""
+    (in-block — a doc's tokens live in one row) and the distinct-doc
+    df counts (two-phase). The (term, df) table broadcasts once via
+    ray.put (bounded by the distinct vocabulary; trim upstream for
+    open-web scale), scoring is one vectorized pass, and the per-doc
+    head runs under a doc-hash bucket groupby — Ray's dynamic block
+    splitting may split one map_batches output across blocks, so a
+    block-local head is NOT split-safe; the bucket co-location is.
+    Scores are fixed-point int64 nano-units (floor(tf·idf·1e9 + 0.5),
+    libm log) for bit-exact SQL parity."""
     import ray
 
     from .shuffle import grouped_count
@@ -511,8 +513,7 @@ def tfidf_topk(ds_docs, k: int = 3, col: str = "text",
                     dfc["df"].to_numpy().astype(np.int64)[order]))
     _cache: dict = {}
 
-    def score_head(b: pa.Table) -> pa.Table:
-        import pandas as pd
+    def score(b: pa.Table) -> pa.Table:
         m = _cache.get("v")
         if m is None:
             m = _cache["v"] = ray.get(vref)
@@ -524,11 +525,24 @@ def tfidf_topk(ds_docs, k: int = 3, col: str = "text",
         idf = _libm_log((np.float64(n_docs) / df_.astype(np.float64)))
         score = np.floor(tf.astype(np.float64) * idf * 1e9
                          + 0.5).astype(np.int64)
-        d = pd.DataFrame({"doc_id": ids, "tok": tok,
-                          "tfidf_nano": score})
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "tok": pa.array(tok.astype(object), pa.string()),
+                         "tfidf_nano": pa.array(score, pa.int64())})
+
+    from .shuffle import add_bucket_column
+
+    scored = dtc.map_batches(score, batch_format="pyarrow")
+    bucketed = scored.map_batches(
+        lambda b: add_bucket_column(b, ["doc_id"], num_buckets),
+        batch_format="pyarrow")
+
+    def head(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        d = g.select(["doc_id", "tok", "tfidf_nano"]).to_pandas()
         d = d.sort_values(["doc_id", "tfidf_nano", "tok"],
                           ascending=[True, False, True], kind="stable")
         d = d.groupby("doc_id", sort=False).head(k)
         return pa.Table.from_pandas(d, preserve_index=False)
 
-    return dtc.map_batches(score_head, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(head,
+                                                 batch_format="pyarrow")

@@ -244,6 +244,10 @@ def within_distance_pairs(ds, id_col: str = "doc_id", lon_col: str = "lon",
         starts = np.concatenate([[0], cuts])
         ends = np.concatenate([cuts, [n]])
         out_a, out_b = [], []
+        # anchor-chunked pair generation: peak allocation is bounded by
+        # CHUNK_PAIRS candidate rows regardless of cell population, so a
+        # dense cell costs time (the cell_cap guard), never worker OOM
+        CHUNK_PAIRS = 4_000_000
         for s, e in zip(starts, ends):
             m = e - s
             if m < 2:
@@ -253,15 +257,21 @@ def within_distance_pairs(ds, id_col: str = "doc_id", lon_col: str = "lon",
                     f"within_distance_pairs: cell with {m} points exceeds "
                     f"cell_cap={cell_cap}; use a finer grid (smaller "
                     f"radius) or raise cell_cap")
-            ia, ib = np.triu_indices(m, k=1)
-            dlon = plon[s + ia] - plon[s + ib]
-            dlat = plat[s + ia] - plat[s + ib]
-            # strict < drops degenerate self-pairs if the input violates
-            # the documented unique-id contract
-            keep = (home[s + ia] & (pid[s + ia] < pid[s + ib])
-                    & (dlon * dlon + dlat * dlat <= r2))
-            out_a.append(pid[s + ia[keep]])
-            out_b.append(pid[s + ib[keep]])
+            step = max(1, CHUNK_PAIRS // m)
+            for a0 in range(0, m - 1, step):
+                a1 = min(a0 + step, m - 1)
+                # pairs (i, j) with a0 <= i < a1, i < j < m
+                ia, ib = np.triu_indices(a1 - a0, k=1, m=m - a0)
+                ia = ia + a0
+                ib = ib + a0
+                dlon = plon[s + ia] - plon[s + ib]
+                dlat = plat[s + ia] - plat[s + ib]
+                # strict < drops degenerate self-pairs if the input
+                # violates the documented unique-id contract
+                keep = (home[s + ia] & (pid[s + ia] < pid[s + ib])
+                        & (dlon * dlon + dlat * dlat <= r2))
+                out_a.append(pid[s + ia[keep]])
+                out_b.append(pid[s + ib[keep]])
         if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})

@@ -173,16 +173,59 @@ def pagerank(edges, iterations: int = 5, damping_num: int = 85,
     return ranks.map_batches(finalize, batch_format="pyarrow")
 
 
+def _strict_segment_pairs(g, group_col: str, item_col: str,
+                          group_cap: int) -> pa.Table:
+    """All within-group item pairs of one co-located hash bucket, with
+    in-segment item dedup and a RAISING group_cap: the graph operators
+    are exact (the LSH family's silent bucket skip would understate
+    counts/edges) — a degenerate giant group must fail loudly so the
+    caller raises the cap deliberately."""
+    df = g.select([group_col, item_col]).to_pandas()
+    df = df.sort_values([group_col, item_col], kind="stable")
+    gv = df[group_col].to_numpy()
+    iv = df[item_col].to_numpy().astype(np.int64)
+    n = len(gv)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    if n == 0:
+        return empty
+    keep = np.ones(n, dtype=bool)
+    keep[1:] = (gv[1:] != gv[:-1]) | (iv[1:] != iv[:-1])
+    gv, iv = gv[keep], iv[keep]
+    n = len(gv)
+    boundary = np.zeros(n, dtype=bool)
+    boundary[1:] = gv[1:] != gv[:-1]
+    cuts = np.nonzero(boundary)[0]
+    starts = np.concatenate([[0], cuts])
+    ends = np.concatenate([cuts, [n]])
+    oa, ob = [], []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        if m > group_cap:
+            raise ValueError(
+                f"co-occurrence group with {m} distinct items exceeds "
+                f"group_cap={group_cap} (quadratic pair volume); raise "
+                "group_cap deliberately or pre-filter degenerate groups")
+        ia, ib = np.triu_indices(m, k=1)
+        oa.append(iv[s + ia])
+        ob.append(iv[s + ib])
+    if not oa:
+        return empty
+    return pa.table({"id_a": pa.array(np.concatenate(oa), pa.int64()),
+                     "id_b": pa.array(np.concatenate(ob), pa.int64())})
+
+
 def cooccurrence_edges(ds, group_col: str, item_col: str,
                        num_buckets: int = 64, group_cap: int = 10_000):
     """DISTINCT undirected co-occurrence edges (id_a < id_b): items that
     share a group (parts in an order, tokens in a doc, …). Groups
-    co-locate via the bucketed exchange; per-segment pairing reuses the
-    segment-pair machinery (ids sorted, so pairs come out a ≤ b;
-    duplicate items in a group yield a == b rows which are filtered).
-    group_cap guards a degenerate giant group (quadratic pair volume) —
-    domain groups (lineitems per order) are tiny."""
-    from .dedup import _distinct_pairs, _segment_pairs_table
+    co-locate via the bucketed exchange; in-segment dedup + triu pair
+    expansion per group. group_cap guards a degenerate giant group
+    (quadratic pair volume) by RAISING — this is an exact operator, a
+    silent skip would understate the edge set."""
+    from .dedup import _distinct_pairs
     from .shuffle import add_bucket_column
 
     rows = ds.map_batches(
@@ -191,10 +234,7 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
         lambda b: add_bucket_column(b, [group_col], num_buckets),
         batch_format="pyarrow")
     cand = bucketed.groupby("bucket").map_groups(
-        lambda g: _segment_pairs_table(g, [group_col], item_col, group_cap),
-        batch_format="pyarrow")
-    cand = cand.map_batches(
-        lambda b: b.filter(pc.less(b["id_a"], b["id_b"])),
+        lambda g: _strict_segment_pairs(g, group_col, item_col, group_cap),
         batch_format="pyarrow")
     return _distinct_pairs(cand, num_buckets)
 
@@ -407,8 +447,9 @@ def cooccurrence_pair_counts(ds, group_col: str, item_col: str,
     co-purchase / co-view statistic behind item-item recommenders).
     Groups co-locate via the bucketed exchange; each group's items are
     deduped in-segment before the triu pair expansion, so a repeated
-    item in one group counts that group once. Returns a Dataset
-    (id_a, id_b, n_co)."""
+    item in one group counts that group once. group_cap RAISES on a
+    degenerate giant group (exact operator — a silent skip would
+    understate counts). Returns a Dataset (id_a, id_b, n_co)."""
     from .shuffle import add_bucket_column, grouped_count
 
     rows = ds.map_batches(
@@ -416,42 +457,8 @@ def cooccurrence_pair_counts(ds, group_col: str, item_col: str,
     bucketed = rows.map_batches(
         lambda b: add_bucket_column(b, [group_col], num_buckets),
         batch_format="pyarrow")
-
-    def seg_pairs(g: pa.Table) -> pa.Table:
-        import pandas as pd  # noqa: F401
-        df = g.select([group_col, item_col]).to_pandas()
-        df = df.sort_values([group_col, item_col], kind="stable")
-        gv = df[group_col].to_numpy()
-        iv = df[item_col].to_numpy().astype(np.int64)
-        n = len(gv)
-        if n == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        # drop consecutive duplicates (same group, same item)
-        keep = np.ones(n, dtype=bool)
-        keep[1:] = (gv[1:] != gv[:-1]) | (iv[1:] != iv[:-1])
-        gv, iv = gv[keep], iv[keep]
-        n = len(gv)
-        boundary = np.zeros(n, dtype=bool)
-        boundary[1:] = gv[1:] != gv[:-1]
-        cuts = np.nonzero(boundary)[0]
-        starts = np.concatenate([[0], cuts])
-        ends = np.concatenate([cuts, [n]])
-        oa, ob = [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2 or m > group_cap:
-                continue
-            ia, ib = np.triu_indices(m, k=1)
-            oa.append(iv[s + ia])
-            ob.append(iv[s + ib])
-        if not oa:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        return pa.table({"id_a": pa.array(np.concatenate(oa), pa.int64()),
-                         "id_b": pa.array(np.concatenate(ob), pa.int64())})
-
     pairs = bucketed.groupby("bucket").map_groups(
-        seg_pairs, batch_format="pyarrow")
+        lambda g: _strict_segment_pairs(g, group_col, item_col, group_cap),
+        batch_format="pyarrow")
     return grouped_count(pairs, ["id_a", "id_b"], "n_co",
                          num_buckets=num_buckets)

@@ -247,7 +247,12 @@ def knn_self_join(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                   broadcast_limit: int = 500_000):
     """All-pairs nearest-neighbor self-join: each row's closest OTHER
     row by cosine (ties by lowest id) — the primitive under SemDeDup /
-    duplicate-mining pipelines. The (id, vector) matrix broadcasts once
+    duplicate-mining pipelines. Neighbor ORDER is compared against a
+    float oracle, which assumes similarity margins exceed the float32
+    (storage) vs float64 (compute) discrepancy — true for real-valued
+    embeddings, same assumption as the knn/knn_ivf queries; quantize
+    before comparing if your vectors produce exact cosine ties. The
+    (id, vector) matrix broadcasts once
     via ray.put (normalized float64, near-zero-copy via _as_matrix) and
     every block computes one matmul + masked argmax against it — the
     vectors never cross a shuffle. Above ``broadcast_limit`` rows this
@@ -288,7 +293,11 @@ def knn_self_join(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         selfmask = all_ids[pos_c] == qids
         sims[np.arange(len(qids))[selfmask], pos_c[selfmask]] = -np.inf
         best = np.argmax(sims, axis=1)  # first max → lowest id (sorted)
-        return pa.table({id_col: pa.array(qids, pa.int64()),
-                         "nn_id": pa.array(all_ids[best], pa.int64())})
+        # a 1-row corpus leaves every candidate masked: no OTHER row
+        # exists, so emit nothing (matching the <> self-join oracle)
+        valid = sims[np.arange(len(qids)), best] > -np.inf
+        return pa.table({id_col: pa.array(qids[valid], pa.int64()),
+                         "nn_id": pa.array(all_ids[best[valid]],
+                                           pa.int64())})
 
     return full.map_batches(nn, batch_format="pyarrow")

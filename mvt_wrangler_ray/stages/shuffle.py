@@ -309,7 +309,9 @@ def group_zscore(ds, keys: "Sequence[str]", value_col: str,
                  id_cols: "Sequence[str]" = (), out_col: str = "z",
                  num_buckets: int = 64):
     """Per-group z-score feature normalization with EXACT integer
-    moments: ``value_col`` must be integral-valued (asserted per batch);
+    moments: ``value_col`` must be integral-valued with |v| < 2^31
+    (asserted per batch — v*v must not wrap int64; exactness further
+    requires group_rows · max(v)² < 2^63, e.g. 9.2e6 rows at |v|=1e6);
     n / Σx / Σx² accumulate as int64, so the group statistics are
     summation-order independent and the final floats (one division, one
     sqrt, one subtract-divide per row — each correctly rounded) are
@@ -330,6 +332,11 @@ def group_zscore(ds, keys: "Sequence[str]", value_col: str,
         assert np.array_equal(vi.astype(np.float64),
                               v.astype(np.float64)), \
             f"group_zscore requires integral {value_col}"
+        # v*v must not wrap int64, and the documented exactness bound is
+        # group_rows * max(v)^2 < 2^63 — with |v| <= 2^31 that allows
+        # >= 2 rows always and e.g. 9.2e6 rows at |v| = 1e6
+        assert len(vi) == 0 or np.abs(vi).max() < (1 << 31), \
+            f"group_zscore: |{value_col}| must be < 2^31 (v*v overflow)"
         t = b.select(keys).append_column(
             "one", pa.array(np.ones(len(b), np.int64), pa.int64())
         ).append_column(
@@ -398,6 +405,8 @@ def weighted_sample_topk(ds, id_col: str, weight_col: str, k: int,
     def heads(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        assert len(w) == 0 or (w > 0.0).all(), \
+            "weighted_sample_topk: weights must be strictly positive"
         h = ((ids.astype(np.uint64) * np.uint64(2654435761))
              & np.uint64(0xFFFFFFFF))
         u = (h.astype(np.float64) + 1.0) / 4294967296.0

@@ -690,10 +690,12 @@ def _q_image_near_dup(sf_dir: str):
     documents-derived images with PLANTED retouched copies (doc_id%5==4
     re-uses doc_id-1's payload with one body byte flipped), decoded by
     the DecodeImageStage actor pool, recomputed phash banded 8×8 bits
-    (pigeonhole: pairs within Hamming < 8 share a band), bucketed
-    candidates, popcount verify ≤ 8. Pixels never cross the shuffle —
-    only (doc_id, phash) does. Oracle re-derives decode → phash →
-    banding → verify in closed form."""
+    (pigeonhole: pairs within Hamming ≤ 7 are GUARANTEED to share a
+    band — 8 differing bits could land one per band and share none, so
+    the verify threshold is bands - 1 = 7 for complete recall),
+    bucketed candidates, popcount verify ≤ 7. Pixels never cross the
+    shuffle — only (doc_id, phash) does. Oracle re-derives decode →
+    phash → banding → verify in closed form."""
     from mvt_wrangler_ray.sources.images import images_from_documents_retouched
     from mvt_wrangler_ray.stages.dedup import hamming_near_dups
     from mvt_wrangler_ray.stages.image import DecodeImageStage
@@ -708,7 +710,7 @@ def _q_image_near_dup(sf_dir: str):
         return st(b).select(["doc_id", "phash_recomputed"])
 
     sig = ds.map_batches(decode, batch_format="pyarrow", batch_size=1024)
-    return hamming_near_dups(sig, "phash_recomputed", max_hamming=8,
+    return hamming_near_dups(sig, "phash_recomputed", max_hamming=7,
                              bands=8)
 
 
@@ -2929,13 +2931,15 @@ FROM documents d JOIN bits ON d.doc_id = bits.doc_id
 """
 
 
-def _sql_image_near_dup_ctes(max_hamming: int = 8) -> str:
+def _sql_image_near_dup_ctes(max_hamming: int = 7) -> str:
     """CTE chain (no leading WITH) ending in ``img_pairs`` (id_a, id_b,
     hamming): sources/images.images_from_documents_retouched +
     DecodeImageStage + dedup.hamming_near_dups(bands=8) in closed form:
     copies (doc_id%5 == 4) decode doc_id-1's payload with body byte
     j = h%64 XOR 0x80, phash = 8×8 block means vs median, 8×8-bit
-    bands, per-(band,value) cap 1000, popcount verify ≤ max_hamming."""
+    bands, per-(band,value) cap 1000, popcount verify ≤ max_hamming
+    (default 7 = bands - 1, the largest distance with complete
+    pigeonhole recall)."""
     fnv = _sql_fnv64("printf('img%08d', bid)", 11)
     med = "(ml[32] + ml[33]) / 2.0"
     ham = "bit_count(xor(sa.ph, sb.ph))"
@@ -2991,12 +2995,12 @@ WHERE {ham} <= {max_hamming})
 """
 
 
-def _sql_image_near_dup(max_hamming: int = 8) -> str:
+def _sql_image_near_dup(max_hamming: int = 7) -> str:
     return ("WITH " + _sql_image_near_dup_ctes(max_hamming)
             + " SELECT id_a, id_b, hamming FROM img_pairs")
 
 
-def _sql_image_dup_clusters(max_hamming: int = 8) -> str:
+def _sql_image_dup_clusters(max_hamming: int = 7) -> str:
     """image near-dup pairs → connected-component cluster ids (same
     composition as _sql_dedup_clusters, over the phash pair graph)."""
     return ("WITH RECURSIVE " + _sql_image_near_dup_ctes(max_hamming)
@@ -3984,8 +3988,8 @@ def oracle_sql() -> dict[str, str]:
         "features_transform": _sql_features_transform(2000),
         "raster_vector": _sql_raster_vector(5, 32),
         "simhash_near_dup": _sql_simhash_near_dup(3),
-        "image_near_dup": _sql_image_near_dup(8),
-        "image_dup_clusters": _sql_image_dup_clusters(8),
+        "image_near_dup": _sql_image_near_dup(7),
+        "image_dup_clusters": _sql_image_dup_clusters(7),
         "image_stats": _sql_image_stats(),
         "span_dedup": _sql_span_dedup(8),
         "quantile_sketch": _sql_quantile_sketch(),

@@ -157,11 +157,116 @@ def _kmeans_centroids(ds_emb, k, iterations, vec_col, id_col, scale_bits):
     return ds_emb, cids, cents
 
 
+def _exact_cosine_survivors(ids: np.ndarray, q: np.ndarray, t2: float,
+                            pair_chunk_entries: int) -> np.ndarray:
+    """The exact in-cluster SemDeDup drop rule over (sorted-id, quantized
+    vector) arrays: row b is dropped iff ANY smaller-id row a has
+    cos(a, b) ≥ threshold. Row-chunked so the m×m pair matrix never
+    materializes; all dots/norms are exact int64 (< 2^53). Returns the
+    boolean KEEP mask aligned with ids."""
+    m = len(ids)
+    if m <= 1:
+        return np.ones(m, dtype=bool)
+    na = np.einsum("ij,ij->i", q, q).astype(np.float64)
+    rows = max(1, pair_chunk_entries // max(m, 1))
+    dropped = np.zeros(m, dtype=bool)
+    col_idx = np.arange(m)
+    for s0 in range(0, m, rows):
+        s1 = min(s0 + rows, m)
+        dot = q[s0:s1] @ q.T            # exact int64 (< 2^53)
+        dotf = dot.astype(np.float64)
+        cond = (dot > 0) & (dotf * dotf
+                            >= t2 * (na[s0:s1, None] * na[None, :]))
+        # row b (global s0+i) is dropped if any column a < b matches
+        mask = col_idx[None, :] < (s0 + np.arange(s1 - s0))[:, None]
+        dropped[s0:s1] = (cond & mask).any(axis=1)
+    return ~dropped
+
+
+def _split_two_means(ids: np.ndarray, q: np.ndarray,
+                     iters: int = 3) -> np.ndarray:
+    """Deterministic local 2-means split (squared-L2 over the quantized
+    int64 vectors, same metric as the global k-means): c0 seeds from the
+    min-id row, c1 from the row farthest from c0 (first max → smallest
+    id). Returns a boolean mask (True = side of c0). Falls back to an
+    id-median split when the geometric split makes no progress (all
+    points coincident — their near-dups were already removed by the
+    caller's representative pre-pass, so the id split loses nothing)."""
+    c0 = q[0].astype(np.int64)
+    d0 = np.einsum("ij,ij->i", q - c0, q - c0)
+    c1 = q[int(np.argmax(d0))].astype(np.int64)
+    side0 = None
+    for _ in range(iters):
+        e0 = np.einsum("ij,ij->i", q - c0, q - c0)
+        e1 = np.einsum("ij,ij->i", q - c1, q - c1)
+        side0 = e0 <= e1                 # ties → c0 (deterministic)
+        n0, n1 = int(side0.sum()), int((~side0).sum())
+        if n0 == 0 or n1 == 0:
+            break
+        s0v = q[side0].sum(axis=0)
+        s1v = q[~side0].sum(axis=0)
+        # TRUNCATING division, matching the global k-means convention
+        c0 = np.sign(s0v) * (np.abs(s0v) // n0)
+        c1 = np.sign(s1v) * (np.abs(s1v) // n1)
+    if side0 is None or not side0.any() or side0.all():
+        half = len(ids) // 2
+        side0 = np.arange(len(ids)) < half
+    return side0
+
+
+def _dedup_over_cap(ids: np.ndarray, q: np.ndarray, t2: float, cap: int,
+                    depth: int, pair_chunk_entries: int) -> np.ndarray:
+    """Drop-safe over-cap policy (round-3 verdict item 1): instead of
+    passing a mega-cluster through undeduped, (1) run a representative
+    pre-pass — every row whose cosine with the cluster's MIN-ID row
+    meets the threshold drops immediately (the common crawl-skew case:
+    one huge blob of near-identical vectors collapses to one row in
+    O(m·dim)) — then (2) recursively 2-means-split the survivors and
+    dedup each side (bounded depth). Approximate above the cap: pairs
+    falling in different sub-clusters (beyond the representative) are
+    not compared — the documented SemDeDup-style trade; the SQL oracle
+    certifies the exact cap=None mode. At depth 0 the exact chunked
+    pair loop runs regardless (drop-safety beats the quadratic cost of
+    a pathological split failure). ids must be sorted ascending.
+    Returns surviving ids (sorted)."""
+    import warnings
+
+    m = len(ids)
+    if m <= 1:
+        return ids
+    if m <= cap:
+        return ids[_exact_cosine_survivors(ids, q, t2, pair_chunk_entries)]
+    if depth <= 0:
+        warnings.warn(
+            f"semantic_dedup: split depth exhausted at {m} rows > "
+            f"cluster_cap={cap}; running the exact chunked pair loop "
+            "(quadratic time, bounded memory) to stay drop-safe")
+        return ids[_exact_cosine_survivors(ids, q, t2, pair_chunk_entries)]
+    # (1) representative pre-pass vs the min-id row
+    na = np.einsum("ij,ij->i", q, q).astype(np.float64)
+    dot = q @ q[0]
+    dotf = dot.astype(np.float64)
+    drop = (dot > 0) & (dotf * dotf >= t2 * (na[0] * na))
+    drop[0] = False
+    keep = ~drop
+    ids, q = ids[keep], q[keep]
+    if len(ids) <= cap:
+        return ids[_exact_cosine_survivors(ids, q, t2, pair_chunk_entries)]
+    # (2) deterministic 2-means split, recurse both sides
+    side0 = _split_two_means(ids, q)
+    left = _dedup_over_cap(ids[side0], q[side0], t2, cap, depth - 1,
+                           pair_chunk_entries)
+    right = _dedup_over_cap(ids[~side0], q[~side0], t2, cap, depth - 1,
+                            pair_chunk_entries)
+    return np.sort(np.concatenate([left, right]))
+
+
 def semantic_dedup(ds_emb, k: int = 8, iterations: int = 3,
                    threshold: float = 0.99, vec_col: str = "embedding",
                    id_col: str = "vec_id", scale_bits: int = 20,
                    cluster_cap: Optional[int] = 100_000,
-                   pair_chunk_entries: int = 1 << 22):
+                   pair_chunk_entries: int = 1 << 22,
+                   split_depth: int = 32):
     """SemDeDup (Abbas et al. 2023, public literature): k-means the
     embeddings, then inside each cluster drop every vector whose cosine
     similarity with a SMALLER-id cluster-mate meets ``threshold``.
@@ -181,12 +286,14 @@ def semantic_dedup(ds_emb, k: int = 8, iterations: int = 3,
     float32 vectors — half the bytes of the int64 quantized form, which
     is recomputed deterministically inside the group body); the
     in-cluster pair test is the quadratic step — ``cluster_cap`` is the
-    explicit skew guard (clusters larger than the cap are passed
-    through UNDEDUPED with a warning; pick k so n/k stays well under
-    it, or pass None for the exact keep-every-cluster mode the SQL
-    oracle certifies)."""
-    import warnings
-
+    explicit skew guard. Clusters larger than the cap are DEDUPED
+    drop-safely via _dedup_over_cap: a min-id representative pre-pass
+    (collapses the crawl-skew mega-blob in O(m·dim)) followed by
+    recursive deterministic 2-means splitting (depth ≤ ``split_depth``),
+    exact pair loop inside each under-cap leaf. Over-cap results are
+    approximate (cross-sub-cluster pairs beyond the representative are
+    not compared); pass cluster_cap=None for the exact keep-every-
+    cluster mode the SQL oracle certifies."""
     import ray
 
     ds_emb, cids, cents = _kmeans_centroids(
@@ -210,32 +317,16 @@ def semantic_dedup(ds_emb, k: int = 8, iterations: int = 3,
     labeled = ds_emb.map_batches(label_q, batch_format="pyarrow")
 
     def dedup_cluster(g: pa.Table) -> pa.Table:
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        if cluster_cap is not None and len(g) > cluster_cap:
-            warnings.warn(
-                f"semantic_dedup: cluster of {len(g)} rows exceeds "
-                f"cluster_cap={cluster_cap}; passed through undeduped")
-            return pa.table({id_col: pa.array(np.sort(ids), pa.int64())})
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids)
         ids = ids[order]
         q = quantize_matrix(g, vec_col, scale_bits)[order]
-        m = len(ids)
-        na = np.einsum("ij,ij->i", q, q).astype(np.float64)
-        # row-chunked pair test: never materialize the m×m matrix —
-        # each chunk is (rows × m) with rows sized to pair_chunk_entries
-        rows = max(1, pair_chunk_entries // max(m, 1))
-        dropped = np.zeros(m, dtype=bool)
-        col_idx = np.arange(m)
-        for s0 in range(0, m, rows):
-            s1 = min(s0 + rows, m)
-            dot = q[s0:s1] @ q.T            # exact int64 (< 2^53)
-            dotf = dot.astype(np.float64)
-            cond = (dot > 0) & (dotf * dotf
-                                >= t2 * (na[s0:s1, None] * na[None, :]))
-            # row b (global s0+i) is dropped if any column a < b matches
-            mask = col_idx[None, :] < (s0 + np.arange(s1 - s0))[:, None]
-            dropped[s0:s1] = (cond & mask).any(axis=1)
-        return pa.table({id_col: pa.array(ids[~dropped], pa.int64())})
+        if cluster_cap is not None and len(ids) > cluster_cap:
+            out = _dedup_over_cap(ids, q, t2, cluster_cap, split_depth,
+                                  pair_chunk_entries)
+            return pa.table({id_col: pa.array(out, pa.int64())})
+        keep = _exact_cosine_survivors(ids, q, t2, pair_chunk_entries)
+        return pa.table({id_col: pa.array(ids[keep], pa.int64())})
 
     return labeled.groupby("cluster").map_groups(
         dedup_cluster, batch_format="pyarrow")

@@ -1083,10 +1083,25 @@ def hamming_near_dups(sig_ds, sig_col: str, max_hamming: int = 3,
     (bounded Python group count, per-(band,value) cap against degenerate
     bands) → popcount verify against a broadcast signature lookup of
     candidate ids only. ``sig_ds`` is a Dataset carrying (id_col,
-    sig_col). Returns (id_a, id_b, hamming) sorted."""
+    sig_col). Returns (id_a, id_b, hamming) sorted.
+
+    Recall is COMPLETE only for max_hamming ≤ bands - 1: a pair at
+    distance ≥ bands can place one differing bit in every band and
+    share no band (it is never generated as a candidate). Passing
+    max_hamming ≥ bands warns and returns approximate (banding-limited)
+    recall."""
+    import warnings
+
     import ray
 
     from .shuffle import add_bucket_column
+
+    if max_hamming >= bands:
+        warnings.warn(
+            f"hamming_near_dups: max_hamming={max_hamming} >= bands={bands} "
+            "— band blocking only guarantees candidate recall for distance "
+            f"<= {bands - 1}; pairs at distance in [{bands}, {max_hamming}] "
+            "may be missed (approximate recall)")
 
     empty = _empty_pairs("hamming", np.int64)
     sh = sig_ds.materialize()

@@ -328,7 +328,7 @@ def pmi_top_pairs(ds_docs, k: int = 20, min_df: int = 5, min_pair: int = 3,
     Returns a Dataset (tok_a, tok_b, n_pair, pmi_nano)."""
     import ray
 
-    from .dedup import _segment_pairs_table
+    from .graph import _strict_segment_pairs
     from .shuffle import add_bucket_column, grouped_count
 
     docs = ds_docs.materialize()
@@ -385,8 +385,13 @@ def pmi_top_pairs(ds_docs, k: int = 20, min_df: int = 5, min_pair: int = 3,
     bucketed = dtv.map_batches(
         lambda b: add_bucket_column(b, ["doc_id"], num_buckets),
         batch_format="pyarrow")
+    # RAISING cap (graph._strict_segment_pairs), not the LSH family's
+    # silent skip: the PMI statistic is exact and the SQL oracle has no
+    # cap, so a doc with > group_cap distinct in-vocab tokens must fail
+    # loudly (raise group_cap or min_df deliberately) rather than
+    # silently understate pair counts and diverge from the oracle.
     pairs = bucketed.groupby("bucket").map_groups(
-        lambda g: _segment_pairs_table(g, ["doc_id"], "tid", group_cap),
+        lambda g: _strict_segment_pairs(g, "doc_id", "tid", group_cap),
         batch_format="pyarrow")
     counts = grouped_count(pairs, ["id_a", "id_b"], "n_pair",
                            num_buckets=num_buckets)

@@ -308,9 +308,21 @@ def histogram_quantiles(ds, col: str, lo: float, hi: float,
     partials = ds.map_batches(part, batch_format="pyarrow")
     totals = two_phase_aggregate(
         partials, ["bin"], [("pc", "sum")], ["pp"], [("pp", "sum")], ["n"])
-    hist = totals.to_pandas().sort_values("bin").reset_index(drop=True)
-    cum = hist["n"].cumsum().to_numpy()
-    total = int(hist["n"].sum())
+    hist = totals.to_pandas()
+    # empty/all-NaN input: the aggregate comes back column-less, and
+    # there is no rank to walk — return an empty frame with the result
+    # schema instead of KeyError/IndexError-ing below
+    if len(hist) == 0 or "bin" not in hist.columns:
+        total = 0
+    else:
+        hist = hist.sort_values("bin").reset_index(drop=True)
+        cum = hist["n"].cumsum().to_numpy()
+        total = int(hist["n"].sum())
+    if total == 0:
+        return pd.DataFrame({"q": pd.Series([], dtype=np.float64),
+                             "target_rank": pd.Series([], dtype=np.int64),
+                             "bin": pd.Series([], dtype=np.int64),
+                             "est": pd.Series([], dtype=np.float64)})
     rows = []
     for q in qs:
         target = int(np.ceil(q * total))

@@ -206,9 +206,11 @@ class TestSemanticDedup:
         assert len(got) == 80
         assert set(got["cluster"]).issubset(set(ids.tolist()))
 
-    def test_cluster_cap_passthrough_warns(self, ray_session):
-        import warnings
-
+    def test_cluster_cap_overcap_identical_collapse(self, ray_session):
+        # the crawl-skew worst case: one mega-cluster of IDENTICAL
+        # vectors over the cap. The old policy passed it through
+        # undeduped; the drop-safe policy's representative pre-pass
+        # must collapse it to the single min-id row.
         import pandas as pd
         import ray.data
 
@@ -219,6 +221,58 @@ class TestSemanticDedup:
             {"vec_id": ids, "embedding": list(vecs)}))
         out = semantic_dedup(ds, k=1, iterations=1, threshold=0.5,
                              cluster_cap=10).to_pandas()
-        # identical vectors, but the 30-row cluster exceeds the cap:
-        # passed through undeduped
-        assert len(out) == 30
+        assert sorted(out["vec_id"]) == [0]
+
+    def test_cluster_cap_overcap_planted_megacluster(self, ray_session):
+        # forced over-cap with REAL near-dups: 60 random base vectors,
+        # each with 4 planted near-copies (300 rows, k=1 → one cluster
+        # of 300 > cap=40). Exact dedup keeps one row per blob; the
+        # recursive-split lane must still drop (almost) all of the 240
+        # planted copies instead of passing 300 rows through.
+        import pandas as pd
+        import ray.data
+
+        from mvt_wrangler_ray.stages.cluster import semantic_dedup
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(60, 8)).astype(np.float32)
+        blobs = [base + rng.normal(0, 1e-4, base.shape).astype(np.float32)
+                 for _ in range(5)]
+        vecs = np.concatenate(blobs).astype(np.float32)
+        ids = np.arange(300, dtype=np.int64)
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"vec_id": ids, "embedding": list(vecs)})).repartition(4)
+        got = sorted(semantic_dedup(ds, k=1, iterations=1, threshold=0.99,
+                                    cluster_cap=40).to_pandas()["vec_id"])
+        want = self._brute(vecs, ids, k=1, iters=1, t=0.99)
+        # drop-safety: the planted dups actually drop (exact keeps ~60;
+        # allow slack for blobs straddling a split boundary) and nothing
+        # the exact rule keeps is lost spuriously in the identical-
+        # vector sense (survivors are a superset of nothing — just
+        # bounded)
+        assert len(got) <= len(want) + 15
+        assert len(got) < 120          # undeduped pass-through was 300
+        assert got[0] == 0             # the global min id always survives
+
+    def test_cluster_cap_depth_zero_equals_exact(self, ray_session):
+        # split_depth=0 forces the over-cap path straight to the exact
+        # chunked pair loop — bit-identical to the cap=None result
+        import pandas as pd
+        import ray.data
+
+        from mvt_wrangler_ray.stages.cluster import semantic_dedup
+        rng = np.random.default_rng(12)
+        vecs = rng.normal(size=(120, 5)).astype(np.float32)
+        vecs[60:] = vecs[:60] * 1.0001
+        ids = np.arange(120, dtype=np.int64)
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"vec_id": ids, "embedding": list(vecs)}))
+        # (the depth-exhausted warning fires inside the map_groups
+        # worker, so it is not observable via pytest.warns here)
+        capped = sorted(
+            semantic_dedup(ds, k=1, iterations=1, threshold=0.999,
+                           cluster_cap=10, split_depth=0)
+            .to_pandas()["vec_id"])
+        exact = sorted(semantic_dedup(ds, k=1, iterations=1,
+                                      threshold=0.999, cluster_cap=None)
+                       .to_pandas()["vec_id"])
+        assert capped == exact

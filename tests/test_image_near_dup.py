@@ -71,13 +71,14 @@ def test_hamming_bands_matches_simhash_bands():
 
 def test_planted_pairs_recovered(ray_session):
     """Every planted (base, copy) pair within Hamming ≤ 7 MUST appear
-    (pigeonhole over 8 bands); every reported pair must verify ≤ 8."""
+    (pigeonhole over 8 bands guarantees recall only up to bands-1 = 7);
+    every reported pair must verify ≤ 7."""
     ds = images_from_documents_retouched(SF)
     st = DecodeImageStage()
     sig_ds = ds.map_batches(
         lambda b: st(b).select(["doc_id", "phash_recomputed"]),
         batch_format="pyarrow")
-    pairs = hamming_near_dups(sig_ds, "phash_recomputed", max_hamming=8,
+    pairs = hamming_near_dups(sig_ds, "phash_recomputed", max_hamming=7,
                               bands=8)
     got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
 
@@ -92,13 +93,21 @@ def test_planted_pairs_recovered(ray_session):
         d = int(hamming64(np.array([sig_of[i]]), np.array([sig_of[i - 1]]))[0])
         if d <= 7:
             assert (int(i - 1), int(i)) in got, f"missed planted pair {i-1},{i} d={d}"
-    # soundness: reported hamming values are true distances ≤ 8
-    for (a, b), d in zip(got, pairs["hamming"]):
-        pass
+    # soundness: reported hamming values are true distances ≤ 7
     ham = pairs["hamming"].to_numpy()
-    assert (ham <= 8).all()
+    assert (ham <= 7).all()
     aa = pairs["id_a"].to_numpy().astype(np.int64)
     bb = pairs["id_b"].to_numpy().astype(np.int64)
     sa = np.array([sig_of[int(x)] for x in aa])
     sb = np.array([sig_of[int(x)] for x in bb])
     assert (hamming64(sa, sb) == ham).all()
+
+
+def test_hamming_threshold_above_bands_warns(ray_session):
+    """max_hamming >= bands has incomplete pigeonhole recall — the
+    stage must say so loudly instead of silently under-reporting."""
+    sig_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "sig": pa.array([0, 255], pa.int64())}))
+    with pytest.warns(UserWarning, match="max_hamming=8 >= bands=8"):
+        hamming_near_dups(sig_ds, "sig", max_hamming=8, bands=8)

@@ -350,6 +350,65 @@ def _q_image_tiles(sf_dir: str):
     return ds.map_batches(pyramid, batch_format="pyarrow")
 
 
+def _q_tile_px_mean(sf_dir: str):
+    """Image × tile composition (both graft axes in one query): decode
+    every document's image payload in an actor-shaped map_batches,
+    reduce to EXACT int64 pixel sums (s, npx) — pixels never leave the
+    stage — geotag by doc_id, assign the z8 tile, and two-phase-
+    aggregate per tile: n_images and px_mean = sum(s)/sum(npx). Both
+    sums are exact int64 (< 2^53), so the single trailing float
+    division is mirrored token-for-token by the closed-form oracle."""
+    from mvt_wrangler_ray.sources.images import images_from_documents
+    from mvt_wrangler_ray.stages.image import DecodeImageStage
+    from mvt_wrangler_ray.stages.shuffle import two_phase_aggregate
+
+    ds = images_from_documents(sf_dir)
+    _cache: dict = {}
+
+    def pxsums(b: pa.Table) -> pa.Table:
+        st = _cache.get("s")
+        if st is None:
+            st = _cache["s"] = DecodeImageStage(compute_phash=False)
+        payloads = b["bytes"].to_pylist()
+        ws = b["w"].to_numpy(zero_copy_only=False)
+        hs = b["h"].to_numpy(zero_copy_only=False)
+        n = len(payloads)
+        s = np.empty(n, np.int64)
+        npx = np.empty(n, np.int64)
+        for i in range(n):
+            px = st._decode(payloads[i], int(ws[i]),
+                            int(hs[i])).astype(np.int64)
+            s[i] = int(px.sum())
+            npx[i] = px.size
+        return pa.table({
+            "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+            "s": pa.array(s, pa.int64()),
+            "npx": pa.array(npx, pa.int64())})
+
+    feat = ds.map_batches(pxsums, batch_format="pyarrow", batch_size=1024)
+    tiled = (feat.map_batches(_geotag_docs, batch_format="pyarrow")
+             .map_batches(
+                 lambda b: _assign(b, DENSITY_ZOOM).select(
+                     ["s", "npx", "x", "y"]),
+                 batch_format="pyarrow"))
+    agg = two_phase_aggregate(
+        tiled, ["x", "y"],
+        [("s", "sum"), ("npx", "sum"), ("npx", "count")],
+        ["ps", "pn", "pc"],
+        [("ps", "sum"), ("pn", "sum"), ("pc", "sum")],
+        ["ts", "tn", "n_images"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tn = b["tn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "x": b["x"].cast(pa.int64()), "y": b["y"].cast(pa.int64()),
+            "n_images": b["n_images"].cast(pa.int64()),
+            "px_mean": pa.array(ts / tn, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 N_SITES = 64
 
 
@@ -1129,6 +1188,25 @@ def _q_knn_self(sf_dir: str):
     return knn_self_join(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"]))
+
+
+def _q_knn_self_ivf(sf_dir: str):
+    """knn_self_join's AUTOMATIC scale lane, forced (broadcast_limit=0,
+    r3 verdict item 2 — cutover instead of refusal): centroids trained
+    on a driver sample, corpus rows + nprobe-replicated probe rows
+    co-located per centroid via ONE hash exchange, chunked per-shard
+    matmul with self masked by id, tiny (id, nn_id, score) rows to a
+    per-id best merge. nprobe = ncentroids here, so the lane is EXACT
+    and certified against the same nearest-neighbor SQL oracle as
+    knn_self."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.knn import knn_self_join
+
+    return knn_self_join(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        broadcast_limit=0, ncentroids=8, nprobe=8)
 
 
 WEEK_US = 7 * 86_400_000_000
@@ -2430,7 +2508,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # → clean_corpus, hash_join → revenue_by_nation, thumbnails →
     # pixel_histogram). All 88 stay covered by test_oracle_parity at
     # sf0.001 and sf0.01.
+    # Round-4 window: the 2 never-certified round-4 queries register
+    # FIRST (knn_self_ivf — the forced IVF cutover lane; tile_px_mean —
+    # the image × tile composition), pushing minhash_near_dup and
+    # jaccard_near_dup (both hash-green in CORRECTNESS_r03) to the
+    # tail; their richer in-window relatives are clean_corpus (minhash
+    # near-dup inside) and the semantic/embedding/image near-dup
+    # family.
     return {
+        "knn_self_ivf": _q_knn_self_ivf,
+        "tile_px_mean": _q_tile_px_mean,
         "features_transform": _q_features_transform,
         "dedup_clusters": _q_dedup_clusters,
         "clean_corpus": _q_clean_corpus,
@@ -3420,6 +3507,51 @@ FROM wins JOIN cnt USING (whash) GROUP BY 1
 """
 
 
+_SQL_KNN_SELF = (
+    "WITH r AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, "
+    "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+    "list_cosine_similarity(a.embedding, b.embedding) DESC, "
+    "b.vec_id ASC) AS rn "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) "
+    "SELECT vec_id, nn_id FROM r WHERE rn = 1")
+
+
+def _sql_tile_px_mean() -> str:
+    """_q_tile_px_mean in closed form: the image_stats fake-decode pixel
+    field V(r,c) summed per doc (exact int64), joined to the geotag
+    lon/lat, z8 tile assignment, per-tile integer sums with ONE trailing
+    float division — identical IEEE expression to the engine's
+    finish()."""
+    from mvt_wrangler_ray.geo.geotag import SQL_LAT, SQL_LON
+
+    fnv = _sql_fnv64("printf('img%08d', doc_id)", 11)
+    v = "((((r * w + c) % 64) * s8 + t8) % 256)"
+    lon = SQL_LON.format(id="doc_id")
+    lat = SQL_LAT.format(id="doc_id")
+    tx, ty = _sql_tile(DENSITY_ZOOM, "g.lon", "g.lat")
+    return f"""
+WITH img AS (SELECT doc_id, {fnv} AS h FROM documents),
+geom AS (SELECT doc_id,
+  CAST(32 + CAST(h % 97 AS BIGINT) AS BIGINT) AS w,
+  CAST(32 + CAST((h >> 8) % 97 AS BIGINT) AS BIGINT) AS hh,
+  CAST((h | 1) & 255 AS BIGINT) AS s8,
+  CAST((h >> 7) & 255 AS BIGINT) AS t8
+  FROM img),
+mom AS (SELECT doc_id, sum(val) AS s, count(*) AS npx FROM (
+    SELECT doc_id, {v} AS val
+    FROM (SELECT doc_id, w, s8, t8, r, unnest(range(w)) AS c
+          FROM (SELECT doc_id, w, hh, s8, t8, unnest(range(hh)) AS r
+                FROM geom)))
+  GROUP BY 1),
+geo AS (SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents),
+tiles AS (SELECT m.doc_id, m.s, m.npx, {tx} AS x, {ty} AS y
+  FROM mom m JOIN geo g USING (doc_id))
+SELECT x, y, CAST(count(*) AS BIGINT) AS n_images,
+  CAST(sum(s) AS DOUBLE) / CAST(sum(npx) AS DOUBLE) AS px_mean
+FROM tiles GROUP BY x, y
+"""
+
+
 def _sql_image_stats() -> str:
     """stages/image.ImageStatsStage in closed form: pixel (r, c) of the
     tiled fake decode is V(r,c) = (((r*w + c) % 64) * s8 + t8) % 256;
@@ -4016,13 +4148,11 @@ def oracle_sql() -> dict[str, str]:
         "weekly_growth": _sql_weekly_growth(),
         "copresence": _sql_copresence(),
         "behavior_overlap": _sql_behavior_overlap(),
-        "knn_self":
-            "WITH r AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, "
-            "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
-            "list_cosine_similarity(a.embedding, b.embedding) DESC, "
-            "b.vec_id ASC) AS rn "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) "
-            "SELECT vec_id, nn_id FROM r WHERE rn = 1",
+        "knn_self": _SQL_KNN_SELF,
+        # the forced IVF cutover lane runs at nprobe = ncentroids, i.e.
+        # exactly — same ground truth as the broadcast lane
+        "knn_self_ivf": _SQL_KNN_SELF,
+        "tile_px_mean": _sql_tile_px_mean(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "nearest_site_kd": _sql_nearest_site_kd(),
         "events_asof": _sql_events_asof(),

@@ -244,30 +244,40 @@ def ivf_knn_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
 
 
 def knn_self_join(ds, vec_col: str = "embedding", id_col: str = "vec_id",
-                  broadcast_limit: int = 500_000):
+                  broadcast_limit: int = 500_000,
+                  ncentroids: Optional[int] = None,
+                  nprobe: Optional[int] = None):
     """All-pairs nearest-neighbor self-join: each row's closest OTHER
     row by cosine (ties by lowest id) — the primitive under SemDeDup /
     duplicate-mining pipelines. Neighbor ORDER is compared against a
     float oracle, which assumes similarity margins exceed the float32
     (storage) vs float64 (compute) discrepancy — true for real-valued
     embeddings, same assumption as the knn/knn_ivf queries; quantize
-    before comparing if your vectors produce exact cosine ties. The
-    (id, vector) matrix broadcasts once
-    via ray.put (normalized float64, near-zero-copy via _as_matrix) and
-    every block computes one matmul + masked argmax against it — the
-    vectors never cross a shuffle. Above ``broadcast_limit`` rows this
-    exact plan is refused: route through build_ivf_index +
-    ivf_index_knn_topk (the documented scale path) instead of silently
-    materializing an unbounded matrix. Returns (id_col, nn_id)."""
+    before comparing if your vectors produce exact cosine ties.
+
+    Two lanes with an AUTOMATIC cutover (round-3 verdict item 2):
+
+    * exact (n ≤ broadcast_limit): the (id, vector) matrix broadcasts
+      once via ray.put (normalized float64, near-zero-copy via
+      _as_matrix) and every block computes one matmul + masked argmax
+      against it — the vectors never cross a shuffle;
+    * IVF (n > broadcast_limit): knn_self_join_ivf — centroids trained
+      on a driver sample, corpus routed to its nearest centroid, each
+      row probing its ``nprobe`` nearest centroid partitions, one
+      groupby exchange co-locating (corpus ∪ probes) per partition,
+      tiny (id, nn_id, score) rows to a final per-id merge. Exact when
+      nprobe = ncentroids; approximate (IVF recall) below that.
+
+    The count runs BEFORE any materialization so the exact lane never
+    pins blocks it would abandon. Returns (id_col, nn_id)."""
     import ray
 
-    full = ds.materialize()
-    n = full.count()
+    n = ds.count()
     if n > broadcast_limit:
-        raise ValueError(
-            f"knn_self_join exact broadcast plan refused at {n} rows "
-            f"(> broadcast_limit={broadcast_limit}); build an IVF "
-            "layout (build_ivf_index) and probe per partition instead")
+        return knn_self_join_ivf(ds, vec_col=vec_col, id_col=id_col,
+                                 ncentroids=ncentroids, nprobe=nprobe,
+                                 broadcast_limit=broadcast_limit)
+    full = ds.materialize()
     ref_tbl = full.to_pandas()
     ids = ref_tbl[id_col].to_numpy().astype(np.int64)
     order = np.argsort(ids, kind="stable")
@@ -301,3 +311,131 @@ def knn_self_join(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                                            pa.int64())})
 
     return full.map_batches(nn, batch_format="pyarrow")
+
+
+def knn_self_join_ivf(ds, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      ncentroids: Optional[int] = None,
+                      nprobe: Optional[int] = None,
+                      sample_rows: int = 50_000,
+                      broadcast_limit: int = 500_000,
+                      chunk_entries: int = 1 << 24):
+    """IVF-partitioned nearest-neighbor self-join — the scale lane of
+    knn_self_join. Plan (no full-matrix broadcast, no driver payload
+    state):
+
+    1. centroids trained on a bounded driver sample (train_centroids);
+    2. corpus lane: every row tagged with its nearest centroid
+       (role 0); probe lane: every row replicated to its ``nprobe``
+       nearest centroids (role 1) — (1 + nprobe)× vectors cross ONE
+       hash exchange, partitioned by centroid id;
+    3. per-partition group body: chunked matmul of that partition's
+       probes × corpus (memory bounded by chunk_entries), self masked
+       by id, emitting one tiny (id, nn_id, score) row per probe;
+    4. per-id merge keeps the max score (ties → lowest nn_id — the
+       exact lane's argmax-first-over-sorted-ids convention).
+
+    Exact when nprobe = ncentroids (every probe meets every corpus
+    row); IVF-approximate below. PARTITIONING ASSUMPTION: one
+    centroid's corpus + probes must fit a worker's heap — size
+    ncentroids so n/ncentroids stays well under broadcast_limit (the
+    default targets broadcast_limit/8 rows per shard); pathological
+    centroid skew shows up as a fat group, not a wrong answer."""
+
+    n = ds.count()
+    if ncentroids is None:
+        target = max(1, broadcast_limit // 8)
+        ncentroids = max(8, -(-n // target))
+    if nprobe is None:
+        nprobe = min(4, ncentroids)
+    nprobe = min(nprobe, ncentroids)
+
+    samp = ds.limit(min(sample_rows, n)).to_pandas()
+    cents = train_centroids(
+        np.vstack(samp[vec_col].to_numpy()).astype(np.float64), ncentroids)
+    c = np.asarray(cents, dtype=np.float64)
+
+    def corpus_lane(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "role": pa.array([], pa.int8()),
+                             id_col: pa.array([], pa.int64()),
+                             vec_col: b[vec_col]})
+        mat = _normalize(_as_matrix(b[vec_col]))
+        part = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+        return pa.table({
+            "part": pa.array(part, pa.int32()),
+            "role": pa.array(np.zeros(len(b), np.int8), pa.int8()),
+            id_col: b[id_col].combine_chunks().cast(pa.int64()),
+            vec_col: b[vec_col]})
+
+    def probe_lane(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "role": pa.array([], pa.int8()),
+                             id_col: pa.array([], pa.int64()),
+                             vec_col: b[vec_col]})
+        mat = _normalize(_as_matrix(b[vec_col]))
+        sims = mat @ c.T
+        top = np.argpartition(-sims, kth=nprobe - 1, axis=1)[:, :nprobe] \
+            if nprobe < sims.shape[1] else \
+            np.tile(np.arange(sims.shape[1]), (len(b), 1))
+        idx = np.repeat(np.arange(len(b)), top.shape[1])
+        rep = b.take(pa.array(idx, pa.int64()))
+        return pa.table({
+            "part": pa.array(top.ravel().astype(np.int32), pa.int32()),
+            "role": pa.array(np.ones(len(rep), np.int8), pa.int8()),
+            id_col: rep[id_col].combine_chunks().cast(pa.int64()),
+            vec_col: rep[vec_col]})
+
+    routed = (ds.map_batches(corpus_lane, batch_format="pyarrow")
+              .union(ds.map_batches(probe_lane, batch_format="pyarrow")))
+
+    def shard_nn(g: pa.Table) -> pa.Table:
+        role = g["role"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _normalize(_as_matrix(g[vec_col]))
+        cm = role == 0
+        cids, cmat = ids[cm], mat[cm]
+        qids, qmat = ids[~cm], mat[~cm]
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "nn_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if len(cids) == 0 or len(qids) == 0:
+            return empty
+        order = np.argsort(cids, kind="stable")  # argmax-first → low id
+        cids, cmat = cids[order], cmat[order]
+        rows = max(1, chunk_entries // max(len(cids), 1))
+        out_q, out_n, out_s = [], [], []
+        for s0 in range(0, len(qids), rows):
+            s1 = min(s0 + rows, len(qids))
+            sims = qmat[s0:s1] @ cmat.T
+            qs = qids[s0:s1]
+            pos = np.searchsorted(cids, qs)
+            pos_c = np.minimum(pos, len(cids) - 1)
+            selfm = cids[pos_c] == qs
+            sims[np.arange(len(qs))[selfm], pos_c[selfm]] = -np.inf
+            best = np.argmax(sims, axis=1)
+            sc = sims[np.arange(len(qs)), best]
+            valid = sc > -np.inf
+            out_q.append(qs[valid])
+            out_n.append(cids[best[valid]])
+            out_s.append(sc[valid])
+        if not out_q:
+            return empty
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_q), pa.int64()),
+            "nn_id": pa.array(np.concatenate(out_n), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64())})
+
+    local = routed.groupby("part").map_groups(shard_nn,
+                                              batch_format="pyarrow")
+
+    def best_of(g: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            g, sort_keys=[("score", "descending"), ("nn_id", "ascending")])
+        g = g.take(idx[:1])
+        return g.select([id_col, "nn_id"])
+
+    return local.groupby(id_col).map_groups(best_of,
+                                            batch_format="pyarrow")

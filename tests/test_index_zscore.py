@@ -113,12 +113,48 @@ def test_knn_self_join_matches_brute_force(ray_session):
         assert got.loc[i] == cands.min()
 
 
-def test_knn_self_join_refuses_above_limit(ray_session):
-    import pytest as _pytest
-
+def test_knn_self_join_forced_ivf_cutover_equals_exact(ray_session):
+    """Above broadcast_limit the self-join must AUTOMATICALLY cut over
+    to the IVF-partitioned lane (round-3 verdict item 2) — and at
+    nprobe = ncentroids the cutover lane is exact, so it must equal the
+    broadcast lane row for row."""
     from mvt_wrangler_ray.stages.knn import knn_self_join
-    t = pa.table({"vec_id": pa.array([1, 2, 3], pa.int64()),
-                  "embedding": pa.array([[1.0], [2.0], [3.0]],
+    rng = np.random.default_rng(33)
+    n, dim = 300, 12
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64) * 7 + 3
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(vecs),
                                         pa.list_(pa.float32()))})
-    with _pytest.raises(Exception, match="broadcast_limit"):
-        knn_self_join(rd.from_arrow(t), broadcast_limit=2).to_pandas()
+    exact = knn_self_join(rd.from_arrow(t)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    # broadcast_limit=10 forces the IVF lane; nprobe=ncentroids → exact
+    ivf = knn_self_join(rd.from_arrow(t), broadcast_limit=10,
+                        ncentroids=6, nprobe=6).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert list(ivf.columns) == ["vec_id", "nn_id"]
+    assert exact.equals(ivf)
+
+
+def test_knn_self_join_ivf_partial_probe_recall(ray_session):
+    """nprobe < ncentroids is the approximate scale path: every row
+    still gets exactly one neighbor row, and neighbors inside the same
+    centroid partition are found exactly (well-separated blobs)."""
+    from mvt_wrangler_ray.stages.knn import knn_self_join_ivf
+    rng = np.random.default_rng(34)
+    # 4 far-apart blobs of 30: each row's true NN is inside its blob
+    centers = rng.normal(size=(4, 8)) * 50.0
+    vecs = np.concatenate([c + rng.normal(0, 0.01, (30, 8))
+                           for c in centers]).astype(np.float32)
+    ids = np.arange(120, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(vecs),
+                                        pa.list_(pa.float32()))})
+    out = knn_self_join_ivf(rd.from_arrow(t), ncentroids=4, nprobe=1,
+                            sample_rows=120).to_pandas()
+    assert len(out) == 120
+    assert set(out["vec_id"]) == set(ids.tolist())
+    # same-blob neighbor for every row (blobs are 50σ apart)
+    blob = dict(zip(ids.tolist(), (ids // 30).tolist()))
+    assert all(blob[int(a)] == blob[int(b)]
+               for a, b in zip(out["vec_id"], out["nn_id"]))

@@ -70,8 +70,13 @@ def test_query_matches_oracle(name, con, ray_session):
             assert (gv == wv).all(), f"{name}.{c} value mismatch"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize("name", ROWS_ONLY or ["<empty>"])
 def test_rows_only_queries_run(name, ray_session):
+    if name == "<empty>":
+        pytest.skip(
+            "every registered query has a SQL oracle, so the weaker "
+            "rows-only lane is empty — this skip IS the expected state "
+            "(it would only run if an oracle-less query were added)")
     q = entrymod.queries()[name]
     got = _to_pandas(q(SF_DIR))
     assert len(got) >= 0 and len(got.columns) >= 1

@@ -96,13 +96,24 @@ class DecodeImageStage:
     worker heaps; decoded pixels never leave the stage (only scalar
     features do), so nothing wide crosses a shuffle."""
 
-    def __init__(self, compute_phash: bool = True):
+    def __init__(self, compute_phash: bool = True,
+                 strict: Optional[bool] = None):
         try:
             from PIL import Image  # noqa: F401
             self._pil = True
         except ImportError:
             self._pil = False
         self.compute_phash = compute_phash
+        if strict is None:
+            import os
+
+            strict = os.environ.get(
+                "MVT_STRICT_CODECS", "").lower() in ("1", "true", "yes")
+        # strict mode: NEVER fall back to the deterministic fake decode
+        # — a real-data user pointing this at JPEG/WebP payloads without
+        # PIL must get a loud NotImplementedError, not plausible-but-
+        # wrong pseudo-random pixels (round-3 verdict item 6)
+        self.strict = strict
 
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
         if payload[:4] == b"LJPG":
@@ -132,6 +143,14 @@ class DecodeImageStage:
             except ValueError:
                 if has_chunk_structure(payload):
                     raise
+        if self.strict:
+            fmt = sniff_format(payload) or "unknown"
+            raise NotImplementedError(
+                f"strict codec mode: no real decoder available for "
+                f"{fmt!r} payload (PIL/cv2 absent; only spec-compliant "
+                "PNG and LJPG decode natively) — refusing the "
+                "deterministic fake decode. Unset MVT_STRICT_CODECS / "
+                "pass strict=False to allow synthetic-fixture payloads.")
         return _fake_decode(payload, w, h)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

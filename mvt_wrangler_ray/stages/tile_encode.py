@@ -25,27 +25,17 @@ import pyarrow as pa
 from ..config import EngineConfig
 
 
-def encode_tile_group(group: pd.DataFrame, cfg: EngineConfig = EngineConfig(),
-                      compress: bool = True) -> pd.DataFrame:
-    """``groupby(tile_id).map_groups(encode_tile_group)``: one output row
-    per tile — (tile_id, z, x, y, quadkey, n_features, blob). The blob is
-    a gzip-compressed JSON manifest of the tile's surviving rows and
-    non-null tags (the graft analogue of MVT re-encode M13 + gzip S7),
-    with first-seen key/value pools like the reference's layer dicts
-    (M12) so pool indices round-trip."""
-    g = group.sort_values(cfg.id_col, kind="stable")
-    tag_cols = [c for c in cfg.tag_cols if c in g.columns]
+def _pool_encode(ids: list, tag_cols: list, col_vals: list):
+    """First-seen key/value pool re-encode over row-ordered cells (M12)
+    — shared by the pandas and Arrow tile encoders. Pool re-encode is
+    inherently row-ordered (§2.8 canonical order), but the per-cell
+    access is plain list indexing (10-50x cheaper per feature than
+    iterrows' per-row Series construction)."""
     keys_pool: list = []
     values_pool: list = []
     key_idx: Dict[str, int] = {}
     val_idx: Dict[object, int] = {}
     feats = []
-    # columnar extraction ONCE (Series.tolist converts numpy scalars to
-    # python scalars) — pool re-encode is inherently row-ordered, but the
-    # per-cell access is plain list indexing, not iterrows' per-row
-    # Series construction (10-50x cheaper per feature)
-    ids = g[cfg.id_col].tolist()
-    col_vals = [g[c].tolist() for c in tag_cols]
     for i in range(len(ids)):
         tags = []
         for j, c in enumerate(tag_cols):
@@ -65,20 +55,78 @@ def encode_tile_group(group: pd.DataFrame, cfg: EngineConfig = EngineConfig(),
                 values_pool.append(v)
             tags.extend((ki, vi))
         feats.append({"id": ids[i], "tags": tags})
-    manifest = {
-        "tile_id": int(g["tile_id"].iloc[0]),
-        "z": int(g["z"].iloc[0]), "x": int(g["x"].iloc[0]), "y": int(g["y"].iloc[0]),
-        "keys": keys_pool, "values": values_pool, "features": feats,
-    }
+    return keys_pool, values_pool, feats
+
+
+def _manifest_blob(tile_id: int, z: int, x: int, y: int, keys: list,
+                   values: list, feats: list, compress: bool) -> bytes:
+    manifest = {"tile_id": tile_id, "z": z, "x": x, "y": y,
+                "keys": keys, "values": values, "features": feats}
     raw = json.dumps(manifest, separators=(",", ":"), default=str).encode()
-    blob = gzip.compress(raw, mtime=0) if compress else raw
+    return gzip.compress(raw, mtime=0) if compress else raw
+
+
+def encode_tile_group(group: pd.DataFrame, cfg: EngineConfig = EngineConfig(),
+                      compress: bool = True) -> pd.DataFrame:
+    """``groupby(tile_id).map_groups(encode_tile_group)``: one output row
+    per tile — (tile_id, z, x, y, quadkey, n_features, blob). The blob is
+    a gzip-compressed JSON manifest of the tile's surviving rows and
+    non-null tags (the graft analogue of MVT re-encode M13 + gzip S7),
+    with first-seen key/value pools like the reference's layer dicts
+    (M12) so pool indices round-trip. Pandas-group variant; the A1
+    shuffle paths use the Arrow-native encode_tile_group_arrow."""
+    g = group.sort_values(cfg.id_col, kind="stable")
+    tag_cols = [c for c in cfg.tag_cols if c in g.columns]
+    # columnar extraction ONCE (Series.tolist converts numpy scalars to
+    # python scalars)
+    ids = g[cfg.id_col].tolist()
+    col_vals = [g[c].tolist() for c in tag_cols]
+    keys_pool, values_pool, feats = _pool_encode(ids, tag_cols, col_vals)
+    tid = int(g["tile_id"].iloc[0])
+    z, x, y = int(g["z"].iloc[0]), int(g["x"].iloc[0]), int(g["y"].iloc[0])
+    blob = _manifest_blob(tid, z, x, y, keys_pool, values_pool, feats,
+                          compress)
     return pd.DataFrame({
-        "tile_id": [int(g["tile_id"].iloc[0])],
-        "z": [int(g["z"].iloc[0])], "x": [int(g["x"].iloc[0])], "y": [int(g["y"].iloc[0])],
+        "tile_id": [tid], "z": [z], "x": [x], "y": [y],
         "quadkey": [g["quadkey"].iloc[0]],
         "n_features": [len(feats)],
         "blob": [blob],
     })
+
+
+_TILE_BLOB_SCHEMA = pa.schema([
+    ("tile_id", pa.int64()), ("z", pa.int64()), ("x", pa.int64()),
+    ("y", pa.int64()), ("quadkey", pa.string()),
+    ("n_features", pa.int64()), ("blob", pa.binary())])
+
+
+def encode_tile_group_arrow(g: pa.Table, cfg: EngineConfig = EngineConfig(),
+                            compress: bool = True) -> pa.Table:
+    """Arrow-native single-tile encoder — byte-identical blobs to
+    encode_tile_group without a pandas round trip on either side of the
+    A1 exchange (round-3 verdict item 4). The per-feature pool loop is
+    inherently row-ordered (§2.8); cell access is plain list indexing
+    over to_pylist columns."""
+    idx = pa.compute.sort_indices(g, sort_keys=[(cfg.id_col, "ascending")])
+    g = g.take(idx)
+    tag_cols = [c for c in cfg.tag_cols if c in g.column_names]
+    ids = g[cfg.id_col].to_pylist()
+    col_vals = [g[c].to_pylist() for c in tag_cols]
+    keys_pool, values_pool, feats = _pool_encode(ids, tag_cols, col_vals)
+    tid = int(g["tile_id"][0].as_py())
+    z, x, y = (int(g["z"][0].as_py()), int(g["x"][0].as_py()),
+               int(g["y"][0].as_py()))
+    blob = _manifest_blob(tid, z, x, y, keys_pool, values_pool, feats,
+                          compress)
+    return pa.table({
+        "tile_id": pa.array([tid], pa.int64()),
+        "z": pa.array([z], pa.int64()),
+        "x": pa.array([x], pa.int64()),
+        "y": pa.array([y], pa.int64()),
+        "quadkey": pa.array([g["quadkey"][0].as_py()], pa.string()),
+        "n_features": pa.array([len(feats)], pa.int64()),
+        "blob": pa.array([blob], pa.binary()),
+    }, schema=_TILE_BLOB_SCHEMA)
 
 
 def decode_tile_blob(blob: bytes) -> dict:
@@ -145,7 +193,9 @@ def encode_tiles_salted(ds, cfg: EngineConfig = EngineConfig(),
              per (tile, salt), so the second shuffle is tiny.
 
     Equivalent output to the unsalted path (encode_tile_group over whole
-    groups): features canonically sorted by id at merge."""
+    groups): features canonically sorted by id at merge. Both group
+    bodies are Arrow-native — no pandas conversion on either side of
+    the A1 exchange (round-3 verdict item 4)."""
     import json
 
     import pyarrow as pa
@@ -159,12 +209,12 @@ def encode_tiles_salted(ds, cfg: EngineConfig = EngineConfig(),
         return batch.append_column(
             "salt", pa.array((h % np.uint64(sb)).astype(np.int64), pa.int64()))
 
-    def partial_encode(g: pd.DataFrame) -> pd.DataFrame:
-        enc = encode_tile_group(g.drop(columns=["salt"]), cfg, compress=False)
-        return enc
+    def partial_encode(g: pa.Table) -> pa.Table:
+        return encode_tile_group_arrow(g.drop_columns(["salt"]), cfg,
+                                       compress=False)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        manifests = [json.loads(b) for b in g["blob"]]
+    def merge(g: pa.Table) -> pa.Table:
+        manifests = [json.loads(b) for b in g["blob"].to_pylist()]
         feats = []
         for m in manifests:
             for f in m["features"]:
@@ -187,54 +237,60 @@ def encode_tiles_salted(ds, cfg: EngineConfig = EngineConfig(),
                 pairs.extend((ki, vi))
             out_feats.append({"id": f["id"], "tags": pairs})
         m0 = manifests[0]
-        manifest = {"tile_id": m0["tile_id"], "z": m0["z"], "x": m0["x"],
-                    "y": m0["y"], "keys": keys, "values": values,
-                    "features": out_feats}
-        blob = gzip.compress(json.dumps(manifest, separators=(",", ":"),
-                                        default=str).encode(), mtime=0)
-        return pd.DataFrame({
-            "tile_id": [m0["tile_id"]], "z": [m0["z"]], "x": [m0["x"]],
-            "y": [m0["y"]], "quadkey": [g["quadkey"].iloc[0]],
-            "n_features": [len(out_feats)], "blob": [blob],
-        })
+        blob = gzip.compress(json.dumps(
+            {"tile_id": m0["tile_id"], "z": m0["z"], "x": m0["x"],
+             "y": m0["y"], "keys": keys, "values": values,
+             "features": out_feats},
+            separators=(",", ":"), default=str).encode(), mtime=0)
+        return pa.table({
+            "tile_id": pa.array([m0["tile_id"]], pa.int64()),
+            "z": pa.array([m0["z"]], pa.int64()),
+            "x": pa.array([m0["x"]], pa.int64()),
+            "y": pa.array([m0["y"]], pa.int64()),
+            "quadkey": pa.array([g["quadkey"][0].as_py()], pa.string()),
+            "n_features": pa.array([len(out_feats)], pa.int64()),
+            "blob": pa.array([blob], pa.binary()),
+        }, schema=_TILE_BLOB_SCHEMA)
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow")
     partials = salted.groupby(["tile_id", "salt"]).map_groups(
-        partial_encode, batch_format="pandas")
-    return partials.groupby("tile_id").map_groups(merge, batch_format="pandas")
+        partial_encode, batch_format="pyarrow")
+    return partials.groupby("tile_id").map_groups(merge,
+                                                  batch_format="pyarrow")
 
 
 def encode_tiles_bucketed(ds, cfg: EngineConfig = EngineConfig(),
                           num_buckets: int = 64):
     """Tile-blob encode with a BOUNDED group count: tiles are routed to
     num_buckets hash buckets (one shuffle, like the unsalted path), and
-    each bucket encodes ALL of its tiles in one map_groups call via a
-    local pandas groupby — Ray crosses the Python boundary num_buckets
-    times, not once per tile (millions at depth-12+ pyramid scale).
+    each bucket encodes ALL of its tiles in one Arrow-native map_groups
+    call — Ray crosses the Python boundary num_buckets times, not once
+    per tile (millions at depth-12+ pyramid scale), and no pandas
+    conversion happens on either side of the exchange.
     Output rows identical to groupby(tile_id) + encode_tile_group."""
-    import pandas as pd
-
     from .shuffle import add_bucket_column
 
     bucketed = ds.map_batches(
         lambda b: add_bucket_column(b, ["tile_id"], num_buckets),
         batch_format="pyarrow")
 
-    def encode_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        outs = [encode_tile_group(sub.drop(columns=["bucket"]), cfg)
-                for _, sub in g.groupby("tile_id", sort=True)]
-        if not outs:
-            return pd.DataFrame({"tile_id": pd.Series([], dtype=np.int64),
-                                 "z": pd.Series([], dtype=np.int64),
-                                 "x": pd.Series([], dtype=np.int64),
-                                 "y": pd.Series([], dtype=np.int64),
-                                 "quadkey": pd.Series([], dtype=object),
-                                 "n_features": pd.Series([], dtype=np.int64),
-                                 "blob": pd.Series([], dtype=object)})
-        return pd.concat(outs, ignore_index=True)
+    def encode_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _TILE_BLOB_SCHEMA.empty_table()
+        g = g.drop_columns(["bucket"]).combine_chunks()
+        tid = g["tile_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(tid, kind="stable")
+        g = g.take(pa.array(order, pa.int64()))
+        tid = tid[order]
+        cuts = np.nonzero(np.diff(tid))[0] + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(tid)]])
+        return pa.concat_tables(
+            [encode_tile_group_arrow(g.slice(int(s), int(e - s)), cfg)
+             for s, e in zip(starts, ends)])
 
     return bucketed.groupby("bucket").map_groups(
-        encode_bucket, batch_format="pandas")
+        encode_bucket, batch_format="pyarrow")
 
 
 def rollup_pyramid_counts(counts_ds, z_bottom: int, z_top: int,

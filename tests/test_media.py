@@ -68,12 +68,17 @@ def test_frame_sample_real_pngs():
 def test_media_stages_in_ray_actor_pool(ray_session):
     import ray.data as rd
 
-    aud = rd.from_arrow(synth_audio_table(300)).map_batches(
+    # override_num_blocks >= concurrency so each pool actor gets an
+    # input block (a 1-block side input starves the pool and triggers
+    # Ray's "only received 1 input(s)" warning)
+    aud = rd.from_arrow(synth_audio_table(300)) \
+        .repartition(4).map_batches(
         AudioFeatureStage, batch_format="pyarrow", batch_size=64,
         concurrency=2).to_pandas()
     assert len(aud) == 300 and (aud["peak"] > 0).all()
 
-    vid = rd.from_arrow(synth_videos_table(200)).map_batches(
+    vid = rd.from_arrow(synth_videos_table(200)) \
+        .repartition(4).map_batches(
         FrameSampleStage, batch_format="pyarrow", batch_size=64,
         concurrency=2,
         fn_constructor_kwargs={"every": 4, "encode_frames": False}).to_pandas()

@@ -1177,6 +1177,48 @@ def _q_copresence(sf_dir: str):
                     descending=[True, False, False]).limit(COPRESENCE_K)
 
 
+def _split_docs_eval(b: pa.Table) -> pa.Table:
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    return b.filter(pa.array(ids % 97 == 0))
+
+
+def _split_docs_train(b: pa.Table) -> pa.Table:
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    return b.filter(pa.array(ids % 97 != 0))
+
+
+def _q_contamination(sf_dir: str):
+    """Benchmark-contamination / decontamination check (the GPT-3
+    appendix-C n-gram filter of the LLM-data literature): documents
+    split deterministically into an EVAL slice (doc_id % 97 == 0) and
+    the TRAIN corpus; for every train doc, how many of its distinct
+    5-word windows also occur anywhere in eval, the contamination
+    ratio, and the contaminated flag. The eval window-hash set ships
+    once via ray.put and the train side is one map_batches pass
+    (stages/dedup.ngram_contamination; bucketed flag-join lane above
+    the broadcast limit)."""
+    from mvt_wrangler_ray.stages.dedup import ngram_contamination
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ev = ds.map_batches(_split_docs_eval, batch_format="pyarrow")
+    tr = ds.map_batches(_split_docs_train, batch_format="pyarrow")
+    return ngram_contamination(tr, ev, n=5)
+
+
+def _q_spatial_clusters(sf_dir: str):
+    """Grid-based spatial clustering (DBSCAN-lite over the deterministic
+    document geotags): 4°-cell binning, occupied cells merge 4-neighbor
+    connected components; per occupied cell the packed cell id, min-cell
+    cluster label and point count. The per-cell counts are the only pass
+    over the data; the occupied set is bounded by the grid
+    (stages/cluster.grid_clusters)."""
+    from mvt_wrangler_ray.stages.cluster import grid_clusters
+
+    pts = _docs(sf_dir, ["doc_id"]).map_batches(
+        _geotag_docs, batch_format="pyarrow")
+    return grid_clusters(pts, res_deg=4.0, min_pts=1)
+
+
 def _q_knn_self(sf_dir: str):
     """All-pairs nearest-neighbor self-join over the embeddings table
     (cosine, ties by lowest id): broadcast normalized matrix + per-block
@@ -2508,14 +2550,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # → clean_corpus, hash_join → revenue_by_nation, thumbnails →
     # pixel_histogram). All 88 stay covered by test_oracle_parity at
     # sf0.001 and sf0.01.
-    # Round-4 window: the 2 never-certified round-4 queries register
-    # FIRST (knn_self_ivf — the forced IVF cutover lane; tile_px_mean —
-    # the image × tile composition), pushing minhash_near_dup and
-    # jaccard_near_dup (both hash-green in CORRECTNESS_r03) to the
-    # tail; their richer in-window relatives are clean_corpus (minhash
-    # near-dup inside) and the semantic/embedding/image near-dup
-    # family.
+    # Round-4 window: the 4 never-certified round-4 queries register
+    # FIRST (contamination — the n-gram decontamination pass;
+    # spatial_clusters — grid-DBSCAN components; knn_self_ivf — the
+    # forced IVF cutover lane; tile_px_mean — the image × tile
+    # composition), pushing minhash_near_dup, jaccard_near_dup,
+    # events_asof and range_count (all hash-green in CORRECTNESS_r03)
+    # to the tail; their richer in-window relatives are clean_corpus
+    # (minhash near-dup inside), the semantic/embedding/image near-dup
+    # family, and the funnel/retention/copresence event analytics.
     return {
+        "contamination": _q_contamination,
+        "spatial_clusters": _q_spatial_clusters,
         "knn_self_ivf": _q_knn_self_ivf,
         "tile_px_mean": _q_tile_px_mean,
         "features_transform": _q_features_transform,
@@ -2564,8 +2610,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "phash_knn": _q_phash_knn,
         "nearest_site_kd": _q_nearest_site_kd,
-        "events_asof": _q_events_asof,
-        "range_count": _q_range_count,
         "minhash_near_dup": _q_minhash_near_dup,
         "jaccard_near_dup": _q_jaccard_near_dup,
         "normalize_text": _q_normalize_text,
@@ -2606,6 +2650,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "frame_sample": _q_frame_sample,
         "simhash_near_dup": _q_simhash_near_dup,
+        "events_asof": _q_events_asof,
+        "range_count": _q_range_count,
     }
 
 
@@ -3507,6 +3553,56 @@ FROM wins JOIN cnt USING (whash) GROUP BY 1
 """
 
 
+def _sql_contamination(n: int = 5) -> str:
+    """stages/dedup.ngram_contamination in SQL: the span-oracle window
+    derivation (same tokenization + md5_number_lower window hash), eval
+    slice doc_id % 97 = 0, per-train-doc DISTINCT windows left-joined
+    against the distinct eval window set."""
+    return f"""
+WITH w AS (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents),
+wins AS (SELECT doc_id,
+  md5_number_lower(array_to_string(list_slice(ws, g + 1, g + {n}), ' '))
+    AS whash
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - {n - 1})) AS g
+        FROM w WHERE len(ws) >= {n})),
+ev AS (SELECT DISTINCT whash FROM wins WHERE doc_id % 97 = 0),
+tr AS (SELECT DISTINCT doc_id, whash FROM wins WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+  CAST(sum(CASE WHEN e.whash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_overlap,
+  CAST(sum(CASE WHEN e.whash IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*) AS contamination,
+  CAST(CASE WHEN sum(CASE WHEN e.whash IS NOT NULL THEN 1 ELSE 0 END) > 0
+       THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM tr t LEFT JOIN ev e USING (whash) GROUP BY 1
+"""
+
+
+def _sql_spatial_clusters(res: float = 4.0, min_pts: int = 1) -> str:
+    """stages/cluster.grid_clusters in SQL: identical float cell binning
+    over the geotag lon/lat, HAVING min_pts occupancy gate, +1/+1024
+    packed-cell adjacency, recursive min-label components (the
+    _sql_components closure), isolated cells labeled themselves."""
+    from mvt_wrangler_ray.geo.geotag import SQL_LAT, SQL_LON
+
+    lon = SQL_LON.format(id="doc_id")
+    lat = SQL_LAT.format(id="doc_id")
+    cell = (f"(CAST(floor(({lon} + 180.0) / {res!r}) AS BIGINT) * 1024 + "
+            f"CAST(floor(({lat} + 90.0) / {res!r}) AS BIGINT))")
+    return ("WITH RECURSIVE sc_cells AS MATERIALIZED ("
+            f"SELECT {cell} AS cell, CAST(count(*) AS BIGINT) AS n_points "
+            f"FROM documents GROUP BY 1 HAVING count(*) >= {min_pts}), "
+            "sc_pairs AS MATERIALIZED ("
+            "SELECT a.cell AS id_a, b.cell AS id_b FROM sc_cells a "
+            "JOIN sc_cells b ON b.cell = a.cell + 1 OR b.cell = a.cell + 1024),"
+            + _sql_components("sc_pairs", "sc_comp")
+            + " SELECT c.cell, CAST(coalesce(m.cluster_id, c.cell) AS BIGINT)"
+              " AS cluster_id, c.n_points"
+              " FROM sc_cells c LEFT JOIN sc_comp m ON m.doc_id = c.cell")
+
+
 _SQL_KNN_SELF = (
     "WITH r AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, "
     "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
@@ -4151,6 +4247,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_self": _SQL_KNN_SELF,
         # the forced IVF cutover lane runs at nprobe = ncentroids, i.e.
         # exactly — same ground truth as the broadcast lane
+        "contamination": _sql_contamination(5),
+        "spatial_clusters": _sql_spatial_clusters(4.0, 1),
         "knn_self_ivf": _SQL_KNN_SELF,
         "tile_px_mean": _sql_tile_px_mean(),
         "pyramid_rollup": _sql_pyramid_rollup(),

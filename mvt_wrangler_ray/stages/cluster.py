@@ -330,3 +330,60 @@ def semantic_dedup(ds_emb, k: int = 8, iterations: int = 3,
 
     return labeled.groupby("cluster").map_groups(
         dedup_cluster, batch_format="pyarrow")
+
+
+def grid_clusters(ds_points, res_deg: float = 8.0, min_pts: int = 1,
+                  lon_col: str = "lon", lat_col: str = "lat",
+                  num_buckets: int = 16):
+    """Grid-based spatial clustering (the DBSCAN-lite / grid-DBSCAN
+    family — e.g. He et al. 2011 MR-DBSCAN's cell decomposition): points
+    bin to a fixed lon/lat grid, a cell is OCCUPIED iff it holds >=
+    ``min_pts`` points, and occupied cells that touch 4-neighbor-wise
+    merge into one cluster. Per occupied cell: packed cell id, cluster
+    id (min cell id in its component), point count.
+
+    Plan: two-phase per-cell counts (the only pass over the point data)
+    → the occupied-cell set is bounded by the GRID, not the data
+    (<= (360/res)·(180/res) cells — 1,035 at the 8° default), so the
+    adjacency graph builds driver-side from that bounded set and the
+    components come from dedup.cluster_pairs (union-find below its
+    documented cutover, label propagation above). Cells are packed as
+    cx·1024 + cy with cy < 1024, so +1 / +1024 neighbours never cross a
+    row boundary (Web-Mercator lat keeps cy <= (85.05+90)/res rows).
+    """
+    import pandas as pd
+
+    from .dedup import cluster_pairs
+    from .shuffle import grouped_count
+
+    def cellify(b: pa.Table) -> pa.Table:
+        lon = b[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = b[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cx = np.floor((lon + 180.0) / res_deg).astype(np.int64)
+        cy = np.floor((lat + 90.0) / res_deg).astype(np.int64)
+        return pa.table({"cell": pa.array(cx * 1024 + cy, pa.int64())})
+
+    counts = grouped_count(ds_points.map_batches(cellify,
+                                                 batch_format="pyarrow"),
+                           ["cell"], out="n_points", num_buckets=num_buckets)
+    occ = counts.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b["n_points"],
+                                                    min_pts)),
+        batch_format="pyarrow")
+    # bounded by the grid (res-determined), NOT the input size — safe to
+    # assemble on the driver at any data scale
+    occ_df = occ.to_pandas()
+    cells = occ_df["cell"].to_numpy().astype(np.int64)
+    cs = set(cells.tolist())
+    ea, eb = [], []
+    for c in cells.tolist():
+        for d in (c + 1, c + 1024):  # (cx, cy+1), (cx+1, cy)
+            if d in cs:
+                ea.append(c)
+                eb.append(d)
+    comp = cluster_pairs(pd.DataFrame({"id_a": ea, "id_b": eb}))
+    lab = dict(zip(comp["doc_id"], comp["cluster_id"]))
+    occ_df["cluster_id"] = np.array(
+        [lab.get(c, c) for c in cells.tolist()], np.int64)
+    occ_df["n_points"] = occ_df["n_points"].astype(np.int64)
+    return occ_df[["cell", "cluster_id", "n_points"]]

@@ -1316,3 +1316,143 @@ def embedding_near_dups(ds_emb, threshold: float = 0.95,
 
     return bucketed.groupby("bucket").map_groups(distinct,
                                                  batch_format="pyarrow")
+
+
+def ngram_contamination(train_ds, eval_ds, n: int = 5, col: str = "text",
+                        id_col: str = "doc_id", num_buckets: int = 32,
+                        broadcast_eval_limit: int = 20_000_000):
+    """Benchmark-contamination check (the decontamination pass of the
+    LLM-training-data literature — e.g. GPT-3 appendix C / Brown et al.
+    2020's 13-gram filtering, here over `n`-word windows): for every
+    TRAIN doc, count how many of its DISTINCT n-gram windows also occur
+    anywhere in the EVAL set, plus the contamination ratio. Docs shorter
+    than `n` words emit no row (no windows → nothing to test).
+
+    Window hashing is the md5-lower-64 primitive shared with the
+    span/fingerprint oracles (`span_windows_batch`), so the DuckDB
+    oracle reproduces it exactly.
+
+    Plan: the eval side reduces to its DISTINCT window-hash set — eval
+    benchmarks are tiny next to a training corpus by construction, so
+    below ``broadcast_eval_limit`` the sorted hash array ships once via
+    ``ray.put`` and the train side is ONE map_batches pass (a doc's
+    windows all live in its own row, so per-doc distinct + searchsorted
+    membership never crosses a shuffle). Above the limit, a bucketed
+    flag-join lane co-locates train windows with eval hashes by hash
+    bucket and a two-phase aggregate rebuilds the per-doc counts
+    (forced-equivalence pytest).
+    """
+    import ray
+
+    from .shuffle import (add_bucket_column, grouped_count,
+                          two_phase_aggregate)
+
+    ev_win = eval_ds.map_batches(
+        lambda b: span_windows_batch(b, n, col, id_col),
+        batch_format="pyarrow")
+    ev_hashes = grouped_count(ev_win, ["whash"], "cnt",
+                              num_buckets=num_buckets).select_columns(["whash"])
+    ev_hashes = ev_hashes.materialize()
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = b["n_ngrams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = b["n_overlap"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_ngrams": pa.array(tot, pa.int64()),
+            "n_overlap": pa.array(hit, pa.int64()),
+            "contamination": pa.array(hit / tot, pa.float64()),
+            "contaminated": pa.array((hit > 0).astype(np.int64), pa.int64()),
+        })
+
+    if ev_hashes.count() <= broadcast_eval_limit:
+        eh = ev_hashes.to_pandas()
+        ev_sorted = (np.sort(eh["whash"].to_numpy().astype(np.int64))
+                     if len(eh) else np.empty(0, np.int64))
+        eref = ray.put(ev_sorted)
+        _cache: dict = {}
+
+        def per_doc(b: pa.Table) -> pa.Table:
+            ev = _cache.get("e")
+            if ev is None:
+                ev = _cache["e"] = ray.get(eref)
+            w = span_windows_batch(b, n, col, id_col)
+            ids = w["doc_id"].to_numpy(zero_copy_only=False)
+            wh = w["whash"].to_numpy(zero_copy_only=False)
+            # per-doc DISTINCT windows: a doc's windows are contiguous in
+            # this per-row explode, so one global unique over the
+            # (doc_id, whash) pair is the per-doc distinct set
+            pair = np.stack([ids, wh], axis=1)
+            pair = np.unique(pair, axis=0) if len(pair) else pair
+            uids, inv = np.unique(pair[:, 0], return_inverse=True) \
+                if len(pair) else (np.empty(0, np.int64), np.empty(0, np.int64))
+            tot = np.bincount(inv, minlength=len(uids)).astype(np.int64)
+            if len(ev) and len(pair):
+                pos = np.searchsorted(ev, pair[:, 1])
+                pos[pos >= len(ev)] = len(ev) - 1
+                ishit = (ev[pos] == pair[:, 1]).astype(np.int64)
+            else:
+                ishit = np.zeros(len(pair), np.int64)
+            hit = np.zeros(len(uids), np.int64)
+            np.add.at(hit, inv, ishit)
+            return pa.table({
+                "doc_id": pa.array(uids.astype(np.int64), pa.int64()),
+                "n_ngrams": pa.array(tot, pa.int64()),
+                "n_overlap": pa.array(hit, pa.int64())})
+
+        return train_ds.map_batches(
+            per_doc, batch_format="pyarrow").map_batches(
+            finish, batch_format="pyarrow")
+
+    # bucketed flag-join lane: train windows (side 0) union eval hashes
+    # (side 1), co-located by whash bucket; each bucket flags membership
+    # with one vectorized is_in, then a two-phase per-doc aggregate
+    tr_win = train_ds.map_batches(
+        lambda b: span_windows_batch(b, n, col, id_col),
+        batch_format="pyarrow")
+
+    def tr_distinct(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        wh = b["whash"].to_numpy(zero_copy_only=False)
+        pair = np.stack([ids, wh], axis=1)
+        pair = np.unique(pair, axis=0) if len(pair) else pair
+        t = pa.table({"doc_id": pa.array(pair[:, 0].astype(np.int64)
+                                         if len(pair) else
+                                         np.empty(0, np.int64), pa.int64()),
+                      "whash": pa.array(pair[:, 1].astype(np.int64)
+                                        if len(pair) else
+                                        np.empty(0, np.int64), pa.int64())})
+        t = add_bucket_column(t, ["whash"], num_buckets)
+        return t.append_column("_side", pa.array(np.zeros(len(t), np.int8)))
+
+    def ev_tag(b: pa.Table) -> pa.Table:
+        t = pa.table({"doc_id": pa.nulls(len(b), pa.int64()),
+                      "whash": b["whash"]})
+        t = add_bucket_column(t, ["whash"], num_buckets)
+        return t.append_column("_side", pa.array(np.ones(len(t), np.int8)))
+
+    unioned = (tr_win.map_batches(tr_distinct, batch_format="pyarrow")
+               .union(ev_hashes.map_batches(ev_tag, batch_format="pyarrow")))
+
+    def flag_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        rows = g.filter(pa.array(side == 0))
+        keys = (g.filter(pa.array(side == 1))["whash"]
+                .combine_chunks().unique().drop_null())
+        hit = pc.fill_null(pc.is_in(rows["whash"], value_set=keys), False)
+        return pa.table({
+            "doc_id": rows["doc_id"],
+            "one": pa.array(np.ones(len(rows), np.int64), pa.int64()),
+            "hit": pa.array(hit.to_numpy(zero_copy_only=False)
+                            .astype(np.int64), pa.int64())})
+
+    flagged = unioned.groupby("bucket").map_groups(
+        flag_bucket, batch_format="pyarrow")
+    per_doc_tbl = two_phase_aggregate(
+        flagged, ["doc_id"],
+        [("one", "sum"), ("hit", "sum")], ["pn", "ph"],
+        [("pn", "sum"), ("ph", "sum")], ["n_ngrams", "n_overlap"],
+        num_buckets=num_buckets)
+    return per_doc_tbl.map_batches(finish, batch_format="pyarrow")

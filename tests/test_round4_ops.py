@@ -1,0 +1,157 @@
+"""Round-4 operators: n-gram contamination (decontamination pass) and
+grid-based spatial clustering — brute-force references plus the
+forced-cutover equivalence the repo requires for every broadcast lane."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from mvt_wrangler_ray.stages.cluster import grid_clusters
+from mvt_wrangler_ray.stages.dedup import ngram_contamination
+from mvt_wrangler_ray.stages.text import md5_lower64
+
+
+def _brute_contamination(train, eval_, n=3):
+    ev = set()
+    for t in eval_["text"]:
+        ws = t.lower().split()
+        for g in range(len(ws) - n + 1):
+            ev.add(" ".join(ws[g:g + n]))
+    rows = []
+    for did, t in zip(train["doc_id"], train["text"]):
+        ws = t.lower().split()
+        grams = {" ".join(ws[g:g + n]) for g in range(len(ws) - n + 1)}
+        if not grams:
+            continue
+        hit = len(grams & ev)
+        rows.append((did, len(grams), hit, hit / len(grams),
+                     int(hit > 0)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_ngrams", "n_overlap",
+                                       "contamination", "contaminated"])
+
+
+TRAIN = pd.DataFrame({
+    "doc_id": [1, 2, 3, 4, 5],
+    "text": [
+        "the quick brown fox jumps over the lazy dog",
+        "a wholly original sentence with no eval overlap at all",
+        "short",                       # < n words: no row
+        "the quick brown fox appears here too with extra words",
+        "repeated words repeated words repeated words",  # dup windows
+    ]})
+EVAL = pd.DataFrame({
+    "doc_id": [100, 101],
+    "text": [
+        "watch the quick brown fox carefully",
+        "completely unrelated benchmark prompt",
+    ]})
+
+
+@pytest.mark.parametrize("force_join", [False, True])
+def test_contamination_matches_brute(ray_session, force_join):
+    kw = {"broadcast_eval_limit": 0} if force_join else {}
+    got = (ngram_contamination(rd.from_pandas(TRAIN),
+                               rd.from_pandas(EVAL), n=3, **kw)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _brute_contamination(TRAIN, EVAL, 3) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_ngrams"].tolist() == want["n_ngrams"].tolist()
+    assert got["n_overlap"].tolist() == want["n_overlap"].tolist()
+    assert got["contaminated"].tolist() == want["contaminated"].tolist()
+    assert np.allclose(got["contamination"], want["contamination"],
+                       rtol=0, atol=0)
+    # doc 3 (< n words) emits no row; doc 1 and 4 share "the quick
+    # brown" windows with eval; doc 2 is clean
+    assert 3 not in got["doc_id"].tolist()
+    assert got.set_index("doc_id")["contaminated"][1] == 1
+    assert got.set_index("doc_id")["contaminated"][2] == 0
+
+
+def test_contamination_lanes_equal_on_random_docs(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+                 for _ in range(60)]})
+    tr, ev = docs.iloc[:50], docs.iloc[50:]
+    a = (ngram_contamination(rd.from_pandas(tr), rd.from_pandas(ev), n=4)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (ngram_contamination(rd.from_pandas(tr), rd.from_pandas(ev), n=4,
+                             broadcast_eval_limit=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_contamination_empty_eval(ray_session):
+    got = (ngram_contamination(rd.from_pandas(TRAIN),
+                               rd.from_pandas(EVAL.iloc[:0]), n=3)
+           .to_pandas())
+    assert (got["n_overlap"] == 0).all()
+    assert (got["contaminated"] == 0).all()
+
+
+def _brute_components(cells):
+    cs = set(cells)
+    lab = {c: c for c in cs}
+
+    def find(x):
+        while lab[x] != x:
+            lab[x] = lab[lab[x]]
+            x = lab[x]
+        return x
+
+    for c in cs:
+        for d in (c + 1, c + 1024):
+            if d in cs:
+                ra, rb = find(c), find(d)
+                if ra != rb:
+                    lab[max(ra, rb)] = min(ra, rb)
+    return {c: find(c) for c in cs}
+
+
+def test_grid_clusters_planted(ray_session):
+    # two plus-shaped blobs far apart + one isolated point, res 10°:
+    # cells are (cx*1024+cy); blob A spans cells (1,1),(1,2),(2,1);
+    # blob B spans (20,10),(21,10); point C isolated at (30,3)
+    def pt(cx, cy, jitter):
+        # center of cell (cx, cy) at res 10: lon = cx*10 - 180 + 5
+        return (cx * 10 - 180 + 5 + jitter, cy * 10 - 90 + 5 + jitter)
+
+    pts = [pt(1, 1, 0), pt(1, 1, 1), pt(1, 2, 0), pt(2, 1, 0),
+           pt(20, 10, 0), pt(21, 10, 2), pt(30, 3, 0)]
+    df = pd.DataFrame(pts, columns=["lon", "lat"])
+    out = grid_clusters(rd.from_pandas(df), res_deg=10.0, min_pts=1)
+    out = out.sort_values("cell").reset_index(drop=True)
+    want = _brute_components(out["cell"].tolist())
+    assert dict(zip(out["cell"], out["cluster_id"])) == want
+    # blob A = one cluster of 3 cells, blob B = one of 2, C isolated
+    sizes = sorted(out.groupby("cluster_id").size().tolist())
+    assert sizes == [1, 2, 3]
+    # counts: cell (1,1) holds 2 points
+    assert out.set_index("cell")["n_points"][1 * 1024 + 1] == 2
+
+
+def test_grid_clusters_min_pts_gate(ray_session):
+    df = pd.DataFrame({"lon": [-175.0, -175.0, -165.0],
+                       "lat": [-85.0, -85.0, -85.0]})
+    out = grid_clusters(rd.from_pandas(df), res_deg=10.0, min_pts=2)
+    # only the doubly-occupied cell survives the gate
+    assert len(out) == 1
+    assert out["n_points"].tolist() == [2]
+    assert out["cluster_id"].tolist() == out["cell"].tolist()
+
+
+def test_window_hash_is_md5_lower64():
+    # the SQL-parity primitive: window hash == md5_number_lower of the
+    # joined window string (int64 two's complement view)
+    from mvt_wrangler_ray.stages.dedup import span_windows_batch
+
+    b = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array(["Alpha beta GAMMA delta"])})
+    w = span_windows_batch(b, 3)
+    assert w["whash"].to_pylist() == [
+        np.uint64(md5_lower64("alpha beta gamma")).astype(np.int64),
+        np.uint64(md5_lower64("beta gamma delta")).astype(np.int64)]

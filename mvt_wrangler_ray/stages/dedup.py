@@ -1318,6 +1318,22 @@ def embedding_near_dups(ds_emb, threshold: float = 0.95,
                                                  batch_format="pyarrow")
 
 
+def _distinct_pairs(ids: np.ndarray, wh: np.ndarray):
+    """Distinct (id, hash) rows via one lexsort + consecutive-duplicate
+    mask — ~10× faster than np.unique(axis=0)'s void-dtype sort on the
+    multi-million-row window explodes."""
+    if not len(ids):
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    ids = ids.astype(np.int64, copy=False)
+    wh = wh.astype(np.int64, copy=False)
+    order = np.lexsort((wh, ids))
+    si, sw = ids[order], wh[order]
+    keep = np.empty(len(si), bool)
+    keep[0] = True
+    np.logical_or(si[1:] != si[:-1], sw[1:] != sw[:-1], out=keep[1:])
+    return si[keep], sw[keep]
+
+
 def ngram_contamination(train_ds, eval_ds, n: int = 5, col: str = "text",
                         id_col: str = "doc_id", num_buckets: int = 32,
                         broadcast_eval_limit: int = 20_000_000):
@@ -1379,20 +1395,18 @@ def ngram_contamination(train_ds, eval_ds, n: int = 5, col: str = "text",
             w = span_windows_batch(b, n, col, id_col)
             ids = w["doc_id"].to_numpy(zero_copy_only=False)
             wh = w["whash"].to_numpy(zero_copy_only=False)
-            # per-doc DISTINCT windows: a doc's windows are contiguous in
-            # this per-row explode, so one global unique over the
-            # (doc_id, whash) pair is the per-doc distinct set
-            pair = np.stack([ids, wh], axis=1)
-            pair = np.unique(pair, axis=0) if len(pair) else pair
-            uids, inv = np.unique(pair[:, 0], return_inverse=True) \
-                if len(pair) else (np.empty(0, np.int64), np.empty(0, np.int64))
+            dids, dwh = _distinct_pairs(ids, wh)
+            uids, inv = (np.unique(dids, return_inverse=True)
+                         if len(dids)
+                         else (np.empty(0, np.int64),
+                               np.empty(0, np.int64)))
             tot = np.bincount(inv, minlength=len(uids)).astype(np.int64)
-            if len(ev) and len(pair):
-                pos = np.searchsorted(ev, pair[:, 1])
+            if len(ev) and len(dwh):
+                pos = np.searchsorted(ev, dwh)
                 pos[pos >= len(ev)] = len(ev) - 1
-                ishit = (ev[pos] == pair[:, 1]).astype(np.int64)
+                ishit = (ev[pos] == dwh).astype(np.int64)
             else:
-                ishit = np.zeros(len(pair), np.int64)
+                ishit = np.zeros(len(dwh), np.int64)
             hit = np.zeros(len(uids), np.int64)
             np.add.at(hit, inv, ishit)
             return pa.table({
@@ -1414,14 +1428,9 @@ def ngram_contamination(train_ds, eval_ds, n: int = 5, col: str = "text",
     def tr_distinct(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         wh = b["whash"].to_numpy(zero_copy_only=False)
-        pair = np.stack([ids, wh], axis=1)
-        pair = np.unique(pair, axis=0) if len(pair) else pair
-        t = pa.table({"doc_id": pa.array(pair[:, 0].astype(np.int64)
-                                         if len(pair) else
-                                         np.empty(0, np.int64), pa.int64()),
-                      "whash": pa.array(pair[:, 1].astype(np.int64)
-                                        if len(pair) else
-                                        np.empty(0, np.int64), pa.int64())})
+        dids, dwh = _distinct_pairs(ids, wh)
+        t = pa.table({"doc_id": pa.array(dids, pa.int64()),
+                      "whash": pa.array(dwh, pa.int64())})
         t = add_bucket_column(t, ["whash"], num_buckets)
         return t.append_column("_side", pa.array(np.zeros(len(t), np.int8)))
 

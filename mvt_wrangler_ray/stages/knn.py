@@ -439,3 +439,76 @@ def knn_self_join_ivf(ds, vec_col: str = "embedding",
 
     return local.groupby(id_col).map_groups(best_of,
                                             batch_format="pyarrow")
+
+
+def knn_self_graph(ds, k: int = 3, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   broadcast_limit: int = 500_000):
+    """kNN-GRAPH construction (each row's top-k nearest OTHER rows by
+    cosine, rank-ordered, ties by lowest id) — the neighbor-list
+    primitive under graph-based ANN indexes and near-dup mining. Same
+    broadcast-matrix plan and float-margin assumption as knn_self_join's
+    exact lane; one (vec_id, rank, nn_id) row per neighbor.
+
+    Above ``broadcast_limit`` rows this refuses with a pointer to the
+    IVF machinery (knn_self_join_ivf generalizes to top-k by keeping k
+    rows per probe; wiring that lane is mechanical once a corpus
+    actually exceeds the limit — the count runs before any
+    materialization, so no blocks pin on refusal)."""
+    import ray
+
+    n = ds.count()
+    if n > broadcast_limit:
+        raise ValueError(
+            f"{n} rows exceed broadcast_limit={broadcast_limit}; extend "
+            "knn_self_join_ivf to emit k rows per id for the scale lane")
+    full = ds.materialize()
+    ref_tbl = full.to_pandas()
+    ids = ref_tbl[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    mat = _normalize(np.vstack(ref_tbl[vec_col].to_numpy()[order])
+                     .astype(np.float64))
+    ref = ray.put((ids[order], mat))
+    _cache: dict = {}
+
+    def nn(b: pa.Table) -> pa.Table:
+        m = _cache.get("m")
+        if m is None:
+            m = _cache["m"] = ray.get(ref)
+        all_ids, all_mat = m
+        qids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "nn_rank": pa.array([], pa.int64()),
+                          "nn_id": pa.array([], pa.int64())})
+        if len(qids) == 0:
+            return empty
+        q = _normalize(_as_matrix(b[vec_col]))
+        sims = q @ all_mat.T
+        pos = np.searchsorted(all_ids, qids)
+        pos_c = np.minimum(pos, len(all_ids) - 1)
+        selfmask = all_ids[pos_c] == qids
+        sims[np.arange(len(qids))[selfmask], pos_c[selfmask]] = -np.inf
+        kk = min(k, sims.shape[1])
+        # argpartition head then a stable sort of the head: ties inside
+        # the head break to the lowest id (corpus is id-sorted); exact
+        # cross-boundary float ties are excluded by the same margin
+        # assumption the certified knn_self lane documents
+        head = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        hs = np.take_along_axis(sims, head, axis=1)
+        # order by (-sim, head index): head indices are id-sorted corpus
+        # positions, so index order IS lowest-id tie order
+        ord_ = np.lexsort((head, -hs), axis=-1)
+        head = np.take_along_axis(head, ord_, axis=1)
+        hs = np.take_along_axis(hs, ord_, axis=1)
+        valid = hs > -np.inf
+        nvalid = valid.sum(axis=1)
+        rep = np.repeat(np.arange(len(qids)), nvalid)
+        ranks = np.concatenate([np.arange(1, v + 1) for v in nvalid]) \
+            if len(qids) else np.empty(0, np.int64)
+        flat_nn = head[valid]
+        return pa.table({
+            id_col: pa.array(qids[rep], pa.int64()),
+            "nn_rank": pa.array(ranks.astype(np.int64), pa.int64()),
+            "nn_id": pa.array(all_ids[flat_nn], pa.int64())})
+
+    return full.map_batches(nn, batch_format="pyarrow")

@@ -155,3 +155,37 @@ def test_window_hash_is_md5_lower64():
     assert w["whash"].to_pylist() == [
         np.uint64(md5_lower64("alpha beta gamma")).astype(np.int64),
         np.uint64(md5_lower64("beta gamma delta")).astype(np.int64)]
+
+
+def test_knn_self_graph_matches_brute(ray_session):
+    rng = np.random.default_rng(3)
+    n, d, k = 40, 8, 3
+    vecs = rng.normal(size=(n, d))
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    from mvt_wrangler_ray.stages.knn import knn_self_graph
+
+    got = (knn_self_graph(rd.from_pandas(df), k=k)
+           .to_pandas().sort_values(["vec_id", "nn_rank"])
+           .reset_index(drop=True))
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nv @ nv.T
+    np.fill_diagonal(sims, -np.inf)
+    for i in range(n):
+        order = np.lexsort((ids, -sims[i]))[:k]
+        mine = got[got["vec_id"] == ids[i]]
+        assert mine["nn_rank"].tolist() == [1, 2, 3]
+        assert mine["nn_id"].tolist() == ids[order].tolist()
+
+
+def test_knn_self_graph_small_corpus(ray_session):
+    # k larger than n-1: emit only the n-1 real neighbors
+    df = pd.DataFrame({"vec_id": np.array([1, 2, 3], np.int64),
+                       "embedding": [np.array([1.0, 0.0]),
+                                     np.array([0.9, 0.1]),
+                                     np.array([0.0, 1.0])]})
+    from mvt_wrangler_ray.stages.knn import knn_self_graph
+
+    got = knn_self_graph(rd.from_pandas(df), k=10).to_pandas()
+    assert len(got) == 6  # 3 rows x 2 other rows each
+    assert got.groupby("vec_id")["nn_rank"].max().tolist() == [2, 2, 2]

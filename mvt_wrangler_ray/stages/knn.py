@@ -319,7 +319,8 @@ def knn_self_join_ivf(ds, vec_col: str = "embedding",
                       nprobe: Optional[int] = None,
                       sample_rows: int = 50_000,
                       broadcast_limit: int = 500_000,
-                      chunk_entries: int = 1 << 24):
+                      chunk_entries: int = 1 << 24,
+                      k: int = 1):
     """IVF-partitioned nearest-neighbor self-join — the scale lane of
     knn_self_join. Plan (no full-matrix broadcast, no driver payload
     state):
@@ -340,7 +341,13 @@ def knn_self_join_ivf(ds, vec_col: str = "embedding",
     centroid's corpus + probes must fit a worker's heap — size
     ncentroids so n/ncentroids stays well under broadcast_limit (the
     default targets broadcast_limit/8 rows per shard); pathological
-    centroid skew shows up as a fat group, not a wrong answer."""
+    centroid skew shows up as a fat group, not a wrong answer.
+
+    ``k > 1`` generalizes to top-k neighbor LISTS (the knn_self_graph
+    scale lane): each shard emits k candidates per probe (a corpus row
+    lives in exactly ONE shard, so candidates never duplicate across
+    probes) and the per-id merge keeps the global (score desc, nn_id
+    asc) top k with nn_rank 1..k; the k=1 output shape is unchanged."""
 
     n = ds.count()
     if ncentroids is None:
@@ -415,10 +422,19 @@ def knn_self_join_ivf(ds, vec_col: str = "embedding",
             pos_c = np.minimum(pos, len(cids) - 1)
             selfm = cids[pos_c] == qs
             sims[np.arange(len(qs))[selfm], pos_c[selfm]] = -np.inf
-            best = np.argmax(sims, axis=1)
-            sc = sims[np.arange(len(qs)), best]
+            kk = min(k, sims.shape[1])
+            if kk == 1:
+                best = np.argmax(sims, axis=1)[:, None]
+            else:
+                best = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                hs = np.take_along_axis(sims, best, axis=1)
+                # (-sim, corpus position) order: positions are id-sorted
+                best = np.take_along_axis(
+                    best, np.lexsort((best, -hs), axis=-1), axis=1)
+            sc = np.take_along_axis(sims, best, axis=1)
             valid = sc > -np.inf
-            out_q.append(qs[valid])
+            rep = np.repeat(qs, valid.sum(axis=1))
+            out_q.append(rep)
             out_n.append(cids[best[valid]])
             out_s.append(sc[valid])
         if not out_q:
@@ -434,8 +450,13 @@ def knn_self_join_ivf(ds, vec_col: str = "embedding",
     def best_of(g: pa.Table) -> pa.Table:
         idx = pa.compute.sort_indices(
             g, sort_keys=[("score", "descending"), ("nn_id", "ascending")])
-        g = g.take(idx[:1])
-        return g.select([id_col, "nn_id"])
+        g = g.take(idx[:k])
+        if k == 1:
+            return g.select([id_col, "nn_id"])
+        g = g.append_column(
+            "nn_rank", pa.array(np.arange(1, len(g) + 1, dtype=np.int64),
+                                pa.int64()))
+        return g.select([id_col, "nn_rank", "nn_id"])
 
     return local.groupby(id_col).map_groups(best_of,
                                             batch_format="pyarrow")
@@ -443,25 +464,26 @@ def knn_self_join_ivf(ds, vec_col: str = "embedding",
 
 def knn_self_graph(ds, k: int = 3, vec_col: str = "embedding",
                    id_col: str = "vec_id",
-                   broadcast_limit: int = 500_000):
+                   broadcast_limit: int = 500_000,
+                   ncentroids: Optional[int] = None,
+                   nprobe: Optional[int] = None):
     """kNN-GRAPH construction (each row's top-k nearest OTHER rows by
     cosine, rank-ordered, ties by lowest id) — the neighbor-list
     primitive under graph-based ANN indexes and near-dup mining. Same
     broadcast-matrix plan and float-margin assumption as knn_self_join's
-    exact lane; one (vec_id, rank, nn_id) row per neighbor.
+    exact lane; one (vec_id, nn_rank, nn_id) row per neighbor.
 
-    Above ``broadcast_limit`` rows this refuses with a pointer to the
-    IVF machinery (knn_self_join_ivf generalizes to top-k by keeping k
-    rows per probe; wiring that lane is mechanical once a corpus
-    actually exceeds the limit — the count runs before any
-    materialization, so no blocks pin on refusal)."""
+    Above ``broadcast_limit`` rows it cuts over AUTOMATICALLY to the
+    IVF-partitioned lane (knn_self_join_ivf with k rows per probe —
+    exact when nprobe = ncentroids); the count runs before any
+    materialization, so no blocks pin before the cutover decision."""
     import ray
 
     n = ds.count()
     if n > broadcast_limit:
-        raise ValueError(
-            f"{n} rows exceed broadcast_limit={broadcast_limit}; extend "
-            "knn_self_join_ivf to emit k rows per id for the scale lane")
+        return knn_self_join_ivf(ds, vec_col=vec_col, id_col=id_col,
+                                 ncentroids=ncentroids, nprobe=nprobe,
+                                 broadcast_limit=broadcast_limit, k=k)
     full = ds.materialize()
     ref_tbl = full.to_pandas()
     ids = ref_tbl[id_col].to_numpy().astype(np.int64)

@@ -189,3 +189,37 @@ def test_knn_self_graph_small_corpus(ray_session):
     got = knn_self_graph(rd.from_pandas(df), k=10).to_pandas()
     assert len(got) == 6  # 3 rows x 2 other rows each
     assert got.groupby("vec_id")["nn_rank"].max().tolist() == [2, 2, 2]
+
+
+def test_knn_self_graph_ivf_cutover_equals_exact(ray_session):
+    # forced cutover (broadcast_limit=0) with nprobe=ncentroids is EXACT:
+    # must equal the broadcast lane row for row
+    rng = np.random.default_rng(11)
+    n, d, k = 60, 6, 3
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(rng.normal(size=(n, d)))})
+    from mvt_wrangler_ray.stages.knn import knn_self_graph
+
+    a = (knn_self_graph(rd.from_pandas(df), k=k)
+         .to_pandas().sort_values(["vec_id", "nn_rank"])
+         .reset_index(drop=True))
+    b = (knn_self_graph(rd.from_pandas(df), k=k, broadcast_limit=0,
+                        ncentroids=4, nprobe=4)
+         .to_pandas().sort_values(["vec_id", "nn_rank"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[["vec_id", "nn_rank", "nn_id"]],
+                                  b[["vec_id", "nn_rank", "nn_id"]])
+
+
+def test_knn_self_join_ivf_k1_shape_unchanged(ray_session):
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"vec_id": np.arange(30, dtype=np.int64),
+                       "embedding": list(rng.normal(size=(30, 5)))})
+    from mvt_wrangler_ray.stages.knn import knn_self_join, knn_self_join_ivf
+
+    a = (knn_self_join(rd.from_pandas(df)).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (knn_self_join_ivf(rd.from_pandas(df), ncentroids=4, nprobe=4)
+         .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert list(b.columns) == ["vec_id", "nn_id"]
+    pd.testing.assert_frame_equal(a, b)

@@ -1219,6 +1219,20 @@ def _q_spatial_clusters(sf_dir: str):
     return grid_clusters(pts, res_deg=4.0, min_pts=1)
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Training-mixture resampling over documents: target weights
+    w(srcN) = N + 1, budget = total // 2, per-source quota
+    min(n, budget·w // Σw) in exact integer math, selection by the
+    replayable smallest-splitmix(doc_id) order
+    (stages/shuffle.mixture_resample)."""
+    from mvt_wrangler_ray.stages.shuffle import mixture_resample
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    srcs = [f"src{i}" for i in range(64)]
+    weights = {s: i + 1 for i, s in enumerate(srcs)}
+    return mixture_resample(ds, "source", weights, "doc_id")
+
+
 def _q_knn_graph(sf_dir: str):
     """kNN-GRAPH construction over the embeddings table: each row's
     top-3 nearest OTHER rows by cosine, rank-ordered (ties by lowest
@@ -2607,14 +2621,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # → clean_corpus, hash_join → revenue_by_nation, thumbnails →
     # pixel_histogram). All 88 stay covered by test_oracle_parity at
     # sf0.001 and sf0.01.
-    # Round-4 window: the 6 never-certified round-4 queries register
+    # Round-4 window: the 7 never-certified round-4 queries register
     # FIRST (contamination — the n-gram decontamination pass;
     # spatial_clusters — grid-DBSCAN components; knn_graph — top-k
     # neighbor lists; augment_flip — flip augmentation through the real
     # PNG codec; knn_self_ivf — the forced IVF cutover lane;
     # tile_px_mean — the image × tile composition), pushing
     # minhash_near_dup, jaccard_near_dup, events_asof, range_count,
-    # phash_knn and nearest_site_kd (all hash-green in CORRECTNESS_r03)
+    # phash_knn, nearest_site_kd and knn_ivf (all hash-green in
+    # CORRECTNESS_r03)
     # to the tail; their richer in-window relatives are clean_corpus
     # (minhash near-dup inside), the semantic/embedding/image near-dup
     # family, knn_graph/knn_self/knn_ivf, and the
@@ -2624,6 +2639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_clusters": _q_spatial_clusters,
         "knn_graph": _q_knn_graph,
         "augment_flip": _q_augment_flip,
+        "mixture_sample": _q_mixture_sample,
         "knn_self_ivf": _q_knn_self_ivf,
         "tile_px_mean": _q_tile_px_mean,
         "features_transform": _q_features_transform,
@@ -2669,7 +2685,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": _q_pip_join,
         "expr_filter": _q_expr_filter,
         "topk_per_group": _q_topk_per_group,
-        "knn_ivf": _q_knn_ivf,
         "minhash_near_dup": _q_minhash_near_dup,
         "jaccard_near_dup": _q_jaccard_near_dup,
         "normalize_text": _q_normalize_text,
@@ -2714,6 +2729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_count": _q_range_count,
         "phash_knn": _q_phash_knn,
         "nearest_site_kd": _q_nearest_site_kd,
+        "knn_ivf": _q_knn_ivf,
     }
 
 
@@ -3615,6 +3631,26 @@ FROM wins JOIN cnt USING (whash) GROUP BY 1
 """
 
 
+def _sql_mixture_sample() -> str:
+    """stages/shuffle.mixture_resample in SQL: same exact-integer quota
+    (budget = Σn // 2, quota = min(n, budget·w // Σw), w = srcN's N + 1)
+    and the same splitmix-order head per source."""
+    h = _sql_splitmix("CAST(d.doc_id AS UBIGINT)")
+    return f"""
+WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1),
+w AS (SELECT source, n, CAST(substr(source, 4) AS BIGINT) + 1 AS wt
+  FROM cnt),
+q AS (SELECT source,
+  least(n, ((SELECT sum(n) FROM cnt) // 2) * wt // (SELECT sum(wt) FROM w))
+    AS quota FROM w),
+r AS (SELECT d.doc_id, d.source, row_number() OVER (
+    PARTITION BY d.source ORDER BY {h} ASC, d.doc_id ASC) AS rn
+  FROM documents d)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= quota
+"""
+
+
 _SQL_KNN_GRAPH = (
     "WITH r AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, "
     "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
@@ -4351,6 +4387,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_clusters": _sql_spatial_clusters(4.0, 1),
         "knn_graph": _SQL_KNN_GRAPH,
         "augment_flip": _sql_augment_flip(),
+        "mixture_sample": _sql_mixture_sample(),
         "knn_self_ivf": _SQL_KNN_SELF,
         "tile_px_mean": _sql_tile_px_mean(),
         "pyramid_rollup": _sql_pyramid_rollup(),

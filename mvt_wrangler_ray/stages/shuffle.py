@@ -424,3 +424,50 @@ def weighted_sample_topk(ds, id_col: str, weight_col: str, k: int,
                              "prio": pd.Series([], dtype="float64")})
     return (hd.sort_values(["prio", id_col], ascending=[True, True])
             .head(k).reset_index(drop=True))
+
+
+def mixture_resample(ds, group_col: str, weights: dict, id_col: str,
+                     budget_den: int = 2, num_buckets: int = 8):
+    """Training-data MIXTURE resampling (the corpus-rebalancing step of
+    multilingual / multi-source LM pipelines — Conneau & Lample 2019's
+    re-weighted sampling, here with explicit integer target weights):
+    downsample every group toward a target mixture. With total rows T,
+    budget N = T // budget_den and integer weight w(g), each group keeps
+    quota(g) = min(n(g), N * w(g) // Σw) rows — the w-proportional
+    allocation capped by availability. Selection within a group is the
+    smallest-splitmix(id) order (ties by id), the same replayable
+    subsample primitive as the stratified/weighted samplers.
+
+    Plan: per-group counts (tiny two-phase shuffle) → quotas computed
+    driver-side in EXACT Python ints (bounded by the number of groups,
+    not the data) → per-group hash-order head in one bucketed pass.
+    Upsampling (quota > n) is out of scope: quotas cap at n(g)."""
+    counts = grouped_count(ds, [group_col], out="n",
+                           num_buckets=num_buckets).to_pandas()
+    total = int(counts["n"].sum())
+    budget = total // budget_den
+    sw = sum(int(weights[g]) for g in counts[group_col])
+    quota = {g: min(int(n), budget * int(weights[g]) // sw)
+             for g, n in zip(counts[group_col], counts["n"])}
+
+    bucketed = ds.map_batches(
+        lambda b: add_bucket_column(b, [group_col], num_buckets),
+        batch_format="pyarrow")
+
+    def head_per_group(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas()
+        h = _splitmix(df[id_col].to_numpy().astype(np.uint64))
+        df = df.assign(_h=h.astype(np.uint64))
+        df = df.sort_values([group_col, "_h", id_col], kind="stable")
+        parts = []
+        for key, sub in df.groupby(group_col, sort=False):
+            parts.append(sub.head(quota.get(key, 0)))
+        out = pd.concat(parts) if parts else df.iloc[:0]
+        return pa.table({
+            id_col: pa.array(out[id_col].to_numpy(), pa.int64()),
+            group_col: pa.array(out[group_col], pa.string())})
+
+    return bucketed.groupby("bucket").map_groups(
+        head_per_group, batch_format="pyarrow")

@@ -223,3 +223,25 @@ def test_knn_self_join_ivf_k1_shape_unchanged(ray_session):
          .to_pandas().sort_values("vec_id").reset_index(drop=True))
     assert list(b.columns) == ["vec_id", "nn_id"]
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_mixture_resample_quotas(ray_session):
+    from mvt_wrangler_ray.stages.shuffle import mixture_resample
+
+    # 3 groups with skewed sizes; weights force cap + proportional mix
+    df = pd.DataFrame({
+        "doc_id": np.arange(100, dtype=np.int64),
+        "source": ["a"] * 70 + ["b"] * 25 + ["c"] * 5})
+    weights = {"a": 1, "b": 1, "c": 8}
+    out = mixture_resample(rd.from_pandas(df), "source", weights,
+                           "doc_id").to_pandas()
+    got = out.groupby("source").size().to_dict()
+    # budget = 50, sw = 10: a -> min(70, 50*1//10)=5, b -> min(25,5)=5,
+    # c -> min(5, 50*8//10)=5 (capped by availability)
+    assert got == {"a": 5, "b": 5, "c": 5}
+    # determinism: same call returns the same ids
+    out2 = mixture_resample(rd.from_pandas(df), "source", weights,
+                            "doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # members must come from their own group
+    assert (out[out["source"] == "c"]["doc_id"] >= 95).all()

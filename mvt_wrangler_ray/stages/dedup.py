@@ -1318,7 +1318,7 @@ def embedding_near_dups(ds_emb, threshold: float = 0.95,
                                                  batch_format="pyarrow")
 
 
-def _distinct_pairs(ids: np.ndarray, wh: np.ndarray):
+def _distinct_id_hash_rows(ids: np.ndarray, wh: np.ndarray):
     """Distinct (id, hash) rows via one lexsort + consecutive-duplicate
     mask — ~10× faster than np.unique(axis=0)'s void-dtype sort on the
     multi-million-row window explodes."""
@@ -1395,7 +1395,7 @@ def ngram_contamination(train_ds, eval_ds, n: int = 5, col: str = "text",
             w = span_windows_batch(b, n, col, id_col)
             ids = w["doc_id"].to_numpy(zero_copy_only=False)
             wh = w["whash"].to_numpy(zero_copy_only=False)
-            dids, dwh = _distinct_pairs(ids, wh)
+            dids, dwh = _distinct_id_hash_rows(ids, wh)
             uids, inv = (np.unique(dids, return_inverse=True)
                          if len(dids)
                          else (np.empty(0, np.int64),
@@ -1428,7 +1428,7 @@ def ngram_contamination(train_ds, eval_ds, n: int = 5, col: str = "text",
     def tr_distinct(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         wh = b["whash"].to_numpy(zero_copy_only=False)
-        dids, dwh = _distinct_pairs(ids, wh)
+        dids, dwh = _distinct_id_hash_rows(ids, wh)
         t = pa.table({"doc_id": pa.array(dids, pa.int64()),
                       "whash": pa.array(dwh, pa.int64())})
         t = add_bucket_column(t, ["whash"], num_buckets)

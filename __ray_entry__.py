@@ -1219,6 +1219,34 @@ def _q_spatial_clusters(sf_dir: str):
     return grid_clusters(pts, res_deg=4.0, min_pts=1)
 
 
+def _q_decontaminated_corpus(sf_dir: str):
+    """The FULL LLM data-prep chain composed end-to-end: quality gate →
+    language gate → exact dedup → near dedup (pipelines/corpus
+    .clean_corpus) → benchmark DECONTAMINATION (drop the eval slice,
+    then drop survivors sharing any 5-gram window with it). The
+    contaminated-id set flows through the bucketed anti join, so no
+    stage assumes it fits on the driver."""
+    from mvt_wrangler_ray.pipelines.corpus import clean_corpus
+    from mvt_wrangler_ray.stages.dedup import ngram_contamination
+    from mvt_wrangler_ray.stages.shuffle import bucketed_key_semi_join
+
+    survivors, _ = clean_corpus(
+        _docs(sf_dir, ["doc_id", "text"]), min_quality=0.1,
+        langs=("en", "de", "fr", "es", "zh", "und"), near_dup_threshold=0.8)
+    tr = survivors.map_batches(_split_docs_train, batch_format="pyarrow")
+    ev = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _split_docs_eval, batch_format="pyarrow")
+    cont = ngram_contamination(tr, ev, n=5).map_batches(
+        lambda b: b.filter(pa.compute.equal(b["contaminated"], 1))
+                   .select(["doc_id"]),
+        batch_format="pyarrow")
+    clean = bucketed_key_semi_join(
+        tr.map_batches(lambda b: b.select(["doc_id"]),
+                       batch_format="pyarrow"),
+        cont, "doc_id", anti=True)
+    return clean
+
+
 def _q_mixture_sample(sf_dir: str):
     """Training-mixture resampling over documents: target weights
     w(srcN) = N + 1, budget = total // 2, per-source quota
@@ -2621,15 +2649,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # → clean_corpus, hash_join → revenue_by_nation, thumbnails →
     # pixel_histogram). All 88 stay covered by test_oracle_parity at
     # sf0.001 and sf0.01.
-    # Round-4 window: the 7 never-certified round-4 queries register
+    # Round-4 window: the 8 never-certified round-4 queries register
     # FIRST (contamination — the n-gram decontamination pass;
     # spatial_clusters — grid-DBSCAN components; knn_graph — top-k
     # neighbor lists; augment_flip — flip augmentation through the real
     # PNG codec; knn_self_ivf — the forced IVF cutover lane;
     # tile_px_mean — the image × tile composition), pushing
     # minhash_near_dup, jaccard_near_dup, events_asof, range_count,
-    # phash_knn, nearest_site_kd and knn_ivf (all hash-green in
-    # CORRECTNESS_r03)
+    # phash_knn, nearest_site_kd, knn_ivf and topk_per_group (all
+    # hash-green in CORRECTNESS_r03)
     # to the tail; their richer in-window relatives are clean_corpus
     # (minhash near-dup inside), the semantic/embedding/image near-dup
     # family, knn_graph/knn_self/knn_ivf, and the
@@ -2640,6 +2668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "augment_flip": _q_augment_flip,
         "mixture_sample": _q_mixture_sample,
+        "decontaminated_corpus": _q_decontaminated_corpus,
         "knn_self_ivf": _q_knn_self_ivf,
         "tile_px_mean": _q_tile_px_mean,
         "features_transform": _q_features_transform,
@@ -2684,7 +2713,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_density": _q_tile_density,
         "pip_join": _q_pip_join,
         "expr_filter": _q_expr_filter,
-        "topk_per_group": _q_topk_per_group,
         "minhash_near_dup": _q_minhash_near_dup,
         "jaccard_near_dup": _q_jaccard_near_dup,
         "normalize_text": _q_normalize_text,
@@ -2730,6 +2758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_knn": _q_phash_knn,
         "nearest_site_kd": _q_nearest_site_kd,
         "knn_ivf": _q_knn_ivf,
+        "topk_per_group": _q_topk_per_group,
     }
 
 
@@ -3631,6 +3660,22 @@ FROM wins JOIN cnt USING (whash) GROUP BY 1
 """
 
 
+def _sql_decontaminated_corpus() -> str:
+    """_q_decontaminated_corpus in SQL: the clean_corpus survivor chain,
+    minus the eval slice, minus survivors flagged by the contamination
+    subquery (a survivor shorter than the window width emits no
+    contamination row and is kept — mirrored by NOT IN over flagged ids
+    only). Contamination per doc depends only on the doc's own windows
+    vs the eval set, so deriving it over ALL train docs and then
+    restricting to survivors equals deriving it over survivors."""
+    return f"""
+SELECT s.doc_id FROM ({_sql_clean_corpus(0.1, 0.8)}) s
+WHERE s.doc_id % 97 <> 0
+  AND s.doc_id NOT IN (
+    SELECT doc_id FROM ({_sql_contamination(5)}) WHERE contaminated = 1)
+"""
+
+
 def _sql_mixture_sample() -> str:
     """stages/shuffle.mixture_resample in SQL: same exact-integer quota
     (budget = Σn // 2, quota = min(n, budget·w // Σw), w = srcN's N + 1)
@@ -4388,6 +4433,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": _SQL_KNN_GRAPH,
         "augment_flip": _sql_augment_flip(),
         "mixture_sample": _sql_mixture_sample(),
+        "decontaminated_corpus": _sql_decontaminated_corpus(),
         "knn_self_ivf": _SQL_KNN_SELF,
         "tile_px_mean": _sql_tile_px_mean(),
         "pyramid_rollup": _sql_pyramid_rollup(),

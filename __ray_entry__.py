@@ -1233,7 +1233,10 @@ def _q_decontaminated_corpus(sf_dir: str):
     survivors, _ = clean_corpus(
         _docs(sf_dir, ["doc_id", "text"]), min_quality=0.1,
         langs=("en", "de", "fr", "es", "zh", "und"), near_dup_threshold=0.8)
-    tr = survivors.map_batches(_split_docs_train, batch_format="pyarrow")
+    # two consumers (contamination windows + anti-join left): pin the
+    # survivor blocks once instead of re-running the whole clean chain
+    tr = survivors.map_batches(_split_docs_train,
+                               batch_format="pyarrow").materialize()
     ev = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         _split_docs_eval, batch_format="pyarrow")
     cont = ngram_contamination(tr, ev, n=5).map_batches(

@@ -364,11 +364,14 @@ def _q_tile_px_mean(sf_dir: str):
 
     ds = images_from_documents(sf_dir)
     _cache: dict = {}
+    from mvt_wrangler_ray.stages.image import strict_codecs_default
+    _strict = strict_codecs_default()  # driver-resolved, shipped in the closure
 
     def pxsums(b: pa.Table) -> pa.Table:
         st = _cache.get("s")
         if st is None:
-            st = _cache["s"] = DecodeImageStage(compute_phash=False)
+            st = _cache["s"] = DecodeImageStage(compute_phash=False,
+                                                strict=_strict)
         payloads = b["bytes"].to_pylist()
         ws = b["w"].to_numpy(zero_copy_only=False)
         hs = b["h"].to_numpy(zero_copy_only=False)
@@ -733,11 +736,13 @@ def _q_decode_images(sf_dir: str):
     from mvt_wrangler_ray.stages.image import DecodeImageStage
     ds = images_from_documents(sf_dir)
     _cache: dict = {}
+    from mvt_wrangler_ray.stages.image import strict_codecs_default
+    _strict = strict_codecs_default()  # driver-resolved, shipped in the closure
 
     def decode(b):
         st = _cache.get("s")
         if st is None:
-            st = _cache["s"] = DecodeImageStage()
+            st = _cache["s"] = DecodeImageStage(strict=_strict)
         return st(b)
 
     out = ds.map_batches(decode, batch_format="pyarrow", batch_size=1024)
@@ -761,11 +766,13 @@ def _q_image_near_dup(sf_dir: str):
 
     ds = images_from_documents_retouched(sf_dir)
     _cache: dict = {}
+    from mvt_wrangler_ray.stages.image import strict_codecs_default
+    _strict = strict_codecs_default()  # driver-resolved, shipped in the closure
 
     def decode(b):
         st = _cache.get("s")
         if st is None:
-            st = _cache["s"] = DecodeImageStage()
+            st = _cache["s"] = DecodeImageStage(strict=_strict)
         return st(b).select(["doc_id", "phash_recomputed"])
 
     sig = ds.map_batches(decode, batch_format="pyarrow", batch_size=1024)
@@ -1082,11 +1089,14 @@ def _q_caption_pixel_corr(sf_dir: str):
 
     ds = images_from_documents(sf_dir)
     _cache: dict = {}
+    from mvt_wrangler_ray.stages.image import strict_codecs_default
+    _strict = strict_codecs_default()  # driver-resolved, shipped in the closure
 
     def partials(b: pa.Table) -> pa.Table:
         st = _cache.get("s")
         if st is None:
-            st = _cache["s"] = DecodeImageStage(compute_phash=False)
+            st = _cache["s"] = DecodeImageStage(compute_phash=False,
+                                                strict=_strict)
         _, _, dl = whitespace_tokens(b["caption"])
         x = dl.astype(np.int64)
         payloads = b["bytes"].to_pylist()
@@ -1196,7 +1206,12 @@ def _q_contamination(sf_dir: str):
     ratio, and the contaminated flag. The eval window-hash set ships
     once via ray.put and the train side is one map_batches pass
     (stages/dedup.ngram_contamination; bucketed flag-join lane above
-    the broadcast limit)."""
+    the broadcast limit). The two slices deliberately RE-SCAN the
+    parquet source rather than materialize() it: at corpus scale a
+    second streaming columnar scan is cheap, while pinning the whole
+    documents table in the object store is not (contrast
+    _q_decontaminated_corpus, which pins only the post-dedup survivor
+    minority)."""
     from mvt_wrangler_ray.stages.dedup import ngram_contamination
 
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -1291,11 +1306,14 @@ def _q_augment_flip(sf_dir: str):
     from mvt_wrangler_ray.stages.image import DecodeImageStage
 
     _cache: dict = {}
+    from mvt_wrangler_ray.stages.image import strict_codecs_default
+    _strict = strict_codecs_default()  # driver-resolved, shipped in the closure
 
     def flipstats(b: pa.Table) -> pa.Table:
         st = _cache.get("s")
         if st is None:
-            st = _cache["s"] = DecodeImageStage(compute_phash=False)
+            st = _cache["s"] = DecodeImageStage(compute_phash=False,
+                                                strict=_strict)
         payloads = b["bytes"].to_pylist()
         ws = b["w"].to_numpy(zero_copy_only=False)
         hs = b["h"].to_numpy(zero_copy_only=False)
@@ -1656,11 +1674,13 @@ def _q_image_stats(sf_dir: str):
 
     ds = images_from_documents(sf_dir)
     _cache: dict = {}
+    from mvt_wrangler_ray.stages.image import strict_codecs_default
+    _strict = strict_codecs_default()  # driver-resolved, shipped in the closure
 
     def feats(b):
         st = _cache.get("s")
         if st is None:
-            st = _cache["s"] = ImageStatsStage()
+            st = _cache["s"] = ImageStatsStage(strict=_strict)
         return st(b)
 
     return ds.map_batches(feats, batch_format="pyarrow", batch_size=1024)
@@ -1677,11 +1697,13 @@ def _q_thumbnails(sf_dir: str):
     from mvt_wrangler_ray.stages.image import ResizeStage
 
     _cache: dict = {}
+    from mvt_wrangler_ray.stages.image import strict_codecs_default
+    _strict = strict_codecs_default()  # driver-resolved, shipped in the closure
 
     def thumbs(b: pa.Table) -> pa.Table:
         st = _cache.get("s")
         if st is None:
-            st = _cache["s"] = ResizeStage((32, 32))
+            st = _cache["s"] = ResizeStage((32, 32), strict=_strict)
         out = st(b)
         means = np.fromiter(
             (decode_png(t).astype(np.int64).sum() / 1024

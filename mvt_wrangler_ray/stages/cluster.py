@@ -356,6 +356,15 @@ def grid_clusters(ds_points, res_deg: float = 8.0, min_pts: int = 1,
     from .dedup import cluster_pairs
     from .shuffle import grouped_count
 
+    # packing correctness bound: cy = floor((lat+90)/res) must stay
+    # under the 1024 row stride for every lat in [-90, 90], or distinct
+    # cells collide into one id (and the +1/+1024 adjacency corrupts)
+    if 180.0 / res_deg >= 1023:
+        raise ValueError(
+            f"res_deg={res_deg} packs more than 1023 latitude rows into "
+            "the cx*1024+cy cell id; use res_deg > 180/1023 (~0.176°) "
+            "or widen the row stride")
+
     def cellify(b: pa.Table) -> pa.Table:
         lon = b[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
         lat = b[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)

@@ -1418,16 +1418,20 @@ def ngram_contamination(train_ds, eval_ds, n: int = 5, col: str = "text",
             per_doc, batch_format="pyarrow").map_batches(
             finish, batch_format="pyarrow")
 
-    # bucketed flag-join lane: train windows (side 0) union eval hashes
-    # (side 1), co-located by whash bucket; each bucket flags membership
-    # with one vectorized is_in, then a two-phase per-doc aggregate
-    tr_win = train_ds.map_batches(
-        lambda b: span_windows_batch(b, n, col, id_col),
-        batch_format="pyarrow")
+    # bucketed flag-join lane: DISTINCT train windows (side 0) union eval
+    # hashes (side 1), co-located by whash bucket; each bucket flags
+    # membership with one vectorized is_in, then a two-phase per-doc
+    # aggregate. Explode + per-doc distinct happen inside ONE UDF over
+    # the raw doc rows: a doc's windows all derive from its single input
+    # row, so distinctness is complete before Ray can split the (much
+    # larger) window table into blocks — a separate distinct stage after
+    # the explode would dedup per BLOCK, not per doc, and double-count
+    # duplicate windows straddling a split.
 
     def tr_distinct(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        wh = b["whash"].to_numpy(zero_copy_only=False)
+        w = span_windows_batch(b, n, col, id_col)
+        ids = w["doc_id"].to_numpy(zero_copy_only=False)
+        wh = w["whash"].to_numpy(zero_copy_only=False)
         dids, dwh = _distinct_id_hash_rows(ids, wh)
         t = pa.table({"doc_id": pa.array(dids, pa.int64()),
                       "whash": pa.array(dwh, pa.int64())})
@@ -1440,7 +1444,7 @@ def ngram_contamination(train_ds, eval_ds, n: int = 5, col: str = "text",
         t = add_bucket_column(t, ["whash"], num_buckets)
         return t.append_column("_side", pa.array(np.ones(len(t), np.int8)))
 
-    unioned = (tr_win.map_batches(tr_distinct, batch_format="pyarrow")
+    unioned = (train_ds.map_batches(tr_distinct, batch_format="pyarrow")
                .union(ev_hashes.map_batches(ev_tag, batch_format="pyarrow")))
 
     def flag_bucket(g: pa.Table) -> pa.Table:

@@ -90,6 +90,20 @@ def phash64(pixels: np.ndarray) -> np.int64:
     return np.int64(val - (1 << 64) if val >= 1 << 63 else val)
 
 
+def strict_codecs_default() -> bool:
+    """Resolve MVT_STRICT_CODECS on the DRIVER at plan-build time.
+    Stage ``__init__``s execute inside Ray worker processes, which on a
+    multi-node cluster do NOT inherit driver env vars (absent a
+    runtime_env) — a driver-side export would silently leave strict
+    mode off on remote workers. Call this where the plan is built and
+    pass the bool into the stage constructor explicitly; the env
+    fallback inside the stages remains for single-process use."""
+    import os
+
+    return os.environ.get(
+        "MVT_STRICT_CODECS", "").lower() in ("1", "true", "yes")
+
+
 class DecodeImageStage:
     """Actor pool stage: bytes → decoded stats + recomputed phash.
     Keep batch_size SMALL here (wide binary rows): batch × pool must fit
@@ -198,8 +212,9 @@ class ImageStatsStage:
     end), so results are bit-identical across engines and batch splits.
     Pixels never leave the stage — only four scalars per image do."""
 
-    def __init__(self):
-        self._decoder = DecodeImageStage(compute_phash=False)
+    def __init__(self, strict: Optional[bool] = None):
+        self._decoder = DecodeImageStage(compute_phash=False,
+                                         strict=strict)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["bytes"].to_pylist()
@@ -234,8 +249,9 @@ class PixelHistogramStage:
     whole-corpus value distribution costs ONE tiny 256-row exchange —
     pixels never leave the stage, each block emits at most 256 rows."""
 
-    def __init__(self):
-        self._decoder = DecodeImageStage(compute_phash=False)
+    def __init__(self, strict: Optional[bool] = None):
+        self._decoder = DecodeImageStage(compute_phash=False,
+                                         strict=strict)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["bytes"].to_pylist()
@@ -282,9 +298,10 @@ class PngRecodeStage:
     with small steps PSNR stays ≥ 40 dB NON-trivially (asserted in
     tests/test_png_codec.py) — the BASELINE.json per-row invariant."""
 
-    def __init__(self, quant_step: int = 0):
+    def __init__(self, quant_step: int = 0,
+                 strict: Optional[bool] = None):
         self.quant_step = int(quant_step)
-        self._inner = DecodeImageStage(compute_phash=False)
+        self._inner = DecodeImageStage(compute_phash=False, strict=strict)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..codecs.png import encode_png
@@ -321,9 +338,9 @@ class LossyRecodeStage:
     invariant exercised by a real transform codec rather than a
     bit-identical fake (tests/test_dct_codec.py asserts both halves)."""
 
-    def __init__(self, step: int = 2):
+    def __init__(self, step: int = 2, strict: Optional[bool] = None):
         self.step = int(step)
-        self._inner = DecodeImageStage(compute_phash=False)
+        self._inner = DecodeImageStage(compute_phash=False, strict=strict)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..codecs.dct import decode_ljpg, encode_ljpg
@@ -352,9 +369,11 @@ class ResizeStage:
     re-encode as a genuine PNG. thumb_w/thumb_h always describe the
     actual thumb_bytes content."""
 
-    def __init__(self, target: Tuple[int, int] = (64, 64)):
+    def __init__(self, target: Tuple[int, int] = (64, 64),
+                 strict: Optional[bool] = None):
         self.target = target
-        self._decoder = DecodeImageStage(compute_phash=False)
+        self._decoder = DecodeImageStage(compute_phash=False,
+                                         strict=strict)
 
     @staticmethod
     def _nearest_resample(px: np.ndarray, tw: int, th: int) -> np.ndarray:

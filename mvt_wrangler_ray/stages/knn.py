@@ -268,49 +268,18 @@ def knn_self_join(ds, vec_col: str = "embedding", id_col: str = "vec_id",
       tiny (id, nn_id, score) rows to a final per-id merge. Exact when
       nprobe = ncentroids; approximate (IVF recall) below that.
 
-    The count runs BEFORE any materialization so the exact lane never
-    pins blocks it would abandon. Returns (id_col, nn_id)."""
-    import ray
-
-    n = ds.count()
-    if n > broadcast_limit:
-        return knn_self_join_ivf(ds, vec_col=vec_col, id_col=id_col,
-                                 ncentroids=ncentroids, nprobe=nprobe,
-                                 broadcast_limit=broadcast_limit)
-    full = ds.materialize()
-    ref_tbl = full.to_pandas()
-    ids = ref_tbl[id_col].to_numpy().astype(np.int64)
-    order = np.argsort(ids, kind="stable")
-    mat = _normalize(np.vstack(ref_tbl[vec_col].to_numpy()[order])
-                     .astype(np.float64))
-    ref = ray.put((ids[order], mat))
-    _cache: dict = {}
-
-    def nn(b: pa.Table) -> pa.Table:
-        m = _cache.get("m")
-        if m is None:
-            m = _cache["m"] = ray.get(ref)
-        all_ids, all_mat = m
-        q = _normalize(_as_matrix(b[vec_col]))
-        qids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(qids) == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "nn_id": pa.array([], pa.int64())})
-        sims = q @ all_mat.T
-        # mask self matches by ID (robust to duplicate vectors)
-        pos = np.searchsorted(all_ids, qids)
-        pos_c = np.minimum(pos, len(all_ids) - 1)
-        selfmask = all_ids[pos_c] == qids
-        sims[np.arange(len(qids))[selfmask], pos_c[selfmask]] = -np.inf
-        best = np.argmax(sims, axis=1)  # first max → lowest id (sorted)
-        # a 1-row corpus leaves every candidate masked: no OTHER row
-        # exists, so emit nothing (matching the <> self-join oracle)
-        valid = sims[np.arange(len(qids)), best] > -np.inf
-        return pa.table({id_col: pa.array(qids[valid], pa.int64()),
-                         "nn_id": pa.array(all_ids[best[valid]],
-                                           pa.int64())})
-
-    return full.map_batches(nn, batch_format="pyarrow")
+    Both lanes CONSUME the materialized blocks (the IVF lane maps the
+    corpus twice — corpus + probe roles — so pinning once beats a double
+    upstream re-execution; a computed input pipeline would otherwise run
+    in full for the count and again for the data). Returns (id_col,
+    nn_id). Delegates to knn_self_graph(k=1): the self-join IS the
+    one-neighbor graph, so there is exactly one copy of the
+    self-mask/tie-order logic to keep correct."""
+    out = knn_self_graph(ds, k=1, vec_col=vec_col, id_col=id_col,
+                         broadcast_limit=broadcast_limit,
+                         ncentroids=ncentroids, nprobe=nprobe)
+    return out.map_batches(
+        lambda b: b.select([id_col, "nn_id"]), batch_format="pyarrow")
 
 
 def knn_self_join_ivf(ds, vec_col: str = "embedding",
@@ -475,16 +444,30 @@ def knn_self_graph(ds, k: int = 3, vec_col: str = "embedding",
 
     Above ``broadcast_limit`` rows it cuts over AUTOMATICALLY to the
     IVF-partitioned lane (knn_self_join_ivf with k rows per probe —
-    exact when nprobe = ncentroids); the count runs before any
-    materialization, so no blocks pin before the cutover decision."""
+    exact when nprobe = ncentroids). The input materializes ONCE and
+    both lanes consume the pinned blocks (count() on the materialized
+    set is free; counting first would re-execute a computed upstream
+    pipeline twice, and there is no refusal branch left that could
+    waste the pin)."""
     import ray
 
-    n = ds.count()
-    if n > broadcast_limit:
-        return knn_self_join_ivf(ds, vec_col=vec_col, id_col=id_col,
-                                 ncentroids=ncentroids, nprobe=nprobe,
-                                 broadcast_limit=broadcast_limit, k=k)
     full = ds.materialize()
+    n = full.count()
+    if n > broadcast_limit:
+        out = knn_self_join_ivf(full, vec_col=vec_col, id_col=id_col,
+                                ncentroids=ncentroids, nprobe=nprobe,
+                                broadcast_limit=broadcast_limit, k=k)
+        if k == 1:
+            # the k=1 IVF shape is (id, nn_id); the graph contract
+            # carries nn_rank
+            out = out.map_batches(
+                lambda b: pa.table({
+                    id_col: b[id_col],
+                    "nn_rank": pa.array(np.ones(len(b), np.int64),
+                                        pa.int64()),
+                    "nn_id": b["nn_id"]}),
+                batch_format="pyarrow")
+        return out
     ref_tbl = full.to_pandas()
     ids = ref_tbl[id_col].to_numpy().astype(np.int64)
     order = np.argsort(ids, kind="stable")

@@ -446,8 +446,10 @@ def mixture_resample(ds, group_col: str, weights: dict, id_col: str,
                            num_buckets=num_buckets).to_pandas()
     total = int(counts["n"].sum())
     budget = total // budget_den
-    sw = sum(int(weights[g]) for g in counts[group_col])
-    quota = {g: min(int(n), budget * int(weights[g]) // sw)
+    # a group absent from `weights` gets weight 0 → quota 0 (dropped),
+    # consistent with the quota.get(key, 0) head below
+    sw = sum(int(weights.get(g, 0)) for g in counts[group_col]) or 1
+    quota = {g: min(int(n), budget * int(weights.get(g, 0)) // sw)
              for g, n in zip(counts[group_col], counts["n"])}
 
     bucketed = ds.map_batches(

@@ -245,3 +245,55 @@ def test_mixture_resample_quotas(ray_session):
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
     # members must come from their own group
     assert (out[out["source"] == "c"]["doc_id"] >= 95).all()
+
+
+def test_contamination_bucketed_lane_survives_block_splits(ray_session):
+    # regression (round-4 review): the window explode is much larger
+    # than the doc rows, and Ray splits it into blocks; per-doc
+    # distinctness must be complete BEFORE any split or duplicate
+    # windows straddling a boundary double-count. Force tiny blocks and
+    # a doc whose 500x-repeated text explodes past them.
+    import ray
+
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 1 << 14  # 16 KiB
+    try:
+        tr = pd.DataFrame({
+            "doc_id": np.array([1], np.int64),
+            "text": ["alpha beta gamma delta " * 500]})
+        ev = pd.DataFrame({
+            "doc_id": np.array([9], np.int64),
+            "text": ["beta gamma delta"]})
+        a = ngram_contamination(rd.from_pandas(tr), rd.from_pandas(ev),
+                                n=3).to_pandas()
+        b = ngram_contamination(rd.from_pandas(tr), rd.from_pandas(ev),
+                                n=3, broadcast_eval_limit=0).to_pandas()
+        # 4 distinct 3-grams in the cycle, 1 shared with eval
+        assert a["n_ngrams"].tolist() == [4]
+        assert a["n_overlap"].tolist() == [1]
+        pd.testing.assert_frame_equal(
+            a.sort_values("doc_id").reset_index(drop=True),
+            b.sort_values("doc_id").reset_index(drop=True))
+    finally:
+        ctx.target_max_block_size = old
+
+
+def test_grid_clusters_rejects_overflowing_resolution(ray_session):
+    # regression (round-4 review): res below 180/1023 deg packs >= 1024
+    # latitude rows and distinct cells would collide into one id
+    df = pd.DataFrame({"lon": [-179.95, -179.85], "lat": [12.45, -89.95]})
+    with pytest.raises(ValueError, match="row stride"):
+        grid_clusters(rd.from_pandas(df), res_deg=0.1)
+
+
+def test_mixture_resample_unweighted_group_dropped(ray_session):
+    from mvt_wrangler_ray.stages.shuffle import mixture_resample
+
+    df = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64),
+                       "source": ["a"] * 10 + ["b"] * 10})
+    out = mixture_resample(rd.from_pandas(df), "source", {"a": 1},
+                           "doc_id").to_pandas()
+    # budget = 10, sw = 1: a -> min(10, 10) = 10 kept, b -> weight 0 -> 0
+    assert set(out["source"]) == {"a"}
+    assert len(out) == 10

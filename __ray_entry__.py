@@ -1265,6 +1265,45 @@ def _q_decontaminated_corpus(sf_dir: str):
     return clean
 
 
+def _q_burst_rate(sf_dir: str):
+    """Per-user max burst rate over the events log (the bot / abuse
+    detector): for each event, the user's events in [ts, ts + 6h);
+    per user the maximum and the total count. One vectorized pass per
+    user-hash bucket — every user at once via disjoint-range shifting +
+    one global searchsorted pair (stages/events.burst_counts)."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.events import burst_counts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return burst_counts(ev, window_seconds=21_600.0)
+
+
+def _q_blur_score(sf_dir: str):
+    """Image-quality (blur) scoring over the image payloads: decode in
+    an actor-shaped map_batches, variance-of-Laplacian per image — the
+    standard out-of-focus detector a 100-TB image corpus filters on.
+    Exact int64 ΣL / ΣL² with one trailing float variance expression
+    (stages/image.BlurScoreStage), mirrored token-for-token by the
+    closed-form oracle."""
+    from mvt_wrangler_ray.sources.images import images_from_documents
+    from mvt_wrangler_ray.stages.image import (BlurScoreStage,
+                                               strict_codecs_default)
+
+    ds = images_from_documents(sf_dir)
+    _cache: dict = {}
+    _strict = strict_codecs_default()
+
+    def f(b):
+        st = _cache.get("s")
+        if st is None:
+            st = _cache["s"] = BlurScoreStage(strict=_strict)
+        return st(b)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=1024)
+
+
 def _q_mixture_sample(sf_dir: str):
     """Training-mixture resampling over documents: target weights
     w(srcN) = N + 1, budget = total // 2, per-source quota
@@ -2674,15 +2713,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # → clean_corpus, hash_join → revenue_by_nation, thumbnails →
     # pixel_histogram). All 88 stay covered by test_oracle_parity at
     # sf0.001 and sf0.01.
-    # Round-4 window: the 8 never-certified round-4 queries register
+    # Round-4 window: the 10 never-certified round-4 queries register
     # FIRST (contamination — the n-gram decontamination pass;
     # spatial_clusters — grid-DBSCAN components; knn_graph — top-k
     # neighbor lists; augment_flip — flip augmentation through the real
     # PNG codec; knn_self_ivf — the forced IVF cutover lane;
     # tile_px_mean — the image × tile composition), pushing
     # minhash_near_dup, jaccard_near_dup, events_asof, range_count,
-    # phash_knn, nearest_site_kd, knn_ivf and topk_per_group (all
-    # hash-green in CORRECTNESS_r03)
+    # phash_knn, nearest_site_kd, knn_ivf, topk_per_group, expr_filter
+    # and pip_join (all hash-green in CORRECTNESS_r03)
     # to the tail; their richer in-window relatives are clean_corpus
     # (minhash near-dup inside), the semantic/embedding/image near-dup
     # family, knn_graph/knn_self/knn_ivf, and the
@@ -2694,6 +2733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_flip": _q_augment_flip,
         "mixture_sample": _q_mixture_sample,
         "decontaminated_corpus": _q_decontaminated_corpus,
+        "blur_score": _q_blur_score,
+        "burst_rate": _q_burst_rate,
         "knn_self_ivf": _q_knn_self_ivf,
         "tile_px_mean": _q_tile_px_mean,
         "features_transform": _q_features_transform,
@@ -2736,8 +2777,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copresence": _q_copresence,
         "tile_assign": _q_tile_assign,
         "tile_density": _q_tile_density,
-        "pip_join": _q_pip_join,
-        "expr_filter": _q_expr_filter,
         "minhash_near_dup": _q_minhash_near_dup,
         "jaccard_near_dup": _q_jaccard_near_dup,
         "normalize_text": _q_normalize_text,
@@ -2784,6 +2823,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_site_kd": _q_nearest_site_kd,
         "knn_ivf": _q_knn_ivf,
         "topk_per_group": _q_topk_per_group,
+        "expr_filter": _q_expr_filter,
+        "pip_join": _q_pip_join,
     }
 
 
@@ -3701,6 +3742,60 @@ WHERE s.doc_id % 97 <> 0
 """
 
 
+def _sql_burst_rate(window_seconds: int = 21_600) -> str:
+    """stages/events.burst_counts in SQL: per-event window count via an
+    explicit self-join (b.ts >= a.ts AND b.ts < a.ts + window — the
+    searchsorted boundary semantics, right-exclusive), then per-user
+    max + total."""
+    return f"""
+WITH w AS (SELECT a.user_id, a.event_id, CAST(count(*) AS BIGINT) AS c
+  FROM events a JOIN events b ON b.user_id = a.user_id
+   AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL {window_seconds} SECOND
+  GROUP BY 1, 2)
+SELECT user_id, CAST(max(c) AS BIGINT) AS max_burst,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY 1
+"""
+
+
+def _sql_blur_score() -> str:
+    """stages/image.BlurScoreStage in closed form: the fake-decode pixel
+    field V(r,c) (as in _sql_tile_px_mean), 5-point Laplacian over the
+    interior, exact int64 ΣL / ΣL², and the identical one-division float
+    variance expression (n·ΣL² − ΣL·ΣL) / (n·n)."""
+    fnv = _sql_fnv64("printf('img%08d', doc_id)", 11)
+
+    def v(dr: int, dc: int) -> str:
+        return (f"(((((r + {dr}) * w + (c + {dc})) % 64) * s8 + t8)"
+                " % 256)")
+
+    lap = (f"(4 * {v(0, 0)} - {v(-1, 0)} - {v(1, 0)} - {v(0, -1)}"
+           f" - {v(0, 1)})")
+    return f"""
+WITH img AS (SELECT doc_id, {fnv} AS h FROM documents),
+geom AS (SELECT doc_id,
+  CAST(32 + CAST(h % 97 AS BIGINT) AS BIGINT) AS w,
+  CAST(32 + CAST((h >> 8) % 97 AS BIGINT) AS BIGINT) AS hh,
+  CAST((h | 1) & 255 AS BIGINT) AS s8,
+  CAST((h >> 7) & 255 AS BIGINT) AS t8
+  FROM img),
+lp AS (SELECT doc_id, CAST(sum(l) AS BIGINT) AS lap_sum,
+  CAST(sum(l * l) AS BIGINT) AS lap_sq_sum,
+  CAST(count(*) AS BIGINT) AS n_interior
+  FROM (SELECT doc_id, {lap} AS l
+        FROM (SELECT doc_id, w, s8, t8, r, unnest(range(1, w - 1)) AS c
+              FROM (SELECT doc_id, w, hh, s8, t8,
+                           unnest(range(1, hh - 1)) AS r
+                    FROM geom)))
+  GROUP BY 1)
+SELECT doc_id, lap_sum, lap_sq_sum, n_interior,
+  (CAST(n_interior AS DOUBLE) * CAST(lap_sq_sum AS DOUBLE)
+   - CAST(lap_sum AS DOUBLE) * CAST(lap_sum AS DOUBLE))
+  / (CAST(n_interior AS DOUBLE) * CAST(n_interior AS DOUBLE)) AS blur_var
+FROM lp
+"""
+
+
 def _sql_mixture_sample() -> str:
     """stages/shuffle.mixture_resample in SQL: same exact-integer quota
     (budget = Σn // 2, quota = min(n, budget·w // Σw), w = srcN's N + 1)
@@ -4459,6 +4554,8 @@ def oracle_sql() -> dict[str, str]:
         "augment_flip": _sql_augment_flip(),
         "mixture_sample": _sql_mixture_sample(),
         "decontaminated_corpus": _sql_decontaminated_corpus(),
+        "blur_score": _sql_blur_score(),
+        "burst_rate": _sql_burst_rate(21_600),
         "knn_self_ivf": _SQL_KNN_SELF,
         "tile_px_mean": _sql_tile_px_mean(),
         "pyramid_rollup": _sql_pyramid_rollup(),

@@ -258,3 +258,61 @@ def funnel_depth(ds, steps, user_col: str = "user_id", ts_col: str = "ts",
 
     return bucketed.groupby("bucket").map_groups(
         depths, batch_format="pyarrow")
+
+
+def burst_counts(ds, window_seconds: float = 21_600.0,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 num_buckets: int = 64):
+    """Per-user MAX burst rate (the bot / abuse-rate detector of event
+    pipelines): for every event, the number of the same user's events in
+    [ts, ts + window) — boundary exclusive on the right — and per user
+    the maximum such count plus the total event count.
+
+    Plan: user-hash buckets like sessionize (group count = num_buckets,
+    never user cardinality); inside a bucket ONE vectorized pass for
+    every user at once — sort by (user, ts), shift each user's
+    timestamps into a disjoint numeric range (segment stride > span +
+    window), then a single global searchsorted pair yields the
+    per-event window counts and maximum.reduceat the per-user maxima.
+    No per-user Python loop; a hot user is one contiguous segment."""
+    from .shuffle import add_bucket_column
+
+    win = np.int64(int(window_seconds * 1_000_000))
+
+    bucketed = ds.map_batches(
+        lambda b: add_bucket_column(b, [user_col], num_buckets),
+        batch_format="pyarrow")
+
+    def bursts(g: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            g, sort_keys=[(user_col, "ascending"), (ts_col, "ascending")])
+        g = g.take(idx)
+        users = g[user_col].to_numpy(zero_copy_only=False)
+        ts = g[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        n = len(users)
+        if n == 0:
+            return pa.table({
+                user_col: g[user_col],
+                "max_burst": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64())})
+        starts = np.flatnonzero(
+            np.concatenate(([True], users[1:] != users[:-1])))
+        seg = np.cumsum(np.concatenate(
+            ([False], users[1:] != users[:-1]))).astype(np.int64)
+        # shift each user's times into a disjoint range so one global
+        # searchsorted respects user boundaries
+        stride = (ts.max() - ts.min()) + win + np.int64(1)
+        shifted = (ts - ts.min()) + seg * stride
+        lo = np.searchsorted(shifted, shifted, side="left")
+        hi = np.searchsorted(shifted, shifted + win, side="left")
+        counts = (hi - lo).astype(np.int64)
+        maxima = np.maximum.reduceat(counts, starts)
+        totals = np.diff(np.concatenate((starts, [n]))).astype(np.int64)
+        return pa.table({
+            user_col: g[user_col].take(pa.array(starts, pa.int64())),
+            "max_burst": pa.array(maxima, pa.int64()),
+            "n_events": pa.array(totals, pa.int64())})
+
+    return bucketed.groupby("bucket").map_groups(
+        bursts, batch_format="pyarrow")

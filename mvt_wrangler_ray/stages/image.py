@@ -398,3 +398,46 @@ class ResizeStage:
                 .append_column("thumb_w", pa.array(np.full(n, tw, np.int32), pa.int32()))
                 .append_column("thumb_h", pa.array(np.full(n, th, np.int32), pa.int32()))
                 .append_column("thumb_bytes", pa.array(thumbs, pa.binary())))
+
+
+class BlurScoreStage:
+    """Actor pool stage: decode → variance-of-Laplacian blur score (the
+    standard blur / out-of-focus detector for image-corpus filtering —
+    Pech-Pacheco et al. 2000). L(r,c) = 4·V(r,c) − V(r±1,c) − V(r,c±1)
+    over interior pixels; the sums ΣL and ΣL² accumulate in exact int64
+    (|L| ≤ 1020, so ΣL² < 2^44 even at 4096² pixels), and the variance
+    is ONE trailing float expression (n·ΣL² − ΣL²̄)/n² — bit-identical
+    to the closed-form SQL oracle. Pixels never leave the stage."""
+
+    def __init__(self, strict: Optional[bool] = None):
+        self._decoder = DecodeImageStage(compute_phash=False,
+                                         strict=strict)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        n = len(payloads)
+        ls = np.empty(n, np.int64)
+        lsq = np.empty(n, np.int64)
+        ni = np.empty(n, np.int64)
+        for i in range(n):
+            px = self._decoder._decode(
+                payloads[i], int(ws[i]), int(hs[i])).astype(np.int64)
+            if px.shape[0] < 3 or px.shape[1] < 3:
+                ls[i] = lsq[i] = ni[i] = 0
+                continue
+            lap = (4 * px[1:-1, 1:-1] - px[:-2, 1:-1] - px[2:, 1:-1]
+                   - px[1:-1, :-2] - px[1:-1, 2:])
+            ls[i] = int(lap.sum())
+            lsq[i] = int((lap * lap).sum())
+            ni[i] = lap.size
+        nf = ni.astype(np.float64)
+        var = (nf * lsq.astype(np.float64)
+               - ls.astype(np.float64) * ls.astype(np.float64)) / (nf * nf)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lap_sum": pa.array(ls, pa.int64()),
+            "lap_sq_sum": pa.array(lsq, pa.int64()),
+            "n_interior": pa.array(ni, pa.int64()),
+            "blur_var": pa.array(var, pa.float64())})

@@ -297,3 +297,62 @@ def test_mixture_resample_unweighted_group_dropped(ray_session):
     # budget = 10, sw = 1: a -> min(10, 10) = 10 kept, b -> weight 0 -> 0
     assert set(out["source"]) == {"a"}
     assert len(out) == 10
+
+
+def test_burst_counts_matches_brute(ray_session):
+    from mvt_wrangler_ray.stages.events import burst_counts
+
+    rng = np.random.default_rng(2)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 3_600_000_000, n),
+                             unit="us")})
+    W = 300.0  # 5-minute window
+    got = (burst_counts(rd.from_pandas(df), window_seconds=W)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    rows = []
+    for u, sub in df.groupby("user_id"):
+        t = np.sort(sub["ts"].astype("datetime64[us]").astype(np.int64))
+        c = [((t >= x) & (t < x + int(W * 1e6))).sum() for x in t]
+        rows.append((u, max(c), len(t)))
+    want = pd.DataFrame(rows, columns=["user_id", "max_burst",
+                                       "n_events"]) \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"max_burst": np.int64, "n_events": np.int64}), want)
+
+
+def test_burst_counts_duplicate_timestamps(ray_session):
+    from mvt_wrangler_ray.stages.events import burst_counts
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 2], np.int64),
+        "ts": [t0, t0, t0 + pd.Timedelta(hours=2), t0]})
+    out = (burst_counts(rd.from_pandas(df), window_seconds=60.0)
+           .to_pandas().set_index("user_id"))
+    # both ts-equal events count each other; the 2h-later one is alone
+    assert out.loc[1, "max_burst"] == 2 and out.loc[1, "n_events"] == 3
+    assert out.loc[2, "max_burst"] == 1
+
+
+def test_blur_score_flat_vs_textured(ray_session):
+    from mvt_wrangler_ray.stages.image import BlurScoreStage
+
+    from mvt_wrangler_ray.codecs.png import encode_png
+
+    flat = np.full((16, 16), 128, np.uint8)
+    tex = (np.indices((16, 16)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    b = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "bytes": pa.array([encode_png(flat), encode_png(tex)],
+                          pa.binary()),
+        "w": pa.array([16, 16], pa.int32()),
+        "h": pa.array([16, 16], pa.int32())})
+    out = BlurScoreStage()(b).to_pandas().set_index("doc_id")
+    # a constant image has zero Laplacian variance; a checkerboard's is
+    # the maximum possible (|L| = 1020 everywhere, mean 0 on interior)
+    assert out.loc[1, "blur_var"] == 0.0
+    assert out.loc[2, "blur_var"] > 1e5
+    assert (out["n_interior"] == 14 * 14).all()

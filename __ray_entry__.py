@@ -1265,6 +1265,21 @@ def _q_decontaminated_corpus(sf_dir: str):
     return clean
 
 
+def _q_profile_table(sf_dir: str):
+    """Dataset profiling over lineitem's numeric measures (the
+    ingestion-time column-stats pass): exact n_rows / n_null / min /
+    max per column from mergeable per-block partials — no float
+    arithmetic, so bit-exact under any block split
+    (stages/sketch.profile_numeric_columns)."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.sketch import profile_numeric_columns
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return profile_numeric_columns(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols), cols)
+
+
 def _q_burst_rate(sf_dir: str):
     """Per-user max burst rate over the events log (the bot / abuse
     detector): for each event, the user's events in [ts, ts + 6h);
@@ -2713,15 +2728,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # → clean_corpus, hash_join → revenue_by_nation, thumbnails →
     # pixel_histogram). All 88 stay covered by test_oracle_parity at
     # sf0.001 and sf0.01.
-    # Round-4 window: the 10 never-certified round-4 queries register
+    # Round-4 window: the 11 never-certified round-4 queries register
     # FIRST (contamination — the n-gram decontamination pass;
     # spatial_clusters — grid-DBSCAN components; knn_graph — top-k
     # neighbor lists; augment_flip — flip augmentation through the real
     # PNG codec; knn_self_ivf — the forced IVF cutover lane;
     # tile_px_mean — the image × tile composition), pushing
     # minhash_near_dup, jaccard_near_dup, events_asof, range_count,
-    # phash_knn, nearest_site_kd, knn_ivf, topk_per_group, expr_filter
-    # and pip_join (all hash-green in CORRECTNESS_r03)
+    # phash_knn, nearest_site_kd, knn_ivf, topk_per_group, expr_filter,
+    # pip_join and tile_density (all hash-green in CORRECTNESS_r03)
     # to the tail; their richer in-window relatives are clean_corpus
     # (minhash near-dup inside), the semantic/embedding/image near-dup
     # family, knn_graph/knn_self/knn_ivf, and the
@@ -2735,6 +2750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminated_corpus": _q_decontaminated_corpus,
         "blur_score": _q_blur_score,
         "burst_rate": _q_burst_rate,
+        "profile_table": _q_profile_table,
         "knn_self_ivf": _q_knn_self_ivf,
         "tile_px_mean": _q_tile_px_mean,
         "features_transform": _q_features_transform,
@@ -2776,7 +2792,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_growth": _q_weekly_growth,
         "copresence": _q_copresence,
         "tile_assign": _q_tile_assign,
-        "tile_density": _q_tile_density,
         "minhash_near_dup": _q_minhash_near_dup,
         "jaccard_near_dup": _q_jaccard_near_dup,
         "normalize_text": _q_normalize_text,
@@ -2825,6 +2840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": _q_topk_per_group,
         "expr_filter": _q_expr_filter,
         "pip_join": _q_pip_join,
+        "tile_density": _q_tile_density,
     }
 
 
@@ -3742,6 +3758,20 @@ WHERE s.doc_id % 97 <> 0
 """
 
 
+def _sql_profile_table() -> str:
+    """stages/sketch.profile_numeric_columns in SQL: one UNION ALL arm
+    per profiled column; min/max/count are arithmetic-free, so parity
+    is exact."""
+    arms = []
+    for c in ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]:
+        arms.append(
+            f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+            f"CAST(min({c}) AS DOUBLE) AS min_v, "
+            f"CAST(max({c}) AS DOUBLE) AS max_v FROM lineitem")
+    return " UNION ALL ".join(arms)
+
+
 def _sql_burst_rate(window_seconds: int = 21_600) -> str:
     """stages/events.burst_counts in SQL: per-event window count via an
     explicit self-join (b.ts >= a.ts AND b.ts < a.ts + window — the
@@ -4556,6 +4586,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminated_corpus": _sql_decontaminated_corpus(),
         "blur_score": _sql_blur_score(),
         "burst_rate": _sql_burst_rate(21_600),
+        "profile_table": _sql_profile_table(),
         "knn_self_ivf": _SQL_KNN_SELF,
         "tile_px_mean": _sql_tile_px_mean(),
         "pyramid_rollup": _sql_pyramid_rollup(),

@@ -333,3 +333,48 @@ def histogram_quantiles(ds, col: str, lo: float, hi: float,
         est = lo + width * (b + (target - cumb) / binn)
         rows.append((float(q), target, b, est))
     return pd.DataFrame(rows, columns=["q", "target_rank", "bin", "est"])
+
+
+def profile_numeric_columns(ds, cols):
+    """Dataset profiling (the ingestion-time column-stats pass): one
+    row per profiled column with exact n_rows / n_null / min / max.
+    Mergeable-sketch shape like the HLL/Count-Min stages: every block
+    emits one tiny partial row per column (pyarrow.compute min_max —
+    no Python over values), and the driver folds the ≤ blocks × cols
+    partials. min/max/count involve NO float arithmetic, so results
+    are bit-exact regardless of block split."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partials(b: pa.Table) -> pa.Table:
+        names, n, nn, mn, mx = [], [], [], [], []
+        for c in cols:
+            arr = b[c]
+            names.append(c)
+            n.append(len(arr))
+            nn.append(arr.null_count)
+            if len(arr) - arr.null_count > 0:
+                s = pc.min_max(arr)
+                mn.append(float(s["min"].as_py()))
+                mx.append(float(s["max"].as_py()))
+            else:
+                mn.append(np.nan)
+                mx.append(np.nan)
+        return pa.table({
+            "col": pa.array(names, pa.string()),
+            "pn": pa.array(np.asarray(n, np.int64), pa.int64()),
+            "pnull": pa.array(np.asarray(nn, np.int64), pa.int64()),
+            "pmin": pa.array(np.asarray(mn, np.float64), pa.float64()),
+            "pmax": pa.array(np.asarray(mx, np.float64), pa.float64())})
+
+    # one fixed-size row per (block, column): driver fold is bounded
+    df = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    g = df.groupby("col", sort=True)
+    out = pd.DataFrame({
+        "col": sorted(cols),
+        "n_rows": g["pn"].sum().reindex(sorted(cols)).to_numpy(np.int64),
+        "n_null": g["pnull"].sum().reindex(sorted(cols)).to_numpy(np.int64),
+        "min_v": g["pmin"].min().reindex(sorted(cols)).to_numpy(np.float64),
+        "max_v": g["pmax"].max().reindex(sorted(cols)).to_numpy(np.float64),
+    })
+    return out

@@ -356,3 +356,18 @@ def test_blur_score_flat_vs_textured(ray_session):
     assert out.loc[1, "blur_var"] == 0.0
     assert out.loc[2, "blur_var"] > 1e5
     assert (out["n_interior"] == 14 * 14).all()
+
+
+def test_profile_numeric_columns(ray_session):
+    from mvt_wrangler_ray.stages.sketch import profile_numeric_columns
+
+    df = pd.DataFrame({
+        "a": [1.0, np.nan, 3.0, -2.0],
+        "b": [np.nan, np.nan, np.nan, np.nan],
+        "c": [5.0, 5.0, 5.0, 5.0]})
+    out = profile_numeric_columns(
+        rd.from_pandas(df), ["a", "b", "c"]).set_index("col")
+    assert out.loc["a", "n_rows"] == 4 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "min_v"] == -2.0 and out.loc["a", "max_v"] == 3.0
+    assert out.loc["b", "n_null"] == 4 and np.isnan(out.loc["b", "min_v"])
+    assert out.loc["c", "min_v"] == out.loc["c", "max_v"] == 5.0

@@ -1265,6 +1265,29 @@ def _q_decontaminated_corpus(sf_dir: str):
     return clean
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental ingestion dedup: the doc_id % 3 == 0 slice plays the
+    INCOMING batch, the rest the EXISTING corpus; keep first-seen new
+    docs whose content hash is absent from the base — narrow (hash, id)
+    aggregate + bucketed anti join, both sides streaming
+    (stages/dedup.incremental_dedup)."""
+    from mvt_wrangler_ray.stages.dedup import incremental_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def inc_f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    def base_f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 != 0))
+
+    return incremental_dedup(
+        ds.map_batches(inc_f, batch_format="pyarrow"),
+        ds.map_batches(base_f, batch_format="pyarrow"))
+
+
 def _q_profile_table(sf_dir: str):
     """Dataset profiling over lineitem's numeric measures (the
     ingestion-time column-stats pass): exact n_rows / n_null / min /
@@ -2728,7 +2751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # → clean_corpus, hash_join → revenue_by_nation, thumbnails →
     # pixel_histogram). All 88 stay covered by test_oracle_parity at
     # sf0.001 and sf0.01.
-    # Round-4 window: the 11 never-certified round-4 queries register
+    # Round-4 window: the 12 never-certified round-4 queries register
     # FIRST (contamination — the n-gram decontamination pass;
     # spatial_clusters — grid-DBSCAN components; knn_graph — top-k
     # neighbor lists; augment_flip — flip augmentation through the real
@@ -2736,7 +2759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # tile_px_mean — the image × tile composition), pushing
     # minhash_near_dup, jaccard_near_dup, events_asof, range_count,
     # phash_knn, nearest_site_kd, knn_ivf, topk_per_group, expr_filter,
-    # pip_join and tile_density (all hash-green in CORRECTNESS_r03)
+    # pip_join, tile_density and tile_assign (all hash-green in
+    # CORRECTNESS_r03)
     # to the tail; their richer in-window relatives are clean_corpus
     # (minhash near-dup inside), the semantic/embedding/image near-dup
     # family, knn_graph/knn_self/knn_ivf, and the
@@ -2751,6 +2775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blur_score": _q_blur_score,
         "burst_rate": _q_burst_rate,
         "profile_table": _q_profile_table,
+        "incremental_dedup": _q_incremental_dedup,
         "knn_self_ivf": _q_knn_self_ivf,
         "tile_px_mean": _q_tile_px_mean,
         "features_transform": _q_features_transform,
@@ -2791,7 +2816,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_pixel_corr": _q_caption_pixel_corr,
         "weekly_growth": _q_weekly_growth,
         "copresence": _q_copresence,
-        "tile_assign": _q_tile_assign,
         "minhash_near_dup": _q_minhash_near_dup,
         "jaccard_near_dup": _q_jaccard_near_dup,
         "normalize_text": _q_normalize_text,
@@ -2841,6 +2865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_filter": _q_expr_filter,
         "pip_join": _q_pip_join,
         "tile_density": _q_tile_density,
+        "tile_assign": _q_tile_assign,
     }
 
 
@@ -3758,6 +3783,19 @@ WHERE s.doc_id % 97 <> 0
 """
 
 
+def _sql_incremental_dedup() -> str:
+    """stages/dedup.incremental_dedup in SQL: same md5 content hash,
+    first-seen (min id) within the incoming slice, NOT IN the base's
+    hash set."""
+    return """
+WITH inc AS (SELECT min(doc_id) AS doc_id, md5(text) AS h
+  FROM documents WHERE doc_id % 3 = 0 GROUP BY md5(text)),
+base AS (SELECT DISTINCT md5(text) AS h
+  FROM documents WHERE doc_id % 3 <> 0)
+SELECT doc_id FROM inc WHERE h NOT IN (SELECT h FROM base)
+"""
+
+
 def _sql_profile_table() -> str:
     """stages/sketch.profile_numeric_columns in SQL: one UNION ALL arm
     per profiled column; min/max/count are arithmetic-free, so parity
@@ -4587,6 +4625,7 @@ def oracle_sql() -> dict[str, str]:
         "blur_score": _sql_blur_score(),
         "burst_rate": _sql_burst_rate(21_600),
         "profile_table": _sql_profile_table(),
+        "incremental_dedup": _sql_incremental_dedup(),
         "knn_self_ivf": _SQL_KNN_SELF,
         "tile_px_mean": _sql_tile_px_mean(),
         "pyramid_rollup": _sql_pyramid_rollup(),

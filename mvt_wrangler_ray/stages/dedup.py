@@ -1469,3 +1469,36 @@ def ngram_contamination(train_ds, eval_ds, n: int = 5, col: str = "text",
         [("pn", "sum"), ("ph", "sum")], ["n_ngrams", "n_overlap"],
         num_buckets=num_buckets)
     return per_doc_tbl.map_batches(finish, batch_format="pyarrow")
+
+
+def incremental_dedup(incoming_ds, base_ds, col: str = "text",
+                      id_col: str = "doc_id", num_buckets: int = 32):
+    """INCREMENTAL ingestion dedup (the production pattern for a
+    continuously-growing corpus: dedup the NEW batch against the
+    existing corpus without re-processing the corpus): keep the min-id
+    row per content hash within the incoming batch, then drop any whose
+    content already exists in the base.
+
+    Plan: incoming reduces to narrow (hash, min id) via the two-phase
+    aggregate; the base side contributes ONLY its content-hash column
+    (never payloads); the membership test is the bucketed anti
+    semi-join, so neither the base hash set nor the incoming survivors
+    ever assume driver residence. Both sides stream."""
+    from .shuffle import bucketed_key_semi_join, two_phase_aggregate
+
+    inc_hashed = incoming_ds.map_batches(
+        lambda b: content_hash_batch(b, col).select([id_col,
+                                                     "content_hash"]),
+        batch_format="pyarrow")
+    first = two_phase_aggregate(
+        inc_hashed, keys=["content_hash"],
+        partial_aggs=[(id_col, "min")], partial_names=[id_col],
+        final_aggs=[(id_col, "min")], final_names=[id_col],
+        num_buckets=num_buckets)
+    base_hashes = base_ds.map_batches(
+        lambda b: content_hash_batch(b, col).select(["content_hash"]),
+        batch_format="pyarrow")
+    fresh = bucketed_key_semi_join(first, base_hashes, "content_hash",
+                                   anti=True, num_buckets=num_buckets)
+    return fresh.map_batches(lambda b: b.select([id_col]),
+                             batch_format="pyarrow")

@@ -371,3 +371,20 @@ def test_profile_numeric_columns(ray_session):
     assert out.loc["a", "min_v"] == -2.0 and out.loc["a", "max_v"] == 3.0
     assert out.loc["b", "n_null"] == 4 and np.isnan(out.loc["b", "min_v"])
     assert out.loc["c", "min_v"] == out.loc["c", "max_v"] == 5.0
+
+
+def test_incremental_dedup_planted(ray_session):
+    from mvt_wrangler_ray.stages.dedup import incremental_dedup
+
+    base = pd.DataFrame({
+        "doc_id": np.array([1, 2], np.int64),
+        "text": ["existing content", "other existing"]})
+    inc = pd.DataFrame({
+        "doc_id": np.array([10, 11, 12, 13], np.int64),
+        "text": ["existing content",   # dup of base -> dropped
+                 "brand new",          # kept
+                 "brand new",          # within-incoming dup -> min id kept
+                 "also new"]})         # kept
+    out = (incremental_dedup(rd.from_pandas(inc), rd.from_pandas(base))
+           .to_pandas())
+    assert sorted(out["doc_id"]) == [11, 13]

@@ -3799,14 +3799,17 @@ SELECT doc_id FROM inc WHERE h NOT IN (SELECT h FROM base)
 def _sql_profile_table() -> str:
     """stages/sketch.profile_numeric_columns in SQL: one UNION ALL arm
     per profiled column; min/max/count are arithmetic-free, so parity
-    is exact."""
+    is exact. The isnan filter mirrors the engine's Arrow-kernel NaN
+    contract (NaN values are skipped for extrema — DuckDB would
+    otherwise order NaN greatest)."""
     arms = []
     for c in ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]:
+        nn = f"CASE WHEN isnan({c}) THEN NULL ELSE {c} END"
         arms.append(
             f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows, "
             f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
-            f"CAST(min({c}) AS DOUBLE) AS min_v, "
-            f"CAST(max({c}) AS DOUBLE) AS max_v FROM lineitem")
+            f"CAST(min({nn}) AS DOUBLE) AS min_v, "
+            f"CAST(max({nn}) AS DOUBLE) AS max_v FROM lineitem")
     return " UNION ALL ".join(arms)
 
 

@@ -35,7 +35,8 @@ def content_hash_batch(batch: pa.Table, col: str = "text",
     return batch.append_column(out, pa.array(hashes, pa.string()))
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                num_buckets: int = 64):
     """Keep the min-id row per content hash. Narrow shuffle: only
     (hash, id) leaves the map side, pre-reduced per block, merged with the
     bucketed hash aggregate (see stages/shuffle.py — avoids Ray's
@@ -48,7 +49,8 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     return two_phase_aggregate(
         hashed, keys=["content_hash"],
         partial_aggs=[(id_col, "min")], partial_names=[id_col],
-        final_aggs=[(id_col, "min")], final_names=[id_col])
+        final_aggs=[(id_col, "min")], final_names=[id_col],
+        num_buckets=num_buckets)
 
 
 def _empty_pairs(value_col: str = "jaccard",
@@ -1484,17 +1486,12 @@ def incremental_dedup(incoming_ds, base_ds, col: str = "text",
     (never payloads); the membership test is the bucketed anti
     semi-join, so neither the base hash set nor the incoming survivors
     ever assume driver residence. Both sides stream."""
-    from .shuffle import bucketed_key_semi_join, two_phase_aggregate
+    from .shuffle import bucketed_key_semi_join
 
-    inc_hashed = incoming_ds.map_batches(
-        lambda b: content_hash_batch(b, col).select([id_col,
-                                                     "content_hash"]),
-        batch_format="pyarrow")
-    first = two_phase_aggregate(
-        inc_hashed, keys=["content_hash"],
-        partial_aggs=[(id_col, "min")], partial_names=[id_col],
-        final_aggs=[(id_col, "min")], final_names=[id_col],
-        num_buckets=num_buckets)
+    # the incoming-side reduction IS exact_dedup (one definition of the
+    # min-id-per-hash plan; its output carries (content_hash, id))
+    first = exact_dedup(incoming_ds, col=col, id_col=id_col,
+                        num_buckets=num_buckets)
     base_hashes = base_ds.map_batches(
         lambda b: content_hash_batch(b, col).select(["content_hash"]),
         batch_format="pyarrow")

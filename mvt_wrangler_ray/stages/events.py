@@ -296,14 +296,25 @@ def burst_counts(ds, window_seconds: float = 21_600.0,
                 user_col: g[user_col],
                 "max_burst": pa.array([], pa.int64()),
                 "n_events": pa.array([], pa.int64())})
-        starts = np.flatnonzero(
-            np.concatenate(([True], users[1:] != users[:-1])))
-        seg = np.cumsum(np.concatenate(
-            ([False], users[1:] != users[:-1]))).astype(np.int64)
+        chg = users[1:] != users[:-1]
+        starts = np.flatnonzero(np.concatenate(([True], chg)))
+        seg = np.cumsum(np.concatenate(([False], chg))).astype(np.int64)
         # shift each user's times into a disjoint range so one global
-        # searchsorted respects user boundaries
-        stride = (ts.max() - ts.min()) + win + np.int64(1)
-        shifted = (ts - ts.min()) + seg * stride
+        # searchsorted respects user boundaries. Times are rebased to
+        # the USER's own first event and the stride is the max PER-USER
+        # span (not the bucket's global span) — with a global-span
+        # stride, users-per-bucket × bucket-span overflows int64 at
+        # ~20M users × 1 year and silently wraps; per-user rebasing
+        # defers that by orders of magnitude, and the explicit guard
+        # below refuses rather than wrap if it is ever still exceeded.
+        rel = ts - ts[starts][seg]
+        stride = np.int64(int(rel.max()) + int(win) + 1)
+        if int(seg[-1]) * int(stride) + int(rel.max()) + int(win) \
+                >= (1 << 63):
+            raise OverflowError(
+                "burst_counts: users-per-bucket x max-user-span "
+                "exceeds the int64 shift range; raise num_buckets")
+        shifted = rel + seg * stride
         lo = np.searchsorted(shifted, shifted, side="left")
         hi = np.searchsorted(shifted, shifted + win, side="left")
         counts = (hi - lo).astype(np.int64)

@@ -425,6 +425,9 @@ class BlurScoreStage:
             px = self._decoder._decode(
                 payloads[i], int(ws[i]), int(hs[i])).astype(np.int64)
             if px.shape[0] < 3 or px.shape[1] < 3:
+                # no interior pixels → no Laplacian → NO row (the SQL
+                # oracle's empty unnest range emits none either; a 0/0
+                # NaN here would be a silent parity break)
                 ls[i] = lsq[i] = ni[i] = 0
                 continue
             lap = (4 * px[1:-1, 1:-1] - px[:-2, 1:-1] - px[2:, 1:-1]
@@ -432,11 +435,16 @@ class BlurScoreStage:
             ls[i] = int(lap.sum())
             lsq[i] = int((lap * lap).sum())
             ni[i] = lap.size
+        keep = ni > 0
+        ls, lsq, ni = ls[keep], lsq[keep], ni[keep]
         nf = ni.astype(np.float64)
         var = (nf * lsq.astype(np.float64)
                - ls.astype(np.float64) * ls.astype(np.float64)) / (nf * nf)
         return pa.table({
-            "doc_id": batch["doc_id"],
+            "doc_id": batch["doc_id"].combine_chunks().filter(
+                pa.array(keep)) if isinstance(batch["doc_id"],
+                                              pa.ChunkedArray)
+            else batch["doc_id"].filter(pa.array(keep)),
             "lap_sum": pa.array(ls, pa.int64()),
             "lap_sq_sum": pa.array(lsq, pa.int64()),
             "n_interior": pa.array(ni, pa.int64()),

@@ -342,7 +342,12 @@ def profile_numeric_columns(ds, cols):
     emits one tiny partial row per column (pyarrow.compute min_max —
     no Python over values), and the driver folds the ≤ blocks × cols
     partials. min/max/count involve NO float arithmetic, so results
-    are bit-exact regardless of block split."""
+    are bit-exact regardless of block split.
+
+    NaN CONTRACT: min/max use the Arrow kernel's semantics — NaN values
+    are SKIPPED (the SQL oracle mirrors this with an isnan filter);
+    a column with no non-null values reports NaN for both. An empty
+    dataset reports n_rows = n_null = 0 and NaN extrema."""
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -367,14 +372,30 @@ def profile_numeric_columns(ds, cols):
             "pmin": pa.array(np.asarray(mn, np.float64), pa.float64()),
             "pmax": pa.array(np.asarray(mx, np.float64), pa.float64())})
 
-    # one fixed-size row per (block, column): driver fold is bounded
+    # one fixed-size row per (block, column): driver fold is bounded.
+    # pandas min/max skip the NaN sentinel emitted by all-null blocks,
+    # and reindex+fillna covers columns with no partials at all (an
+    # EMPTY dataset has zero blocks — without the fillna, NaN counts
+    # would silently cast to INT64_MIN)
     df = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    order = sorted(cols)
+    if df.empty or "col" not in df.columns:
+        # an empty dataset produces ZERO blocks (not one empty block),
+        # so no partial rows exist at all
+        return pd.DataFrame({
+            "col": order,
+            "n_rows": np.zeros(len(order), np.int64),
+            "n_null": np.zeros(len(order), np.int64),
+            "min_v": np.full(len(order), np.nan),
+            "max_v": np.full(len(order), np.nan)})
     g = df.groupby("col", sort=True)
     out = pd.DataFrame({
-        "col": sorted(cols),
-        "n_rows": g["pn"].sum().reindex(sorted(cols)).to_numpy(np.int64),
-        "n_null": g["pnull"].sum().reindex(sorted(cols)).to_numpy(np.int64),
-        "min_v": g["pmin"].min().reindex(sorted(cols)).to_numpy(np.float64),
-        "max_v": g["pmax"].max().reindex(sorted(cols)).to_numpy(np.float64),
+        "col": order,
+        "n_rows": g["pn"].sum().reindex(order).fillna(0)
+                  .to_numpy(np.int64),
+        "n_null": g["pnull"].sum().reindex(order).fillna(0)
+                  .to_numpy(np.int64),
+        "min_v": g["pmin"].min().reindex(order).to_numpy(np.float64),
+        "max_v": g["pmax"].max().reindex(order).to_numpy(np.float64),
     })
     return out

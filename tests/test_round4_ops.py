@@ -388,3 +388,45 @@ def test_incremental_dedup_planted(ray_session):
     out = (incremental_dedup(rd.from_pandas(inc), rd.from_pandas(base))
            .to_pandas())
     assert sorted(out["doc_id"]) == [11, 13]
+
+
+def test_blur_score_sub3px_emits_no_row(ray_session):
+    from mvt_wrangler_ray.codecs.png import encode_png
+    from mvt_wrangler_ray.stages.image import BlurScoreStage
+
+    tiny = np.full((2, 2), 7, np.uint8)
+    ok = np.full((4, 4), 7, np.uint8)
+    b = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "bytes": pa.array([encode_png(tiny), encode_png(ok)], pa.binary()),
+        "w": pa.array([2, 4], pa.int32()),
+        "h": pa.array([2, 4], pa.int32())})
+    out = BlurScoreStage()(b).to_pandas()
+    # the 2x2 image has no interior -> NO row (matching the oracle's
+    # empty unnest), not a 0/0 NaN row
+    assert out["doc_id"].tolist() == [2]
+    assert np.isfinite(out["blur_var"]).all()
+
+
+def test_profile_empty_dataset(ray_session):
+    from mvt_wrangler_ray.stages.sketch import profile_numeric_columns
+
+    df = pd.DataFrame({"a": pd.Series([], dtype=np.float64)})
+    out = profile_numeric_columns(rd.from_pandas(df), ["a"])
+    assert out["n_rows"].tolist() == [0]
+    assert out["n_null"].tolist() == [0]
+    assert np.isnan(out["min_v"]).all() and np.isnan(out["max_v"]).all()
+
+
+def test_profile_nan_skipped_for_extrema(ray_session):
+    from mvt_wrangler_ray.stages.sketch import profile_numeric_columns
+
+    df = pd.DataFrame({"a": [1.0, np.nan, 5.0]})
+    # pandas converts the NaN to null on from_pandas? keep as float NaN
+    # via an explicit arrow table round trip
+    t = pa.table({"a": pa.array([1.0, float("nan"), 5.0], pa.float64())})
+    out = profile_numeric_columns(rd.from_arrow(t), ["a"])
+    # documented contract: NaN skipped for extrema (Arrow kernel / the
+    # oracle's isnan filter)
+    assert out["min_v"].tolist() == [1.0]
+    assert out["max_v"].tolist() == [5.0]

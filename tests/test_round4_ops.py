@@ -430,3 +430,33 @@ def test_profile_nan_skipped_for_extrema(ray_session):
     # oracle's isnan filter)
     assert out["min_v"].tolist() == [1.0]
     assert out["max_v"].tolist() == [5.0]
+
+
+def test_mixture_resample_quota_property(ray_session):
+    # property over random sizes/weights: per-group counts equal the
+    # exact-integer quota formula and members are the splitmix head
+    from mvt_wrangler_ray.stages.shuffle import _splitmix, mixture_resample
+
+    rng = np.random.default_rng(13)
+    sizes = {f"g{i}": int(rng.integers(1, 40)) for i in range(6)}
+    weights = {f"g{i}": int(rng.integers(0, 9)) for i in range(6)}
+    rows = []
+    nid = 0
+    for g, sz in sizes.items():
+        for _ in range(sz):
+            rows.append((nid, g)); nid += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "source"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    out = mixture_resample(rd.from_pandas(df), "source", weights,
+                           "doc_id").to_pandas()
+    total = len(df); budget = total // 2
+    sw = sum(weights.get(g, 0) for g in sizes) or 1
+    for g, sz in sizes.items():
+        quota = min(sz, budget * weights.get(g, 0) // sw)
+        mine = out[out["source"] == g]
+        assert len(mine) == quota, (g, len(mine), quota)
+        # expected members: smallest splitmix(doc_id) first
+        ids = df[df["source"] == g]["doc_id"].to_numpy(np.uint64)
+        order = np.lexsort((ids, _splitmix(ids)))
+        assert sorted(mine["doc_id"]) == sorted(
+            ids[order][:quota].astype(np.int64).tolist())

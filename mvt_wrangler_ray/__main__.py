@@ -104,6 +104,12 @@ def _main_corpus(argv):
     p.add_argument("--langs", default="en",
                    help="comma-separated language allowlist")
     p.add_argument("--near-dup-threshold", type=float, default=0.7)
+    p.add_argument("--decontaminate", metavar="EVAL_PARQUET",
+                   help="benchmark-decontamination pass: drop survivors "
+                        "sharing any n-gram window with the eval table "
+                        "(parquet with doc_id + text)")
+    p.add_argument("--decontaminate-ngram", type=int, default=5,
+                   help="window width for --decontaminate (words)")
     p.add_argument("-p", "--partitions", type=int, default=16)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -127,9 +133,32 @@ def _main_corpus(argv):
         survivors, stats = clean_corpus(
             ds, min_quality=args.min_quality, langs=langs,
             near_dup_threshold=args.near_dup_threshold)
+        if args.decontaminate:
+            import pyarrow as _pa
+
+            from .stages.dedup import ngram_contamination
+            from .stages.shuffle import bucketed_key_semi_join
+
+            survivors = survivors.materialize()  # two consumers below
+            ev = rd.read_parquet(args.decontaminate,
+                                 columns=["doc_id", "text"])
+            cont = ngram_contamination(
+                survivors, ev, n=args.decontaminate_ngram).map_batches(
+                lambda b: b.filter(
+                    _pa.compute.equal(b["contaminated"], 1))
+                .select(["doc_id"]),
+                batch_format="pyarrow")
+            cont = cont.materialize()  # counted AND joined below
+            stats["contaminated_dropped"] = cont.count()
+            survivors = bucketed_key_semi_join(survivors, cont, "doc_id",
+                                               anti=True)
+            stats["output"] = stats["output"] - stats[
+                "contaminated_dropped"]
         chash = config_fingerprint(
             {"min_quality": args.min_quality, "langs": list(langs),
-             "near_dup_threshold": args.near_dup_threshold})
+             "near_dup_threshold": args.near_dup_threshold,
+             "decontaminate": bool(args.decontaminate),
+             "decontaminate_ngram": args.decontaminate_ngram})
         recs = write_partitioned(survivors, args.out_dir, key="doc_id",
                                  num_partitions=args.partitions,
                                  metadata={"stats": stats},

@@ -460,3 +460,38 @@ def test_mixture_resample_quota_property(ray_session):
         order = np.lexsort((ids, _splitmix(ids)))
         assert sorted(mine["doc_id"]) == sorted(
             ids[order][:quota].astype(np.int64).tolist())
+
+
+def test_corpus_cli_decontaminate(tmp_path, ray_session):
+    """The corpus CLI's --decontaminate surface: library-level
+    equivalent of `python -m mvt_wrangler_ray corpus ... --decontaminate
+    EVAL` — survivors sharing an eval 5-gram are dropped and counted.
+    (The CLI owns its own ray session, so the test composes the same
+    stages the CLI wires rather than subprocessing.)"""
+    from mvt_wrangler_ray.pipelines.corpus import clean_corpus
+    from mvt_wrangler_ray.stages.dedup import ngram_contamination
+    from mvt_wrangler_ray.stages.shuffle import bucketed_key_semi_join
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": ["an entirely clean document body here ok fine"] * 4
+        + ["the secret benchmark answer is forty two indeed"] * 2
+        + ["another clean piece of text with enough words in it"] * 2})
+    # make each doc distinct so exact dedup keeps them all
+    docs["text"] = docs["text"] + " tail" + docs["doc_id"].astype(str)
+    ev = pd.DataFrame({
+        "doc_id": np.array([99], np.int64),
+        "text": ["the secret benchmark answer is forty two"]})
+    survivors, stats = clean_corpus(
+        rd.from_pandas(docs), min_quality=0.0, langs=("en", "und"),
+        near_dup_threshold=0.99)
+    survivors = survivors.materialize()
+    cont = ngram_contamination(survivors, rd.from_pandas(ev),
+                               n=5).map_batches(
+        lambda b: b.filter(pa.compute.equal(b["contaminated"], 1))
+        .select(["doc_id"]), batch_format="pyarrow").materialize()
+    out = bucketed_key_semi_join(survivors, cont, "doc_id",
+                                 anti=True).to_pandas()
+    dropped = cont.count()
+    assert dropped == 2                       # both secret-leak docs
+    assert set(out["doc_id"]) == {0, 1, 2, 3, 6, 7}

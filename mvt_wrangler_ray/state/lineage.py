@@ -188,10 +188,15 @@ def resume_plan(out_dir: str, bounds: Sequence[tuple], key: str = "tile_id",
                         and rec.get("config_hash", "") == config_hash):
                     continue  # genuinely complete for THIS plan+config
                 if int(rec["key_lo"]) == lo and int(rec["key_hi"]) == hi:
-                    warnings.warn(
-                        f"lineage part {pid}: recorded config_hash "
-                        f"{rec.get('config_hash', '')!r} != current "
-                        f"{config_hash!r} — recomputing")
+                    # a caller that supplies NO fingerprint ("") opted
+                    # out of config tracking: the recompute is the
+                    # expected conservative behavior, not a surprise —
+                    # warn only when a real current hash mismatches
+                    if config_hash:
+                        warnings.warn(
+                            f"lineage part {pid}: recorded config_hash "
+                            f"{rec.get('config_hash', '')!r} != current "
+                            f"{config_hash!r} — recomputing")
                 else:
                     warnings.warn(
                         f"lineage part {pid}: recorded range "

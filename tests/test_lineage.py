@@ -168,8 +168,13 @@ def test_resume_config_change_recomputes(ray_session):
         plan = resume_plan(OUT, bounds, config_hash=hb)
     assert [p[0] for p in plan] == [0, 1, 2, 3]
     assert any("config_hash" in str(x.message) for x in w)
-    # pre-config_hash markers (empty hash) resume only under empty hash
-    assert resume_plan(OUT, bounds, config_hash="") != []
+    # pre-config_hash markers (empty hash) resume only under empty hash;
+    # the caller opted out of config tracking, so the conservative
+    # recompute happens SILENTLY (round-4 verdict item 9)
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        assert resume_plan(OUT, bounds, config_hash="") != []
+    assert not any("config_hash" in str(x.message) for x in w2)
 
 
 def test_config_fingerprint_stable():

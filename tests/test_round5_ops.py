@@ -1,0 +1,71 @@
+"""Round-5 operator tests: knn exact-lane memory bound (verdict item 1),
+then the new training-data-chain operators (sequence packing, mixture
+upsampling, URL/domain dedup) as they land."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+# ---- verdict item 1: exact-lane self-join transient is bounded --------
+
+
+def test_chunk_rows_bound_holds():
+    # the contract: rows * corpus_n <= chunk_entries whenever rows > 1,
+    # and rows >= 1 always (degenerate corpora never deadlock the loop)
+    from mvt_wrangler_ray.stages.knn import _chunk_rows
+
+    for chunk_entries in (1, 64, 1 << 16, 1 << 24):
+        for corpus_n in (1, 7, 1024, 500_000, 10_000_000):
+            rows = _chunk_rows(chunk_entries, corpus_n)
+            assert rows >= 1
+            if rows > 1:
+                assert rows * corpus_n <= chunk_entries
+    # the default bound at the default broadcast_limit: a 500k-row
+    # corpus gets 33-row chunks -> sims transient 33 x 500k x 8 B
+    # = 126 MiB per task (vs 4 GiB for a default 1024-row batch)
+    rows = _chunk_rows(1 << 24, 500_000)
+    assert rows * 500_000 * 8 <= (1 << 24) * 8 == 128 << 20
+
+
+def test_knn_self_graph_chunked_equals_unchunked(ray_session):
+    # chunk_entries small enough to force MANY chunks per batch: results
+    # must be row-for-row identical to the single-matmul plan
+    rng = np.random.default_rng(7)
+    n, d, k = 50, 6, 3
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(rng.normal(size=(n, d)))})
+    from mvt_wrangler_ray.stages.knn import knn_self_graph
+
+    a = (knn_self_graph(rd.from_pandas(df), k=k)
+         .to_pandas().sort_values(["vec_id", "nn_rank"])
+         .reset_index(drop=True))
+    b = (knn_self_graph(rd.from_pandas(df), k=k, chunk_entries=64)
+         .to_pandas().sort_values(["vec_id", "nn_rank"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_knn_self_graph_bytes_limit_cuts_to_ivf(ray_session):
+    # a wide-embedding corpus whose n x dim x 8 exceeds the bytes limit
+    # must take the IVF lane even though n <= broadcast_limit; with
+    # nprobe = ncentroids the IVF lane is exact, so the output still
+    # matches the broadcast lane row for row
+    rng = np.random.default_rng(13)
+    n, d, k = 40, 16, 2
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(rng.normal(size=(n, d)))})
+    from mvt_wrangler_ray.stages.knn import knn_self_graph
+
+    a = (knn_self_graph(rd.from_pandas(df), k=k)
+         .to_pandas().sort_values(["vec_id", "nn_rank"])
+         .reset_index(drop=True))
+    # n*d*8 = 5120 bytes > 1024 -> IVF; exact because nprobe=ncentroids
+    b = (knn_self_graph(rd.from_pandas(df), k=k,
+                        broadcast_bytes_limit=1024,
+                        ncentroids=4, nprobe=4)
+         .to_pandas().sort_values(["vec_id", "nn_rank"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[["vec_id", "nn_rank", "nn_id"]],
+                                  b[["vec_id", "nn_rank", "nn_id"]])

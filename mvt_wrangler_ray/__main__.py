@@ -46,6 +46,13 @@ def _main_images(argv):
                    help="re-encode payloads with the LJPG transform codec "
                         "at this quantizer step (adds ljpg_bytes + psnr_db "
                         "columns; every row must hold PSNR >= 40 dB)")
+    p.add_argument("--allow-fake-codecs", action="store_true",
+                   help="permit the deterministic FAKE pixel decode for "
+                        "payloads the real codecs can't parse (synthetic "
+                        "fixtures only). The CLI defaults to STRICT codec "
+                        "mode: real-data users pointing this at JPEG/WebP "
+                        "payloads without PIL get a loud error, never "
+                        "plausible-but-wrong pseudo pixels")
     args = p.parse_args(argv)
     if args.lossy_recode and not 1 <= args.lossy_recode <= 5:
         # worst-case PSNR for quantizer step s is 20*log10(510/s); the
@@ -74,10 +81,14 @@ def _main_images(argv):
         if args.lossy_recode:
             from .stages.image import LossyRecodeStage
 
+            # strict resolved HERE on the driver (stage __init__ runs in
+            # worker processes that don't inherit driver env vars):
+            # strict unless the user explicitly opted into fake codecs
             ds = ds.map_batches(
                 LossyRecodeStage, batch_format="pyarrow", batch_size=256,
                 concurrency=(1, 4),
-                fn_constructor_kwargs={"step": args.lossy_recode})
+                fn_constructor_kwargs={"step": args.lossy_recode,
+                                       "strict": not args.allow_fake_codecs})
         recs = wrangle_write(ds, args.out_dir, EngineConfig(zoom=args.zoom),
                              filter_geojson=filter_src,
                              num_partitions=args.partitions,

@@ -47,6 +47,30 @@ def test_knn_self_graph_chunked_equals_unchunked(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+# ---- verdict item 6: CLI defaults to STRICT codecs --------------------
+
+
+def test_images_cli_strict_by_default(ray_session, tmp_path):
+    # the synthetic fixture payloads are magic+body fakes the real
+    # codecs can't parse: the decoding CLI path (--lossy-recode) must
+    # FAIL LOUDLY by default and only run under --allow-fake-codecs
+    import pyarrow.parquet as _pq
+    import pytest as _pytest
+
+    from mvt_wrangler_ray.__main__ import main
+    from mvt_wrangler_ray.sources.images import synth_images_table
+
+    inp = str(tmp_path / "imgs.parquet")
+    _pq.write_table(synth_images_table(64).drop_columns(
+        ["geo_hint_lon", "geo_hint_lat"]), inp)
+    with _pytest.raises(Exception, match="strict codec mode"):
+        main(["images", inp, str(tmp_path / "strict_out"), "-z", "8",
+              "-p", "2", "--lossy-recode", "2"])
+    rc = main(["images", inp, str(tmp_path / "fake_out"), "-z", "8",
+               "-p", "2", "--lossy-recode", "2", "--allow-fake-codecs"])
+    assert rc == 0
+
+
 def test_knn_self_graph_bytes_limit_cuts_to_ivf(ray_session):
     # a wide-embedding corpus whose n x dim x 8 exceeds the bytes limit
     # must take the IVF lane even though n <= broadcast_limit; with

@@ -1356,6 +1356,23 @@ def _q_mixture_sample(sf_dir: str):
     return mixture_resample(ds, "source", weights, "doc_id")
 
 
+def _q_mixture_upsample(sf_dir: str):
+    """Mixture resampling WITH replication (Conneau & Lample
+    up-weighting): same weights w(srcN) = N + 1 but budget_den = 1 and
+    upsample=True, so high-weight sources exceed their n(g) = 25 rows
+    and replicate deterministically — every row appears quota // n
+    times plus once more for the first quota %% n rows of the splitmix
+    order; `rep` is the 0-based copy index
+    (stages/shuffle.mixture_resample)."""
+    from mvt_wrangler_ray.stages.shuffle import mixture_resample
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    srcs = [f"src{i}" for i in range(64)]
+    weights = {s: i + 1 for i, s in enumerate(srcs)}
+    return mixture_resample(ds, "source", weights, "doc_id",
+                            budget_den=1, upsample=True)
+
+
 def _q_knn_graph(sf_dir: str):
     """kNN-GRAPH construction over the embeddings table: each row's
     top-3 nearest OTHER rows by cosine, rank-ordered (ties by lowest
@@ -2771,6 +2788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "augment_flip": _q_augment_flip,
         "mixture_sample": _q_mixture_sample,
+        "mixture_upsample": _q_mixture_upsample,
         "decontaminated_corpus": _q_decontaminated_corpus,
         "blur_score": _q_blur_score,
         "burst_rate": _q_burst_rate,
@@ -3887,6 +3905,33 @@ SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= quota
 """
 
 
+def _sql_mixture_upsample() -> str:
+    """stages/shuffle.mixture_resample(upsample=True) in SQL: uncapped
+    quota = Σn * wt // Σwt (budget_den 1), copies per doc =
+    quota // n + [rn <= quota % n] along the same splitmix order,
+    expanded by unnest(range(copies)) into one row per copy with its
+    0-based rep index (range(0) emits nothing — a zero-weight source
+    drops, same as the engine)."""
+    h = _sql_splitmix("CAST(d.doc_id AS UBIGINT)")
+    return f"""
+WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1),
+w AS (SELECT source, n, CAST(substr(source, 4) AS BIGINT) + 1 AS wt
+  FROM cnt),
+q AS (SELECT source, n,
+  CAST((SELECT sum(n) FROM cnt) * wt // (SELECT sum(wt) FROM w)
+       AS BIGINT) AS quota
+  FROM w),
+r AS (SELECT d.doc_id, d.source, row_number() OVER (
+    PARTITION BY d.source ORDER BY {h} ASC, d.doc_id ASC) AS rn
+  FROM documents d)
+SELECT r.doc_id, r.source,
+  CAST(unnest(range(q.quota // q.n +
+    CASE WHEN r.rn <= q.quota % q.n THEN 1 ELSE 0 END)) AS BIGINT) AS rep
+FROM r JOIN q USING (source)
+"""
+
+
 _SQL_KNN_GRAPH = (
     "WITH r AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, "
     "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
@@ -4624,6 +4669,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": _SQL_KNN_GRAPH,
         "augment_flip": _sql_augment_flip(),
         "mixture_sample": _sql_mixture_sample(),
+        "mixture_upsample": _sql_mixture_upsample(),
         "decontaminated_corpus": _sql_decontaminated_corpus(),
         "blur_score": _sql_blur_score(),
         "burst_rate": _sql_burst_rate(21_600),

@@ -47,6 +47,90 @@ def test_knn_self_graph_chunked_equals_unchunked(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+# ---- verdict item 4: mixture UPSAMPLING via replication ---------------
+
+
+def test_mixture_upsample_quota_property(ray_session):
+    # per-group output count equals the UNCAPPED quota exactly; each
+    # row of group g appears quota//n or quota//n + 1 times; the extra
+    # copy goes to the splitmix head; rep indices are 0..copies-1
+    from mvt_wrangler_ray.stages.shuffle import _splitmix, mixture_resample
+
+    rng = np.random.default_rng(29)
+    sizes = {f"g{i}": int(rng.integers(1, 30)) for i in range(6)}
+    weights = {f"g{i}": int(rng.integers(0, 20)) for i in range(6)}
+    rows = []
+    nid = 0
+    for g, sz in sizes.items():
+        for _ in range(sz):
+            rows.append((nid, g)); nid += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "source"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    out = mixture_resample(rd.from_pandas(df), "source", weights,
+                           "doc_id", budget_den=1,
+                           upsample=True).to_pandas()
+    assert list(out.columns) == ["doc_id", "source", "rep"]
+    total = len(df); budget = total
+    sw = sum(weights.get(g, 0) for g in sizes) or 1
+    for g, sz in sizes.items():
+        quota = budget * weights.get(g, 0) // sw
+        mine = out[out["source"] == g]
+        assert len(mine) == quota, (g, len(mine), quota)
+        ids = df[df["source"] == g]["doc_id"].to_numpy(np.uint64)
+        order = np.lexsort((ids, _splitmix(ids)))
+        base, extra = quota // sz, quota % sz
+        per = mine.groupby("doc_id").size()
+        for rank, did in enumerate(ids[order].astype(np.int64)):
+            want = base + (1 if rank < extra else 0)
+            assert per.get(did, 0) == want, (g, did, rank)
+            if want:
+                reps = sorted(mine[mine["doc_id"] == did]["rep"])
+                assert reps == list(range(want))
+    # determinism across bucket counts (the shuffle width must not
+    # change the sample)
+    out2 = mixture_resample(rd.from_pandas(df), "source", weights,
+                            "doc_id", budget_den=1, upsample=True,
+                            num_buckets=3).to_pandas()
+    a = out.sort_values(["doc_id", "rep"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "rep"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["doc_id", "source", "rep"]],
+                                  b[["doc_id", "source", "rep"]])
+
+
+def test_mixture_upsample_degenerates_to_downsample_head(ray_session):
+    # when every quota <= n, upsample=True picks the SAME rows as the
+    # downsample path, all with rep = 0
+    from mvt_wrangler_ray.stages.shuffle import mixture_resample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "source": ["a"] * 20 + ["b"] * 20})
+    w = {"a": 1, "b": 3}
+    down = (mixture_resample(rd.from_pandas(df), "source", w, "doc_id")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    up = (mixture_resample(rd.from_pandas(df), "source", w, "doc_id",
+                           upsample=True)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (up["rep"] == 0).all()
+    pd.testing.assert_frame_equal(down, up[["doc_id", "source"]])
+
+
+def test_temperature_weights():
+    from mvt_wrangler_ray.stages.shuffle import temperature_weights
+
+    counts = {"en": 1_000_000, "sw": 1_000}
+    w1 = temperature_weights(counts, alpha=1.0)
+    wa = temperature_weights(counts, alpha=0.3)
+    # alpha=1 keeps the raw proportions; alpha<1 up-weights the
+    # low-resource group (relative weight strictly increases)
+    assert w1["sw"] / w1["en"] < wa["sw"] / wa["en"]
+    assert wa["sw"] >= 1 and wa["en"] >= 1
+    # deterministic and pure-int
+    assert temperature_weights(counts, alpha=0.3) == wa
+    assert all(isinstance(v, int) for v in wa.values())
+    assert temperature_weights({}) == {}
+
+
 # ---- verdict item 6: CLI defaults to STRICT codecs --------------------
 
 

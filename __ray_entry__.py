@@ -1373,6 +1373,19 @@ def _q_mixture_upsample(sf_dir: str):
                             budget_den=1, upsample=True)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """SEQUENCE PACKING — the last step of the training-data chain:
+    concatenate documents in ascending doc_id order, split the global
+    token stream into 128-token sequences, one row per
+    (sequence, document) segment with within-sequence token bounds
+    (the document-boundary / attention-reset index table). Distributed
+    prefix sum over id-range buckets; text never moves past the count
+    (stages/pack.pack_sequences)."""
+    from mvt_wrangler_ray.stages.pack import pack_sequences
+
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), seq_len=128)
+
+
 def _q_knn_graph(sf_dir: str):
     """kNN-GRAPH construction over the embeddings table: each row's
     top-3 nearest OTHER rows by cosine, rank-ordered (ties by lowest
@@ -2789,6 +2802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_flip": _q_augment_flip,
         "mixture_sample": _q_mixture_sample,
         "mixture_upsample": _q_mixture_upsample,
+        "pack_sequences": _q_pack_sequences,
         "decontaminated_corpus": _q_decontaminated_corpus,
         "blur_score": _q_blur_score,
         "burst_rate": _q_burst_rate,
@@ -3932,6 +3946,32 @@ FROM r JOIN q USING (source)
 """
 
 
+def _sql_pack_sequences(seq_len: int = 128) -> str:
+    """stages/pack.pack_sequences in SQL: per-doc whitespace token
+    counts (same expression as the token_count oracle), global offsets
+    via a window prefix sum in doc_id order, then each doc expands into
+    the sequences it covers (generate_series is inclusive; an empty-doc
+    start > end series emits nothing). Bounds clip to the sequence."""
+    L = seq_len
+    return f"""
+WITH toks AS (SELECT doc_id,
+    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+      length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+    AS n_tok FROM documents),
+offs AS (SELECT doc_id, n_tok,
+    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+  FROM toks),
+expanded AS (SELECT doc_id, s, n_tok,
+    UNNEST(generate_series(s // {L}, (s + n_tok - 1) // {L})) AS seq_id
+  FROM offs WHERE n_tok > 0)
+SELECT seq_id, doc_id,
+  GREATEST(s, seq_id * {L}) - seq_id * {L} AS tok_start,
+  LEAST(s + n_tok, (seq_id + 1) * {L}) - seq_id * {L} AS tok_end
+FROM expanded
+"""
+
+
 _SQL_KNN_GRAPH = (
     "WITH r AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, "
     "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
@@ -4670,6 +4710,7 @@ def oracle_sql() -> dict[str, str]:
         "augment_flip": _sql_augment_flip(),
         "mixture_sample": _sql_mixture_sample(),
         "mixture_upsample": _sql_mixture_upsample(),
+        "pack_sequences": _sql_pack_sequences(128),
         "decontaminated_corpus": _sql_decontaminated_corpus(),
         "blur_score": _sql_blur_score(),
         "burst_rate": _sql_burst_rate(21_600),

@@ -177,3 +177,86 @@ def test_knn_self_graph_bytes_limit_cuts_to_ivf(ray_session):
          .reset_index(drop=True))
     pd.testing.assert_frame_equal(a[["vec_id", "nn_rank", "nn_id"]],
                                   b[["vec_id", "nn_rank", "nn_id"]])
+
+
+# ---- verdict item 3: sequence packing ---------------------------------
+
+
+def _naive_pack(texts, ids, seq_len):
+    """Single-node reference plan: one concatenated token stream,
+    segments cut at seq_len boundaries."""
+    rows, pos = [], 0
+    order = np.argsort(ids, kind="stable")
+    for i in order:
+        n = len((texts[i] or "").split())
+        if n == 0:
+            continue
+        start, end = pos, pos + n
+        pos = end
+        s = start
+        while s < end:
+            seq = s // seq_len
+            hi = min(end, (seq + 1) * seq_len)
+            rows.append((seq, int(ids[i]), s - seq * seq_len,
+                         hi - seq * seq_len))
+            s = hi
+    return pd.DataFrame(rows, columns=["seq_id", "doc_id",
+                                       "tok_start", "tok_end"])
+
+
+def test_pack_sequences_matches_naive_and_conserves(ray_session):
+    from mvt_wrangler_ray.stages.pack import pack_sequences
+
+    rng = np.random.default_rng(31)
+    n, L = 200, 16
+    texts = [" ".join(f"w{j}" for j in range(rng.integers(0, 40)))
+             for _ in range(n)]
+    texts[3] = ""          # empty doc -> no segment
+    texts[7] = "   "       # whitespace-only -> 0 tokens
+    ids = rng.permutation(np.arange(0, 3 * n, 3, dtype=np.int64))  # sparse ids
+    df = pd.DataFrame({"doc_id": ids, "text": [texts[i] for i in range(n)]})
+
+    got = (pack_sequences(rd.from_pandas(df), seq_len=L, bucket_ids=37)
+           .to_pandas().sort_values(["seq_id", "doc_id"])
+           .reset_index(drop=True))
+    want = (_naive_pack([texts[i] for i in range(n)], ids, L)
+            .sort_values(["seq_id", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+    # conservation: segment tokens sum to the corpus token count
+    total = sum(len(t.split()) for t in texts)
+    assert int((got["tok_end"] - got["tok_start"]).sum()) == total
+    # every sequence except the last is exactly full
+    per_seq = got.groupby("seq_id").apply(
+        lambda g: int((g["tok_end"] - g["tok_start"]).sum()),
+        include_groups=False)
+    assert (per_seq.iloc[:-1] == L).all()
+    assert 0 < per_seq.iloc[-1] <= L
+    # bucket width must not change the result (distributed prefix sum
+    # is exact regardless of partitioning)
+    got2 = (pack_sequences(rd.from_pandas(df), seq_len=L, bucket_ids=1024)
+            .to_pandas().sort_values(["seq_id", "doc_id"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype(np.int64),
+                                  got2.astype(np.int64))
+
+
+def test_pack_sequences_boundaries_reset_attention(ray_session):
+    # a doc longer than seq_len spans sequences with tok_start == 0 on
+    # continuation rows; a new doc mid-sequence starts at the previous
+    # doc's tok_end
+    from mvt_wrangler_ray.stages.pack import pack_sequences
+
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": ["a " * 10, "b " * 3, "c " * 7]})  # 10, 3, 7 tokens; L=8
+    got = (pack_sequences(rd.from_pandas(df), seq_len=8)
+           .to_pandas().sort_values(["seq_id", "tok_start"])
+           .reset_index(drop=True))
+    want = pd.DataFrame(
+        {"seq_id": [0, 1, 1, 1, 2],
+         "doc_id": [1, 1, 2, 3, 3],
+         "tok_start": [0, 0, 2, 5, 0],
+         "tok_end": [8, 2, 5, 8, 4]})
+    pd.testing.assert_frame_equal(got.astype(np.int64),
+                                  want.astype(np.int64))

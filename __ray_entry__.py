@@ -1386,6 +1386,32 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), seq_len=128)
 
 
+def _q_domain_dedup(sf_dir: str):
+    """URL/domain-level dedup — the standard crawl-corpus step: derive
+    each doc's deterministic fixture URL (FIXTURES.md §7), normalize to
+    the registered domain (lowercase host, port stripped, public-suffix
+    aware), keep the 3 lowest doc_ids per domain
+    (stages/web.domain_cap_dedup: narrow domain-hash-bucketed groupby,
+    vectorized in-group head)."""
+    from mvt_wrangler_ray.stages.web import domain_cap_dedup, synth_url_batch
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth_url_batch, batch_format="pyarrow")
+    return domain_cap_dedup(ds, cap=3)
+
+
+def _q_domain_stats(sf_dir: str):
+    """Per-domain mixing stats (doc counts + total chars) over the same
+    derived URLs — the `counts` input to temperature_weights for
+    domain-balanced mixtures (stages/web.domain_stats, two-phase
+    partial aggregate)."""
+    from mvt_wrangler_ray.stages.web import domain_stats, synth_url_batch
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        synth_url_batch, batch_format="pyarrow")
+    return domain_stats(ds)
+
+
 def _q_knn_graph(sf_dir: str):
     """kNN-GRAPH construction over the embeddings table: each row's
     top-3 nearest OTHER rows by cosine, rank-ordered (ties by lowest
@@ -2803,6 +2829,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "mixture_upsample": _q_mixture_upsample,
         "pack_sequences": _q_pack_sequences,
+        "domain_dedup": _q_domain_dedup,
+        "domain_stats": _q_domain_stats,
         "decontaminated_corpus": _q_decontaminated_corpus,
         "blur_score": _q_blur_score,
         "burst_rate": _q_burst_rate,
@@ -3972,6 +4000,53 @@ FROM expanded
 """
 
 
+def _sql_domain_cte() -> str:
+    """Shared CTE chain: the deterministic fixture URL
+    (stages/web.synth_url_batch, exact string-for-string), host
+    extraction, and the public-suffix-lite registered domain
+    (stages/web.registered_domain_batch)."""
+    return r"""
+WITH u AS (SELECT doc_id, n_chars,
+    (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS'
+          WHEN doc_id % 7 = 3 THEN 'http' ELSE 'https' END)
+    || '://'
+    || (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'www.'
+             WHEN 1 THEN '' ELSE 'blog.' END)
+    || 'site' || CAST(doc_id % 23 AS VARCHAR) || '.'
+    || (['com','org','net','co.uk','ac.jp'])[CAST(doc_id % 5 AS INT) + 1]
+    || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+    || '/p/' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 13 = 0 THEN '?utm_source=feed' ELSE '' END)
+    AS url FROM documents),
+h AS (SELECT doc_id, n_chars,
+    lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host
+  FROM u),
+d AS (SELECT doc_id, n_chars,
+    CASE WHEN regexp_matches(host,
+        '\.(co\.uk|ac\.jp|co\.jp|com\.au|gov\.uk|org\.uk|ne\.jp)$')
+      THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+      ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+  FROM h)
+"""
+
+
+def _sql_domain_dedup(cap: int = 3) -> str:
+    return _sql_domain_cte() + f"""
+SELECT doc_id, domain FROM (
+  SELECT doc_id, domain,
+    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+  FROM d) WHERE rn <= {cap}
+"""
+
+
+def _sql_domain_stats() -> str:
+    return _sql_domain_cte() + """
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM d GROUP BY domain
+"""
+
+
 _SQL_KNN_GRAPH = (
     "WITH r AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, "
     "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
@@ -4711,6 +4786,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _sql_mixture_sample(),
         "mixture_upsample": _sql_mixture_upsample(),
         "pack_sequences": _sql_pack_sequences(128),
+        "domain_dedup": _sql_domain_dedup(3),
+        "domain_stats": _sql_domain_stats(),
         "decontaminated_corpus": _sql_decontaminated_corpus(),
         "blur_score": _sql_blur_score(),
         "burst_rate": _sql_burst_rate(21_600),

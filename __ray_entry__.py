@@ -1412,6 +1412,22 @@ def _q_domain_stats(sf_dir: str):
     return domain_stats(ds)
 
 
+def _q_url_dedup(sf_dir: str):
+    """Exact URL-level dedup after canonicalization — the FIRST dedup
+    key of every crawl pipeline: lowercase scheme+host, default ports
+    dropped, fragments stripped, utm_* tracking params removed (other
+    params kept), trailing slash trimmed; then one narrow two-phase
+    grouped aggregate → (url_canon, min doc_id, n_dups). The fixture
+    URLs (stages/web.synth_dup_url_batch) are case/port/tracking
+    variants of a small canonical space so the dedup genuinely
+    groups (stages/web.url_exact_dedup)."""
+    from mvt_wrangler_ray.stages.web import synth_dup_url_batch, url_exact_dedup
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth_dup_url_batch, batch_format="pyarrow")
+    return url_exact_dedup(ds)
+
+
 def _q_knn_graph(sf_dir: str):
     """kNN-GRAPH construction over the embeddings table: each row's
     top-3 nearest OTHER rows by cosine, rank-ordered (ties by lowest
@@ -2840,6 +2856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "domain_dedup": _q_domain_dedup,
         "domain_stats": _q_domain_stats,
+        "url_dedup": _q_url_dedup,
         "decontaminated_corpus": _q_decontaminated_corpus,
         "blur_score": _q_blur_score,
         "burst_rate": _q_burst_rate,
@@ -4039,6 +4056,51 @@ d AS (SELECT doc_id, n_chars,
 """
 
 
+def _sql_url_dedup() -> str:
+    """stages/web.synth_dup_url_batch + canonicalize_url_batch +
+    url_exact_dedup in SQL: identical URL grammar, identical
+    canonicalization regex steps (lowercased scheme/host, default-port
+    drop, fragment strip, utm_* removal, trailing-slash trim), grouped
+    min-id + count."""
+    return r"""
+WITH u AS (SELECT doc_id,
+    (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS'
+          WHEN doc_id % 7 = 3 THEN 'http' ELSE 'https' END)
+    || '://'
+    || (CASE WHEN doc_id % 2 = 0
+          THEN 'DUP-SITE' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+          ELSE 'dup-site' || CAST(doc_id % 5 AS VARCHAR) || '.com' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN ':443'
+             WHEN doc_id % 11 = 5 THEN ':8080' ELSE '' END)
+    || '/page/' || CAST(doc_id % 13 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=x'
+             WHEN doc_id % 3 = 1 THEN '?ref=keepme' ELSE '' END)
+    || (CASE WHEN doc_id % 17 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents),
+p AS (SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '://([^/:?#]+)', 1)) AS host,
+    regexp_extract(url, '://[^/:?#]+(:[0-9]+)', 1) AS port,
+    regexp_replace(
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      '/$', '') AS path,
+    regexp_replace(regexp_replace(
+      regexp_extract(url, '\?([^#]*)', 1),
+      '(^|&)utm_[^&]*', '', 'g'), '^&', '') AS q2
+  FROM u),
+c AS (SELECT doc_id,
+    scheme || '://' || host
+    || (CASE WHEN (scheme = 'https' AND port = ':443')
+              OR (scheme = 'http' AND port = ':80') THEN '' ELSE port END)
+    || path
+    || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS url_canon
+  FROM p)
+SELECT url_canon, min(doc_id) AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_dups
+FROM c GROUP BY url_canon
+"""
+
+
 def _sql_domain_dedup(cap: int = 3) -> str:
     return _sql_domain_cte() + f"""
 SELECT doc_id, domain FROM (
@@ -4797,6 +4859,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _sql_pack_sequences(128),
         "domain_dedup": _sql_domain_dedup(3),
         "domain_stats": _sql_domain_stats(),
+        "url_dedup": _sql_url_dedup(),
         "decontaminated_corpus": _sql_decontaminated_corpus(),
         "blur_score": _sql_blur_score(),
         "burst_rate": _sql_burst_rate(21_600),

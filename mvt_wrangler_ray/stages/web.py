@@ -73,6 +73,97 @@ def synth_url_batch(batch: pa.Table, id_col: str = "doc_id",
     return batch.append_column(out, pa.array(url.tolist(), pa.string()))
 
 
+def synth_dup_url_batch(batch: pa.Table, id_col: str = "doc_id",
+                        out: str = "url") -> pa.Table:
+    """Second derived-slice URL generator (FIXTURES.md §7), built to
+    COLLIDE after canonicalization: case/port/tracking-param/fragment
+    variants of a small canonical space (5 sites × 13 pages × the
+    scheme/port/ref classes), so `url_exact_dedup` genuinely groups.
+    Mirrored exactly by the SQL in ``__ray_entry__._sql_dup_url_cte``."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    scheme = np.where(ids % 7 == 0, "HTTPS",
+                      np.where(ids % 7 == 3, "http", "https"))
+    site = (ids % 5).astype(str)
+    host = np.where(ids % 2 == 0,
+                    np.char.add(np.char.add("DUP-SITE", site), ".COM"),
+                    np.char.add(np.char.add("dup-site", site), ".com"))
+    port = np.where(ids % 11 == 0, ":443",
+                    np.where(ids % 11 == 5, ":8080", ""))
+    path = np.char.add("/page/", (ids % 13).astype(str))
+    q = np.where(ids % 3 == 0, "?utm_source=feed&utm_campaign=x",
+                 np.where(ids % 3 == 1, "?ref=keepme", ""))
+    frag = np.where(ids % 17 == 0, "#frag", "")
+    url = scheme
+    for p in (np.repeat("://", n), host, port, path, q, frag):
+        url = np.char.add(url, p)
+    return batch.append_column(out, pa.array(url.tolist(), pa.string()))
+
+
+_URL_RE = (r"^(?P<s>[A-Za-z][A-Za-z0-9+.-]*)://(?P<h>[^/:?#]+)"
+           r"(?P<port>:[0-9]+)?(?P<rest>[/?#].*)?$")
+
+
+def canonicalize_url_batch(batch: pa.Table, url_col: str = "url",
+                           out: str = "url_canon") -> pa.Table:
+    """URL canonicalization for exact crawl dedup, all vectorized Arrow
+    kernels: lowercase scheme + host, drop default ports (``:443`` for
+    https, ``:80`` for http; other ports preserved), strip the
+    fragment, remove ``utm_*`` tracking params (other params kept in
+    order), strip a trailing slash from non-root paths. The standard
+    first dedup key of every crawl pipeline — far higher precision than
+    raw-string equality, far cheaper than content hashing."""
+    parts = pc.extract_regex(batch[url_col], pattern=_URL_RE)
+    scheme = pc.utf8_lower(pc.struct_field(parts, "s"))
+    host = pc.utf8_lower(pc.struct_field(parts, "h"))
+    port = pc.struct_field(parts, "port")
+    rest = pc.fill_null(pc.struct_field(parts, "rest"), "")
+    default = pc.or_(
+        pc.and_(pc.equal(scheme, "https"), pc.equal(port, ":443")),
+        pc.and_(pc.equal(scheme, "http"), pc.equal(port, ":80")))
+    port = pc.if_else(pc.fill_null(default, False), "",
+                      pc.fill_null(port, ""))
+    path = pc.struct_field(
+        pc.extract_regex(rest, pattern=r"^(?P<p>[^?#]*)"), "p")
+    path = pc.replace_substring_regex(path, pattern=r"/$",
+                                      replacement="")
+    qm = pc.extract_regex(rest, pattern=r"\?(?P<q>[^#]*)")
+    query = pc.fill_null(pc.struct_field(qm, "q"), "")
+    query = pc.replace_substring_regex(
+        query, pattern=r"(^|&)utm_[^&]*", replacement="")
+    query = pc.replace_substring_regex(query, pattern=r"^&",
+                                       replacement="")
+    query = pc.if_else(pc.equal(query, ""), "",
+                       pc.binary_join_element_wise("?", query, ""))
+    canon = pc.binary_join_element_wise(
+        scheme, "://", host, port, pc.fill_null(path, ""), query, "")
+    # non-URL rows (no scheme://host match) canonicalize to null
+    canon = pc.if_else(pc.is_null(parts), pa.scalar(None, pa.string()),
+                       canon)
+    return batch.append_column(out, canon)
+
+
+def url_exact_dedup(ds, id_col: str = "doc_id", url_col: str = "url",
+                    num_buckets: int = 32):
+    """Exact URL-level dedup: canonicalize, then one narrow two-phase
+    grouped aggregate per canonical URL → (url_canon, doc_id = min id,
+    n_dups). Only (id, url_canon) cross the exchange."""
+    from .shuffle import two_phase_aggregate
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = canonicalize_url_batch(batch, url_col=url_col)
+        return t.select([id_col, "url_canon"])
+
+    narrow = ds.map_batches(norm, batch_format="pyarrow")
+    return two_phase_aggregate(
+        narrow, ["url_canon"],
+        partial_aggs=[(id_col, "min"), ([], "count_all")],
+        partial_names=["p_min", "p_n"],
+        final_aggs=[("p_min", "min"), ("p_n", "sum")],
+        final_names=[id_col, "n_dups"],
+        num_buckets=num_buckets)
+
+
 def registered_domain_batch(batch: pa.Table, url_col: str = "url",
                             out: str = "domain") -> pa.Table:
     """URL -> registered domain, vectorized Arrow regex: host between

@@ -324,3 +324,55 @@ def test_domain_stats_feed_temperature_weights(ray_session):
     w = temperature_weights(
         dict(zip(stats["domain"], stats["n_docs"])), alpha=0.3)
     assert len(w) == len(stats) and all(v >= 1 for v in w.values())
+
+
+def test_canonicalize_url_branches():
+    import pyarrow as pa
+
+    from mvt_wrangler_ray.stages.web import canonicalize_url_batch
+
+    t = pa.table({"url": [
+        "HTTPS://Site.COM:443/p/1?utm_source=x&ref=k#f",  # case+defport+utm+frag
+        "http://x.org:80/p",                    # http default port
+        "https://y.net:8080/p",                 # nonstandard port kept
+        "https://z.io/p/?utm_a=1",              # trailing slash + only-utm query
+        "https://z.io/",                        # root slash... trimmed to host
+        "not a url at all",                     # no match -> null
+        "https://q.co/p?a=1&utm_x=2&b=3",       # utm mid-query removed
+    ]})
+    got = canonicalize_url_batch(t)["url_canon"].to_pylist()
+    assert got == [
+        "https://site.com/p/1?ref=k",
+        "http://x.org/p",
+        "https://y.net:8080/p",
+        "https://z.io/p",
+        "https://z.io",
+        None,
+        "https://q.co/p?a=1&b=3",
+    ]
+
+
+def test_url_exact_dedup_groups(ray_session):
+    from mvt_wrangler_ray.stages.web import synth_dup_url_batch, url_exact_dedup
+
+    ids = np.arange(500, dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids})).map_batches(
+        synth_dup_url_batch, batch_format="pyarrow")
+    out = url_exact_dedup(ds).to_pandas()
+    assert int(out["n_dups"].sum()) == 500
+    assert out["n_dups"].max() > 1          # canonicalization really groups
+    assert len(out) < 500                   # ...and shrinks the table
+    # representative is the min id of its group: re-derive via pandas
+    import pyarrow as pa
+
+    from mvt_wrangler_ray.stages.web import canonicalize_url_batch
+    full = canonicalize_url_batch(synth_dup_url_batch(
+        pa.table({"doc_id": pa.array(ids)}))).to_pandas()
+    want = (full.groupby("url_canon")
+            .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+            .reset_index())
+    got = out.sort_values("url_canon").reset_index(drop=True)
+    want = want.sort_values("url_canon").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["url_canon", "doc_id", "n_dups"]].astype({"n_dups": np.int64}),
+        want[["url_canon", "doc_id", "n_dups"]].astype({"n_dups": np.int64}))

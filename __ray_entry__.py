@@ -1412,6 +1412,18 @@ def _q_domain_stats(sf_dir: str):
     return domain_stats(ds)
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1): token count, distinct-token count, modal-bigram
+    occurrence count — the integer numerators of the duplicate-n-gram
+    filters, exact-hashable (callers derive the ratios)
+    (stages/text.repetition_stats_batch, one map_batches pass)."""
+    from mvt_wrangler_ray.stages.text import repetition_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow")
+
+
 def _q_url_dedup(sf_dir: str):
     """Exact URL-level dedup after canonicalization — the FIRST dedup
     key of every crawl pipeline: lowercase scheme+host, default ports
@@ -2857,6 +2869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_dedup": _q_domain_dedup,
         "domain_stats": _q_domain_stats,
         "url_dedup": _q_url_dedup,
+        "repetition_stats": _q_repetition_stats,
         "decontaminated_corpus": _q_decontaminated_corpus,
         "blur_score": _q_blur_score,
         "burst_rate": _q_burst_rate,
@@ -4101,6 +4114,33 @@ FROM c GROUP BY url_canon
 """
 
 
+_SQL_REPETITION_STATS = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+  FROM documents WHERE trim(text) <> ''),
+toks AS (
+  SELECT doc_id, a[i] AS tok
+  FROM arrs, UNNEST(generate_series(1, len(a))) AS s(i)),
+bigrams AS (
+  SELECT doc_id, a[i] || ' ' || a[i+1] AS bg
+  FROM arrs, UNNEST(generate_series(1, len(a) - 1)) AS s(i)),
+bstats AS (
+  SELECT doc_id, MAX(c) AS top_bigram_n FROM (
+    SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2)
+  GROUP BY doc_id),
+tstats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+  FROM toks GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(t.n_tokens, 0) AS n_tokens,
+  COALESCE(t.n_distinct, 0) AS n_distinct,
+  CAST(COALESCE(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+FROM documents d LEFT JOIN tstats t USING (doc_id)
+LEFT JOIN bstats b USING (doc_id)
+"""
+
+
 def _sql_domain_dedup(cap: int = 3) -> str:
     return _sql_domain_cte() + f"""
 SELECT doc_id, domain FROM (
@@ -4860,6 +4900,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_dedup": _sql_domain_dedup(3),
         "domain_stats": _sql_domain_stats(),
         "url_dedup": _sql_url_dedup(),
+        "repetition_stats": _SQL_REPETITION_STATS,
         "decontaminated_corpus": _sql_decontaminated_corpus(),
         "blur_score": _sql_blur_score(),
         "burst_rate": _sql_burst_rate(21_600),

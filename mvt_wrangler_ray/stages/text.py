@@ -149,6 +149,75 @@ def chunk_docs_batch(batch: pa.Table, chunk_words: int = 50,
     })
 
 
+def repetition_stats_batch(batch: pa.Table, col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    per document: token count, distinct-token count, and the occurrence
+    count of the modal word bigram — the integer numerators of the
+    "fraction of duplicate n-grams" filters every pretraining pipeline
+    applies. Integer outputs only, so the oracle hash is exact; the
+    caller derives ratios.
+
+    Fully vectorized: Arrow regex split → one dictionary encode → numpy
+    lexsort + run-length counting (no per-row Python, no hashing —
+    bigram identity is the (code_i, code_{i+1}) pair compared
+    lexicographically, immune to vocab-size overflow)."""
+    arr = batch[col]
+    n_docs = len(arr)
+    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(arr))
+    toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    lengths = pc.list_value_length(toks).fill_null(0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    # an empty/whitespace-only doc splits to [''] — zero real tokens
+    empty = pc.equal(trimmed, "").fill_null(True).to_numpy(
+        zero_copy_only=False)
+    lengths[empty] = 0
+
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    codes_all = np.asarray(pc.dictionary_encode(flat).indices,
+                           dtype=np.int64)
+    doc_all = np.repeat(np.arange(n_docs, dtype=np.int64),
+                        pc.list_value_length(toks).fill_null(0).to_numpy(
+                            zero_copy_only=False).astype(np.int64))
+    keep = ~empty[doc_all]
+    codes, doc_idx = codes_all[keep], doc_all[keep]
+
+    n_distinct = np.zeros(n_docs, dtype=np.int64)
+    top_bigram = np.zeros(n_docs, dtype=np.int64)
+    if len(codes):
+        # distinct tokens per doc: sort (doc, code), count run starts
+        order = np.lexsort((codes, doc_idx))
+        d, c = doc_idx[order], codes[order]
+        new = np.concatenate(([True], (d[1:] != d[:-1]) | (c[1:] != c[:-1])))
+        np.add.at(n_distinct, d[new], 1)
+        # bigrams: adjacent positions within one doc
+        adj = doc_idx[1:] == doc_idx[:-1]
+        if adj.any():
+            bd = doc_idx[:-1][adj]
+            b1, b2 = codes[:-1][adj], codes[1:][adj]
+            o = np.lexsort((b2, b1, bd))
+            bd, b1, b2 = bd[o], b1[o], b2[o]
+            run_start = np.concatenate(([True], (bd[1:] != bd[:-1])
+                                        | (b1[1:] != b1[:-1])
+                                        | (b2[1:] != b2[:-1])))
+            starts = np.flatnonzero(run_start)
+            run_len = np.diff(np.concatenate((starts, [len(bd)])))
+            run_doc = bd[starts]
+            doc_first = np.concatenate(([True],
+                                        run_doc[1:] != run_doc[:-1]))
+            top = np.maximum.reduceat(run_len, np.flatnonzero(doc_first))
+            top_bigram[run_doc[doc_first]] = top
+
+    return pa.table({
+        id_col: batch[id_col],
+        "n_tokens": pa.array(lengths, pa.int64()),
+        "n_distinct": pa.array(n_distinct, pa.int64()),
+        "top_bigram_n": pa.array(top_bigram, pa.int64()),
+    })
+
+
 def md5_lower64(s: str) -> int:
     """The 64-bit md5 fold DuckDB exposes as ``md5_number_lower`` (bytes
     8..16 of the digest, little-endian) — the hash primitive shared by

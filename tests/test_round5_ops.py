@@ -376,3 +376,50 @@ def test_url_exact_dedup_groups(ray_session):
     pd.testing.assert_frame_equal(
         got[["url_canon", "doc_id", "n_dups"]].astype({"n_dups": np.int64}),
         want[["url_canon", "doc_id", "n_dups"]].astype({"n_dups": np.int64}))
+
+
+# ---- Gopher-style repetition quality stats ----------------------------
+
+
+def test_repetition_stats_known_values():
+    import pyarrow as pa
+
+    from mvt_wrangler_ray.stages.text import repetition_stats_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": ["A b a b A",   # 5 toks, 2 distinct, 'a b' x2
+                 "x",           # single token: no bigram
+                 "",            # empty
+                 "   ",         # whitespace-only
+                 "q q q q"]})   # 'q q' x3
+    got = repetition_stats_batch(t).to_pandas().set_index("doc_id")
+    assert got.loc[1].tolist() == [5, 2, 2]
+    assert got.loc[2].tolist() == [1, 1, 0]
+    assert got.loc[3].tolist() == [0, 0, 0]
+    assert got.loc[4].tolist() == [0, 0, 0]
+    assert got.loc[5].tolist() == [4, 1, 3]
+
+
+def test_repetition_stats_matches_counter_oracle():
+    # vectorized run-length plan == per-doc Counter reference on random
+    # small-vocab texts (small vocab -> lots of repeats and tied modes)
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from mvt_wrangler_ray.stages.text import repetition_stats_batch
+
+    rng = np.random.default_rng(47)
+    vocab = [f"w{i}" for i in range(7)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+             for _ in range(300)]
+    t = pa.table({"doc_id": pa.array(np.arange(300), pa.int64()),
+                  "text": texts})
+    got = repetition_stats_batch(t).to_pandas()
+    for i, txt in enumerate(texts):
+        toks = txt.lower().split()
+        bg = Counter(zip(toks, toks[1:]))
+        assert got.n_tokens[i] == len(toks)
+        assert got.n_distinct[i] == len(set(toks))
+        assert got.top_bigram_n[i] == (max(bg.values()) if bg else 0)

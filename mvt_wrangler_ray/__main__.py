@@ -184,6 +184,60 @@ def _main_corpus(argv):
     return 0
 
 
+def _main_pack(argv):
+    """`python -m mvt_wrangler_ray pack INPUT OUT_DIR [-L SEQ_LEN]` —
+    sequence packing (documents → fixed-length token sequences with
+    document-boundary segment rows) to the resumable range-partitioned
+    parquet sink, keyed by seq_id so a dataloader can read sequence
+    ranges independently."""
+    import json
+
+    p = argparse.ArgumentParser(prog="mvt_wrangler_ray pack")
+    p.add_argument("input", help="documents table (parquet file or dir "
+                                 "with doc_id + text columns)")
+    p.add_argument("out_dir", help="output directory (range partitions + lineage)")
+    p.add_argument("-L", "--seq-len", type=int, default=2048,
+                   help="tokens per packed sequence")
+    p.add_argument("--bucket-ids", type=int, default=65536,
+                   help="doc_id range width of one prefix-sum bucket")
+    p.add_argument("-p", "--partitions", type=int, default=16)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+        import ray.data as rd
+
+        from .stages.pack import pack_sequences
+        from .state.lineage import config_fingerprint, write_partitioned
+
+        ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+        segs = pack_sequences(ds, seq_len=args.seq_len,
+                              bucket_ids=args.bucket_ids)
+        chash = config_fingerprint(
+            {"seq_len": args.seq_len, "bucket_ids": args.bucket_ids})
+        recs = write_partitioned(segs, args.out_dir, key="seq_id",
+                                 num_partitions=args.partitions,
+                                 metadata={"seq_len": args.seq_len},
+                                 resume=not args.no_resume,
+                                 config_hash=chash)
+        total = sum(r["rows"] for r in recs)
+        print(json.dumps({"segments": total, "partitions": len(recs),
+                          "seq_len": args.seq_len}))
+        print(f"Wrote {total} sequence segments across {len(recs)} "
+              f"partitions to {args.out_dir}")
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None):
     import sys as _sys
 
@@ -192,6 +246,8 @@ def main(argv=None):
         return _main_images(argv[1:])
     if argv and argv[0] == "corpus":
         return _main_corpus(argv[1:])
+    if argv and argv[0] == "pack":
+        return _main_pack(argv[1:])
     p = argparse.ArgumentParser(
         prog="mvt_wrangler_ray",
         description="Rewrite a PMTiles archive of vector tiles with "

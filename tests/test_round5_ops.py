@@ -423,3 +423,32 @@ def test_repetition_stats_matches_counter_oracle():
         assert got.n_tokens[i] == len(toks)
         assert got.n_distinct[i] == len(set(toks))
         assert got.top_bigram_n[i] == (max(bg.values()) if bg else 0)
+
+
+def test_pack_cli_end_to_end_and_resume(ray_session, tmp_path):
+    import json as _json
+
+    from mvt_wrangler_ray.__main__ import main
+
+    out = str(tmp_path / "packed")
+    rc = main(["pack", "/root/testdata/sf0.001/documents.parquet", out,
+               "-L", "64", "-p", "4", "--num-cpus", "4"])
+    assert rc == 0
+    meta = _json.load(open(f"{out}/_metadata.json"))
+    assert meta["metadata"]["run"]["partitions_written_this_run"] == 4
+    # the written segments conserve the corpus token count
+    import pandas as pd_
+
+    segs = pd_.read_parquet(out)
+    toks = pd_.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                            columns=["text"])["text"]
+    total = int(toks.str.split().str.len().sum())
+    assert int((segs["tok_end"] - segs["tok_start"]).sum()) == total
+    assert set(segs.columns) >= {"seq_id", "doc_id", "tok_start", "tok_end"}
+    # rerun: every partition skipped
+    rc = main(["pack", "/root/testdata/sf0.001/documents.parquet", out,
+               "-L", "64", "-p", "4", "--num-cpus", "4"])
+    assert rc == 0
+    meta = _json.load(open(f"{out}/_metadata.json"))
+    assert meta["metadata"]["run"]["partitions_written_this_run"] == 0
+    assert meta["metadata"]["run"]["partitions_skipped_resume"] == 4

@@ -1412,6 +1412,17 @@ def _q_domain_stats(sf_dir: str):
     return domain_stats(ds)
 
 
+def _q_shuffle_order(sf_dir: str):
+    """Deterministic seeded global shuffle rank over documents (seed
+    42): each row's position in ascending (splitmix(doc_id ^ seed),
+    doc_id) order — the replayable per-epoch training permutation
+    (stages/shuffle.seeded_shuffle_rank: hash-range-bucket prefix sum,
+    narrow columns only)."""
+    from mvt_wrangler_ray.stages.shuffle import seeded_shuffle_rank
+
+    return seeded_shuffle_rank(_docs(sf_dir, ["doc_id"]), seed=42)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality signals per document (Rae et al.
     2021 §A1.1): token count, distinct-token count, modal-bigram
@@ -2872,6 +2883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": _q_domain_stats,
         "url_dedup": _q_url_dedup,
         "repetition_stats": _q_repetition_stats,
+        "shuffle_order": _q_shuffle_order,
         "decontaminated_corpus": _q_decontaminated_corpus,
         "blur_score": _q_blur_score,
         "burst_rate": _q_burst_rate,
@@ -4116,6 +4128,14 @@ FROM c GROUP BY url_canon
 """
 
 
+def _sql_shuffle_order(seed: int = 42) -> str:
+    """stages/shuffle.seeded_shuffle_rank in SQL: one row_number over
+    the identical splitmix hash (ties by doc_id), 0-based."""
+    h = _sql_splitmix(f"xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT))")
+    return (f"SELECT doc_id, CAST(row_number() OVER (ORDER BY {h}, doc_id)"
+            f" - 1 AS BIGINT) AS shuffle_rank FROM documents")
+
+
 _SQL_REPETITION_STATS = r"""
 WITH arrs AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
@@ -4903,6 +4923,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _sql_domain_stats(),
         "url_dedup": _sql_url_dedup(),
         "repetition_stats": _SQL_REPETITION_STATS,
+        "shuffle_order": _sql_shuffle_order(42),
         "decontaminated_corpus": _sql_decontaminated_corpus(),
         "blur_score": _sql_blur_score(),
         "burst_rate": _sql_burst_rate(21_600),

@@ -506,6 +506,72 @@ def mixture_resample(ds, group_col: str, weights: dict, id_col: str,
         select_per_group, batch_format="pyarrow")
 
 
+def seeded_shuffle_rank(ds, id_col: str = "doc_id", seed: int = 0,
+                        bucket_bits: int = 8):
+    """Deterministic global shuffle order for training: shuffle_rank is
+    the row's position in ascending (splitmix(id ^ seed), id) order — a
+    reproducible permutation a dataloader can replay per epoch (new
+    seed → new order), and a resumable one (rank is a pure function of
+    id and seed, so a restarted epoch seeks instead of reshuffling).
+    Contrast with ray.data.random_shuffle: that moves PAYLOADS through
+    an all-to-all exchange and is not replayable; this ranks the narrow
+    (id, hash) columns and lets the caller fetch payloads by rank range.
+
+    Scale shape: a distributed prefix sum over hash-range buckets (the
+    top ``bucket_bits`` of the hash, so ascending bucket == ascending
+    hash range): per-bucket counts fold on the driver (state =
+    2^bucket_bits ints), one narrow groupby co-locates each bucket,
+    in-bucket rank is a lexsort. Only (id, hash, bucket) — 24 B/row —
+    cross the exchange; the hash never leaves the operator."""
+    import ray
+
+    if not 1 <= bucket_bits <= 24:
+        raise ValueError("bucket_bits must be in [1, 24]")
+    shift = np.uint64(64 - bucket_bits)
+    sd = np.uint64(seed)
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _splitmix(ids.astype(np.uint64) ^ sd)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "h": pa.array(h, pa.uint64()),
+            "bucket": pa.array((h >> shift).astype(np.int64), pa.int64()),
+        })
+
+    narrow = ds.map_batches(hashes, batch_format="pyarrow").materialize()
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(
+            ["n" if c == "count_all" else c for c in g.column_names])
+
+    totals: dict = {}
+    for row in narrow.map_batches(
+            bucket_partials, batch_format="pyarrow").take_all():
+        totals[row["bucket"]] = totals.get(row["bucket"], 0) + row["n"]
+    base, acc = {}, 0
+    for b in sorted(totals):
+        base[b] = acc
+        acc += totals[b]
+    base_ref = ray.put(base)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        bases = ray.get(base_ref)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, h))
+        b = int(g["bucket"][0].as_py())
+        ranks = bases[b] + np.arange(len(ids), dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "shuffle_rank": pa.array(ranks, pa.int64()),
+        })
+
+    return narrow.groupby("bucket").map_groups(rank_group,
+                                               batch_format="pyarrow")
+
+
 def temperature_weights(counts: dict, alpha: float = 0.3,
                         scale: int = 1_000_000) -> dict:
     """Integer mixture weights from group counts and a sampling

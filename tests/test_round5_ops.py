@@ -452,3 +452,33 @@ def test_pack_cli_end_to_end_and_resume(ray_session, tmp_path):
     meta = _json.load(open(f"{out}/_metadata.json"))
     assert meta["metadata"]["run"]["partitions_written_this_run"] == 0
     assert meta["metadata"]["run"]["partitions_skipped_resume"] == 4
+
+
+# ---- deterministic seeded shuffle rank ---------------------------------
+
+
+def test_seeded_shuffle_rank_properties(ray_session):
+    from mvt_wrangler_ray.stages.shuffle import _splitmix, seeded_shuffle_rank
+
+    ids = np.arange(0, 900, 3, dtype=np.int64)  # sparse ids
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids}))
+    out = seeded_shuffle_rank(ds, seed=7, bucket_bits=4).to_pandas()
+    # a permutation: ranks are exactly 0..n-1, ids all present
+    assert sorted(out["shuffle_rank"]) == list(range(len(ids)))
+    assert set(out["doc_id"]) == set(ids)
+    # matches the single-node definition: argsort by (splitmix(id^seed), id)
+    h = _splitmix(ids.astype(np.uint64) ^ np.uint64(7))
+    order = np.lexsort((ids, h))
+    want = pd.DataFrame({"doc_id": ids[order],
+                         "shuffle_rank": np.arange(len(ids), dtype=np.int64)})
+    got = out.sort_values("shuffle_rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # bucket width must not change the permutation
+    out2 = seeded_shuffle_rank(ds, seed=7, bucket_bits=9).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True))
+    # a different seed gives a different permutation (new epoch order)
+    out3 = seeded_shuffle_rank(ds, seed=8, bucket_bits=4).to_pandas()
+    merged = out.merge(out3, on="doc_id")
+    assert (merged["shuffle_rank_x"] != merged["shuffle_rank_y"]).any()

@@ -4113,7 +4113,7 @@ p AS (SELECT doc_id,
       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
       '/$', '') AS path,
     regexp_replace(regexp_replace(
-      regexp_extract(url, '\?([^#]*)', 1),
+      regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1),
       '(^|&)utm_[^&]*', '', 'g'), '^&', '') AS q2
   FROM u),
 c AS (SELECT doc_id,

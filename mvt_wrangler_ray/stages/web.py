@@ -127,7 +127,11 @@ def canonicalize_url_batch(batch: pa.Table, url_col: str = "url",
         pc.extract_regex(rest, pattern=r"^(?P<p>[^?#]*)"), "p")
     path = pc.replace_substring_regex(path, pattern=r"/$",
                                       replacement="")
-    qm = pc.extract_regex(rest, pattern=r"\?(?P<q>[^#]*)")
+    # strip the fragment BEFORE extracting the query: a '?' inside a
+    # fragment ('#a?b') is not a query separator (RFC 3986 §3.4/3.5)
+    nofrag = pc.replace_substring_regex(rest, pattern=r"#.*$",
+                                        replacement="")
+    qm = pc.extract_regex(nofrag, pattern=r"\?(?P<q>.*)$")
     query = pc.fill_null(pc.struct_field(qm, "q"), "")
     query = pc.replace_substring_regex(
         query, pattern=r"(^|&)utm_[^&]*", replacement="")

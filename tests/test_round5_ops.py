@@ -482,3 +482,54 @@ def test_seeded_shuffle_rank_properties(ray_session):
     out3 = seeded_shuffle_rank(ds, seed=8, bucket_bits=4).to_pandas()
     merged = out.merge(out3, on="doc_id")
     assert (merged["shuffle_rank_x"] != merged["shuffle_rank_y"]).any()
+
+
+def test_canonicalize_url_differential_hypothesis():
+    # differential check vs an independent urllib-based reference over
+    # generated URLs covering every branch combination
+    from urllib.parse import urlsplit
+
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mvt_wrangler_ray.stages.web import canonicalize_url_batch
+
+    label = st.text(alphabet="abcdefgXYZ09-", min_size=1, max_size=6).filter(
+        lambda s: not s.startswith("-") and not s.endswith("-"))
+    urls = st.builds(
+        lambda scheme, labels, port, path, params, frag:
+            scheme + "://" + ".".join(labels) + port + path + params + frag,
+        st.sampled_from(["http", "https", "HTTP", "HTTPS", "hTTps"]),
+        st.lists(label, min_size=1, max_size=4),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.sampled_from(["", "/", "/a", "/a/b", "/a/", "/a//"]),
+        st.sampled_from(["", "?utm_x=1", "?a=1", "?a=1&utm_y=2&b=3",
+                         "?utm_a=1&utm_b=2"]),
+        st.sampled_from(["", "#f", "#a?b"]))
+
+    def reference(u):
+        sp = urlsplit(u)
+        scheme = sp.scheme.lower()
+        host = sp.hostname or ""
+        port = ""
+        if sp.port is not None and not (
+                (scheme, sp.port) in (("https", 443), ("http", 80))):
+            port = f":{sp.port}"
+        path = sp.path
+        if path.endswith("/"):
+            path = path[:-1]
+        q = [kv for kv in sp.query.split("&")
+             if kv and not kv.startswith("utm_")]
+        return (scheme + "://" + host + port + path
+                + ("?" + "&".join(q) if q else ""))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(urls, min_size=1, max_size=20))
+    def run(batch):
+        t = pa.table({"url": batch})
+        got = canonicalize_url_batch(t)["url_canon"].to_pylist()
+        want = [reference(u) for u in batch]
+        assert got == want, (batch, got, want)
+
+    run()

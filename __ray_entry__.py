@@ -1265,6 +1265,22 @@ def _q_decontaminated_corpus(sf_dir: str):
     return clean
 
 
+def _q_training_examples(sf_dir: str):
+    """The WHOLE training-data chain to dataloader-ready examples:
+    quality gate → language gate → exact + near dedup → eval-slice drop
+    → n-gram decontamination (the decontaminated_corpus chain) → one
+    bucketed semi join recovers survivor payloads → sequence packing
+    into 128-token examples with document-boundary segments. Every
+    stage streams; the only driver state is the pack bucket fold."""
+    from mvt_wrangler_ray.stages.pack import pack_sequences
+    from mvt_wrangler_ray.stages.shuffle import bucketed_key_semi_join
+
+    clean_ids = _q_decontaminated_corpus(sf_dir)
+    survivors = bucketed_key_semi_join(
+        _docs(sf_dir, ["doc_id", "text"]), clean_ids, "doc_id")
+    return pack_sequences(survivors, seq_len=128)
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Incremental ingestion dedup: the doc_id % 3 == 0 slice plays the
     INCOMING batch, the rest the EXISTING corpus; keep first-seen new
@@ -2885,6 +2901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "repetition_stats": _q_repetition_stats,
         "shuffle_order": _q_shuffle_order,
+        "training_examples": _q_training_examples,
         "decontaminated_corpus": _q_decontaminated_corpus,
         "blur_score": _q_blur_score,
         "burst_rate": _q_burst_rate,
@@ -4028,18 +4045,21 @@ FROM r JOIN q USING (source)
 """
 
 
-def _sql_pack_sequences(seq_len: int = 128) -> str:
+def _sql_pack_sequences(seq_len: int = 128,
+                        src: str = "documents") -> str:
     """stages/pack.pack_sequences in SQL: per-doc whitespace token
     counts (same expression as the token_count oracle), global offsets
     via a window prefix sum in doc_id order, then each doc expands into
     the sequences it covers (generate_series is inclusive; an empty-doc
-    start > end series emits nothing). Bounds clip to the sequence."""
+    start > end series emits nothing). Bounds clip to the sequence.
+    ``src`` is any relation with (doc_id, text) — the packing step of a
+    composed chain just substitutes its survivor subquery."""
     L = seq_len
     return f"""
 WITH toks AS (SELECT doc_id,
     CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
       length(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
-    AS n_tok FROM documents),
+    AS n_tok FROM {src}),
 offs AS (SELECT doc_id, n_tok,
     CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
@@ -4920,6 +4940,10 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _sql_mixture_sample(),
         "mixture_upsample": _sql_mixture_upsample(),
         "pack_sequences": _sql_pack_sequences(128),
+        "training_examples": _sql_pack_sequences(
+            128, src=("(SELECT d.doc_id, d.text FROM documents d "
+                      f"JOIN ({_sql_decontaminated_corpus()}) s "
+                      "USING (doc_id))")),
         "domain_dedup": _sql_domain_dedup(3),
         "domain_stats": _sql_domain_stats(),
         "url_dedup": _sql_url_dedup(),

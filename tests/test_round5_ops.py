@@ -533,3 +533,30 @@ def test_canonicalize_url_differential_hypothesis():
         assert got == want, (batch, got, want)
 
     run()
+
+
+def test_round5_ops_empty_input_safe(ray_session):
+    # empty partitions are routine at 100 TB: every round-5 operator
+    # must produce an empty result, not a crash, on zero rows
+    import pyarrow as pa
+
+    from mvt_wrangler_ray.stages.pack import pack_sequences
+    from mvt_wrangler_ray.stages.shuffle import seeded_shuffle_rank
+    from mvt_wrangler_ray.stages.text import repetition_stats_batch
+    from mvt_wrangler_ray.stages.web import (domain_cap_dedup,
+                                             synth_dup_url_batch,
+                                             synth_url_batch,
+                                             url_exact_dedup)
+
+    empty_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    empty_ids = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    assert pack_sequences(empty_docs, seq_len=8).take_all() == []
+    assert seeded_shuffle_rank(empty_ids, seed=1).take_all() == []
+    assert domain_cap_dedup(empty_ids.map_batches(
+        synth_url_batch, batch_format="pyarrow")).take_all() == []
+    assert url_exact_dedup(empty_ids.map_batches(
+        synth_dup_url_batch, batch_format="pyarrow")).take_all() == []
+    assert empty_docs.map_batches(
+        repetition_stats_batch, batch_format="pyarrow").take_all() == []

@@ -1272,13 +1272,27 @@ def _q_training_examples(sf_dir: str):
     bucketed semi join recovers survivor payloads → sequence packing
     into 128-token examples with document-boundary segments. Every
     stage streams; the only driver state is the pack bucket fold."""
+    from mvt_wrangler_ray.pipelines.corpus import clean_corpus
+    from mvt_wrangler_ray.stages.dedup import ngram_contamination
     from mvt_wrangler_ray.stages.pack import pack_sequences
     from mvt_wrangler_ray.stages.shuffle import bucketed_key_semi_join
 
-    clean_ids = _q_decontaminated_corpus(sf_dir)
-    survivors = bucketed_key_semi_join(
-        _docs(sf_dir, ["doc_id", "text"]), clean_ids, "doc_id")
-    return pack_sequences(survivors, seq_len=128)
+    survivors, _ = clean_corpus(
+        _docs(sf_dir, ["doc_id", "text"]), min_quality=0.1,
+        langs=("en", "de", "fr", "es", "zh", "und"), near_dup_threshold=0.8)
+    tr = survivors.map_batches(_split_docs_train,
+                               batch_format="pyarrow").materialize()
+    ev = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _split_docs_eval, batch_format="pyarrow")
+    cont = ngram_contamination(tr, ev, n=5).map_batches(
+        lambda b: b.filter(pa.compute.equal(b["contaminated"], 1))
+                   .select(["doc_id"]),
+        batch_format="pyarrow")
+    # anti-join the PAYLOAD-bearing survivors directly (tr is already
+    # pinned for the contamination pass) — no second pass over the
+    # full documents table to re-attach text
+    clean_docs = bucketed_key_semi_join(tr, cont, "doc_id", anti=True)
+    return pack_sequences(clean_docs, seq_len=128)
 
 
 def _q_incremental_dedup(sf_dir: str):

@@ -1295,6 +1295,31 @@ def _q_training_examples(sf_dir: str):
     return pack_sequences(clean_docs, seq_len=128)
 
 
+def _q_minhash_recall(sf_dir: str):
+    """Dedup QA metric: MinHash-LSH RECALL vs the exact prefix-filter
+    jaccard join at the same threshold — the measurement a user runs
+    before trusting approximate dedup on a new corpus. One row of
+    integer counts (n_exact, n_lsh, n_hit); recall = n_hit / n_exact.
+    Both pair sets are driver-resident under their operators' documented
+    caps (broadcast_pairs_limit / bucket_cap) — the metric inherits the
+    underlying operators' scale lanes."""
+    from mvt_wrangler_ray.stages.dedup import (minhash_near_dups,
+                                               ngram_jaccard_near_dups)
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    lsh = minhash_near_dups(docs, threshold=0.5)
+    exact = ngram_jaccard_near_dups(docs, threshold=0.5)
+    lsh_set = set(zip(lsh["id_a"].astype(np.int64),
+                      lsh["id_b"].astype(np.int64)))
+    ex_set = set(zip(exact["id_a"].astype(np.int64),
+                     exact["id_b"].astype(np.int64)))
+    return pd.DataFrame([{
+        "n_exact": np.int64(len(ex_set)),
+        "n_lsh": np.int64(len(lsh_set)),
+        "n_hit": np.int64(len(ex_set & lsh_set)),
+    }])
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Incremental ingestion dedup: the doc_id % 3 == 0 slice plays the
     INCOMING batch, the rest the EXISTING corpus; keep first-seen new
@@ -2918,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "shuffle_order": _q_shuffle_order,
         "training_examples": _q_training_examples,
+        "minhash_recall": _q_minhash_recall,
         "decontaminated_corpus": _q_decontaminated_corpus,
         "blur_score": _q_blur_score,
         "burst_rate": _q_burst_rate,
@@ -4418,12 +4444,7 @@ def _sql_shingle_ctes(docs_sql: str, prefix: str) -> str:
   FROM {prefix}_grams)"""
 
 
-def _sql_jaccard_near_dup(threshold: float = 0.5) -> str:
-    """Exhaustive all-pairs shingle-Jaccard oracle for the EXACT
-    prefix-filter join (stages/dedup.ngram_jaccard_near_dups): because
-    the prefix filter is lossless and no sf0.01 gram group exceeds
-    bucket_cap, the engine's output must equal brute force."""
-    return f"""WITH {_sql_shingle_ctes("SELECT doc_id, text FROM documents", "jd")},
+_SQL_JD_PAIRS_BODY = """
 jd_n AS (SELECT doc_id, count(*) AS nsh FROM jd_sh GROUP BY 1),
 jd_all AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM jd_docs a JOIN jd_docs b ON a.doc_id < b.doc_id),
@@ -4438,10 +4459,34 @@ jd_pairs AS (SELECT p.id_a, p.id_b,
   FROM jd_all p
   LEFT JOIN jd_n na ON na.doc_id = p.id_a
   LEFT JOIN jd_n nb ON nb.doc_id = p.id_b
-  LEFT JOIN jd_i i ON i.id_a = p.id_a AND i.id_b = p.id_b)
+  LEFT JOIN jd_i i ON i.id_a = p.id_a AND i.id_b = p.id_b)"""
+
+
+def _sql_jaccard_near_dup(threshold: float = 0.5) -> str:
+    """Exhaustive all-pairs shingle-Jaccard oracle for the EXACT
+    prefix-filter join (stages/dedup.ngram_jaccard_near_dups): because
+    the prefix filter is lossless and no sf0.01 gram group exceeds
+    bucket_cap, the engine's output must equal brute force."""
+    return f"""WITH {_sql_shingle_ctes("SELECT doc_id, text FROM documents", "jd")},
+{_SQL_JD_PAIRS_BODY}
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        j AS jaccard
 FROM jd_pairs WHERE j >= {threshold!r}"""
+
+
+def _sql_minhash_recall(threshold: float = 0.5) -> str:
+    """_q_minhash_recall in SQL: both pair derivations (the LSH
+    candidate+verify chain and the brute-force exact join) composed in
+    one statement; three subquery counts."""
+    return f"""WITH {_sql_minhash_ctes("SELECT doc_id, text FROM documents")},
+{_sql_shingle_ctes("SELECT doc_id, text FROM documents", "jd")},
+{_SQL_JD_PAIRS_BODY},
+ex AS (SELECT id_a, id_b FROM jd_pairs WHERE j >= {threshold!r}),
+lsh AS (SELECT id_a, id_b FROM mh_pairs WHERE j >= {threshold!r})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+  (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM ex JOIN lsh ON ex.id_a = lsh.id_a AND ex.id_b = lsh.id_b) AS n_hit"""
 
 
 def _sql_minhash_ctes(docs_sql: str, prefix: str = "mh") -> str:
@@ -4965,6 +5010,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _sql_url_dedup(),
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
+        "minhash_recall": _sql_minhash_recall(0.5),
         "decontaminated_corpus": _sql_decontaminated_corpus(),
         "blur_score": _sql_blur_score(),
         "burst_rate": _sql_burst_rate(21_600),

@@ -2915,20 +2915,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (minhash near-dup inside), the semantic/embedding/image near-dup
     # family, knn_graph/knn_self/knn_ivf, and the
     # funnel/retention/copresence event analytics.
-    # Round-5 window: the 8 new round-5 queries (mixture_upsample —
+    # Round-5 window: the 9 new round-5 queries (mixture_upsample —
     # replication up-weighting; pack_sequences — fixed-length training
     # sequences with boundary indices; domain_dedup + domain_stats —
     # URL/registered-domain caps and mixing stats; url_dedup —
     # canonicalized exact URL dedup; repetition_stats — Gopher
     # duplicate-n-gram quality numerators; shuffle_order — seeded
     # replayable training permutation; training_examples — the whole
-    # chain composed to dataloader-ready packed sequences) join the 12
-    # round-4 queries at the head, rotating p95_value, daily_active,
-    # retention, behavior_overlap, knn_self, caption_pixel_corr,
-    # weekly_growth and copresence (all hash-green in CORRECTNESS_r04
-    # or earlier) past position 50; their richer in-window relatives
-    # are knn_graph/knn_self_ivf, the image-stats family,
-    # quantile_sketch, and funnel/weighted_sample.
+    # chain composed to dataloader-ready packed sequences;
+    # minhash_recall — the LSH-vs-exact dedup QA audit) join the 12
+    # round-4 queries at the head, rotating tfidf_topk, p95_value,
+    # daily_active, retention, behavior_overlap, knn_self,
+    # caption_pixel_corr, weekly_growth and copresence (all hash-green
+    # in CORRECTNESS_r04 or earlier) past position 50; their richer
+    # in-window relatives are knn_graph/knn_self_ivf, the image-stats
+    # family, quantile_sketch, inverted_index/bm25, and
+    # funnel/weighted_sample.
     return {
         "contamination": _q_contamination,
         "spatial_clusters": _q_spatial_clusters,

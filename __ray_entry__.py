@@ -2891,6 +2891,77 @@ FROM ann GROUP BY doc_id
 """
 
 
+def _q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split (90/5/5) over documents with
+    per-split doc and char counts — the stable-split primitive every
+    training run needs (same multiplicative hash as _q_sample, so the
+    SQL oracle is three integer ops). Map-side partials into a tiny
+    keyed merge; driver state: 3 rows."""
+    from mvt_wrangler_ray.stages.curate import split_stats
+    return split_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_corpus_diff(sf_dir: str):
+    """Snapshot diff between two deterministic corpus versions:
+    OLD = docs with doc_id % 5 != 1; NEW = docs with doc_id % 5 != 2,
+    where every doc_id % 11 == 0 carries revised content (text||' rev2').
+    The operator compares by (id, content hash) through a bucketed
+    union-groupby — payloads never move, unchanged docs are dropped, so
+    output is proportional to the delta (FIXTURES.md §7 slices)."""
+    import pyarrow.compute as pc
+
+    from mvt_wrangler_ray.stages.diff import snapshot_diff
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def old_slice(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 5 != 1))
+
+    def new_slice(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % 5 != 2))
+        ids2 = t["doc_id"].to_numpy(zero_copy_only=False)
+        revised = pc.binary_join_element_wise(
+            t["text"], pa.scalar(" rev2"), "")
+        text = pc.if_else(pa.array(ids2 % 11 == 0), revised, t["text"])
+        return t.set_column(t.schema.get_field_index("text"), "text", text)
+
+    old_ds = docs.map_batches(old_slice, batch_format="pyarrow")
+    new_ds = docs.map_batches(new_slice, batch_format="pyarrow")
+    return snapshot_diff(old_ds, new_ds)
+
+
+def _q_filter_funnel(sf_dir: str):
+    """The corpus-curation funnel report: survivor counts after each
+    gate of the standard chain (input → token-length → language →
+    quality → exact dedup), with gates bit-identical to clean_corpus's
+    Arrow kernels. One pass computes all flags; only the narrow
+    distinct-hash exchange shuffles."""
+    from mvt_wrangler_ray.stages.curate import filter_funnel
+    return filter_funnel(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_token_histogram(sf_dir: str):
+    """Document token-length distribution in power-of-two buckets
+    (bucket = floor(log2(n_tokens+1)), exact integer math both sides —
+    SQL uses length(bin(n+1))-1). The report that sizes pack_sequences'
+    seq_len."""
+    from mvt_wrangler_ray.stages.curate import token_histogram
+    return token_histogram(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_image_size_filter(sf_dir: str):
+    """Dimension/aspect gate verdict counts over the images table
+    (too_small / too_large / bad_aspect / ok with first-failing-rule
+    precedence) — the standard multimodal pre-filter, run on the w/h
+    metadata columns only (payload never touched). Oracle unrolls the
+    deterministic w/h derivation (fnv64 of image_id)."""
+    from mvt_wrangler_ray.sources.images import images_from_documents
+    from mvt_wrangler_ray.stages.image import size_filter_counts
+    return size_filter_counts(images_from_documents(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registration order is deliberate: the round-2 driver artifact
     # recorded exactly the FIRST 50 dict entries, dropping the tail —
@@ -2931,7 +3002,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # in-window relatives are knn_graph/knn_self_ivf, the image-stats
     # family, quantile_sketch, inverted_index/bm25, and
     # funnel/weighted_sample.
+    # Round-5 continuation: five more curation/report operators join
+    # the head (split_assign — deterministic train/val/test hash split;
+    # corpus_diff — snapshot delta by id + content hash; filter_funnel —
+    # the C4/Gopher-style stage-survivor report; token_histogram —
+    # power-of-two length distribution; image_size_filter — the
+    # dimension/aspect multimodal pre-filter), rotating pixel_histogram,
+    # scene_changes, left_join, funnel and copurchase_topk (all
+    # hash-green in CORRECTNESS_r04 or earlier) past position 50; their
+    # richer in-window relatives are image_stats/blur_score (pixel
+    # family), burst_rate (event analytics), and the dedup/corpus chain.
     return {
+        "split_assign": _q_split_assign,
+        "corpus_diff": _q_corpus_diff,
+        "filter_funnel": _q_filter_funnel,
+        "token_histogram": _q_token_histogram,
+        "image_size_filter": _q_image_size_filter,
         "contamination": _q_contamination,
         "spatial_clusters": _q_spatial_clusters,
         "knn_graph": _q_knn_graph,
@@ -4804,7 +4890,67 @@ def oracle_sql() -> dict[str, str]:
         pyramid_parts.append(
             f"SELECT doc_id, {z} AS z, {tx} AS x, {ty} AS y FROM ({geo})")
 
+    fnv_img = _sql_fnv64("printf('img%08d', doc_id)", 11)
+    tok_cte = ("SELECT doc_id, text, CAST(CASE WHEN trim(text) = '' THEN 0 "
+               "ELSE length(regexp_split_to_array(trim(text), '\\s+')) END "
+               "AS BIGINT) AS n_tokens FROM documents")
+
     return {
+        "split_assign":
+            "SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' "
+            "ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(length(text)) AS BIGINT) AS n_chars "
+            "FROM (SELECT text, ((doc_id * 2654435761) % 4294967296) % 100 "
+            "AS b FROM documents) GROUP BY 1",
+        "corpus_diff":
+            "WITH old AS (SELECT doc_id, md5(text) AS h FROM documents "
+            "  WHERE doc_id % 5 != 1), "
+            "new AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 "
+            "  THEN text || ' rev2' ELSE text END) AS h FROM documents "
+            "  WHERE doc_id % 5 != 2) "
+            "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' ELSE 'changed' END AS status "
+            "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id "
+            "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h",
+        "filter_funnel":
+            f"WITH tok AS ({tok_cte}), "
+            f"lang AS ({_sql_lang_id()}), "
+            f"q AS (SELECT doc_id, {_sql_quality_score('text')} AS qs "
+            "  FROM documents), "
+            "flags AS (SELECT t.doc_id, t.text, "
+            "  (t.n_tokens >= 5 AND t.n_tokens <= 5000) AS p_len, "
+            "  (t.n_tokens >= 5 AND t.n_tokens <= 5000 "
+            "   AND l.predicted_lang = 'en') AS p_lang, "
+            "  (t.n_tokens >= 5 AND t.n_tokens <= 5000 "
+            "   AND l.predicted_lang = 'en' AND q.qs >= 0.2) AS p_qual "
+            "  FROM tok t JOIN lang l USING (doc_id) JOIN q USING (doc_id)) "
+            "SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS survivors "
+            "  FROM documents "
+            "UNION ALL SELECT 'length', CAST(count(*) AS BIGINT) "
+            "  FROM flags WHERE p_len "
+            "UNION ALL SELECT 'language', CAST(count(*) AS BIGINT) "
+            "  FROM flags WHERE p_lang "
+            "UNION ALL SELECT 'quality', CAST(count(*) AS BIGINT) "
+            "  FROM flags WHERE p_qual "
+            "UNION ALL SELECT 'exact_dedup', "
+            "  CAST(count(DISTINCT md5(text)) AS BIGINT) "
+            "  FROM flags WHERE p_qual",
+        "token_histogram":
+            f"SELECT CAST(length(bin(n_tokens + 1)) - 1 AS BIGINT) AS len_bucket, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens "
+            f"FROM ({tok_cte}) GROUP BY 1",
+        "image_size_filter":
+            f"WITH img AS (SELECT doc_id, {fnv_img} AS h FROM documents), "
+            "geom AS (SELECT CAST(32 + CAST(h % 97 AS BIGINT) AS BIGINT) AS w, "
+            "  CAST(32 + CAST((h >> 8) % 97 AS BIGINT) AS BIGINT) AS hh "
+            "  FROM img) "
+            "SELECT CASE WHEN least(w, hh) < 48 THEN 'too_small' "
+            "WHEN greatest(w, hh) > 112 THEN 'too_large' "
+            "WHEN w > 2 * hh OR hh > 2 * w THEN 'bad_aspect' "
+            "ELSE 'ok' END AS verdict, CAST(count(*) AS BIGINT) AS n "
+            "FROM geom GROUP BY 1",
         "tile_assign":
             f"SELECT doc_id, {ZOOM} AS z, {tx12} AS x, {ty12} AS y FROM ({geo})",
         "tile_density": density,

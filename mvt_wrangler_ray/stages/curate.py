@@ -1,0 +1,214 @@
+"""Corpus curation reporting operators.
+
+Three operators every large-scale training-data pipeline runs before
+(and while) training:
+
+- **Deterministic split assignment** (`assign_split_batch`,
+  `split_stats`): hash each document id into train/val/test with the
+  same SQL-reproducible multiplicative hash the engine's deterministic
+  sampler uses, so the split is stable across runs, machines, and
+  re-shards — no RNG state, any worker can re-derive any row's split.
+- **Filter-funnel report** (`filter_funnel`): the stage-by-stage
+  survivor count (input → length gate → language gate → quality gate →
+  exact dedup) that corpus papers publish (e.g. the C4 / Gopher / RefinedWeb
+  data cards). One pass computes every per-document gate; the only
+  shuffle is the narrow distinct-hash exchange for the dedup stage.
+- **Token-length histogram** (`token_histogram`): document length
+  distribution in power-of-two buckets — the report that sizes
+  sequence-packing `seq_len` and flags truncation loss. Bucket edges
+  are exact integer math (no float log2), so the DuckDB oracle
+  (`length(bin(n+1)) - 1`) matches bit-for-bit.
+
+Scale shape: every operator is map-side partial aggregation into a tiny
+keyed merge (`two_phase_aggregate`); driver state is bounded by the
+number of splits / stages / buckets (≤ ~64 rows), never by the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# The same SQL-reproducible multiplicative hash as the deterministic
+# sampler (`__ray_entry__._q_sample`) and the geotagger: Knuth's
+# 2654435761 (2^32 / phi), folded to 32 bits, bucketed mod 100.
+_KNUTH = np.uint64(2654435761)
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def split_bucket(ids: np.ndarray) -> np.ndarray:
+    """0..99 bucket per id — ((id * 2654435761) mod 2^32) mod 100."""
+    return ((ids.astype(np.uint64) * _KNUTH) & _MASK32) % np.uint64(100)
+
+
+def assign_split_batch(batch: pa.Table, id_col: str = "doc_id",
+                       train_pct: int = 90, val_pct: int = 5,
+                       out: str = "split") -> pa.Table:
+    """Append a deterministic train/val/test split column.
+
+    bucket < train_pct → 'train'; < train_pct+val_pct → 'val';
+    else 'test'. Pure integer math, reproducible in SQL:
+    ``((doc_id * 2654435761) % 4294967296) % 100``.
+    """
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    b = split_bucket(ids)
+    split = np.where(b < np.uint64(train_pct), "train",
+                     np.where(b < np.uint64(train_pct + val_pct), "val",
+                              "test"))
+    return batch.append_column(out, pa.array(split, pa.string()))
+
+
+def split_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                train_pct: int = 90, val_pct: int = 5):
+    """Per-split document and character counts.
+
+    → Dataset[split:string, n_docs:int64, n_chars:int64] (≤ 3 rows).
+    Map-side partials (3 rows per block) into a tiny keyed merge — the
+    shuffle moves O(blocks) rows regardless of corpus size.
+    """
+    from .shuffle import two_phase_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = assign_split_batch(batch, id_col, train_pct, val_pct)
+        nch = pc.cast(pc.utf8_length(t[text_col]), pa.int64())
+        return pa.table({"split": t["split"],
+                         "one": pa.array(np.ones(len(t), np.int64)),
+                         "nch": nch})
+
+    narrow = ds.map_batches(partial, batch_format="pyarrow")
+    return two_phase_aggregate(
+        narrow, keys=["split"],
+        partial_aggs=[("one", "sum"), ("nch", "sum")],
+        partial_names=["pn", "pc_"],
+        final_aggs=[("pn", "sum"), ("pc_", "sum")],
+        final_names=["n_docs", "n_chars"], num_buckets=4)
+
+
+def funnel_flags_batch(batch: pa.Table, text_col: str = "text",
+                       min_tokens: int = 5, max_tokens: int = 5000,
+                       langs: Sequence[str] = ("en",),
+                       min_quality: float = 0.2,
+                       id_col: str = "doc_id") -> pa.Table:
+    """Per-document cumulative gate flags + content hash (narrow row).
+
+    Gates mirror pipelines/corpus.clean_corpus bit-for-bit (same Arrow
+    kernels, same IEEE op order for the quality composite) plus a token
+    length gate; each flag is the AND-cascade so stage survivor counts
+    are plain column sums.
+    """
+    from .dedup import content_hash_batch
+    from .text import lang_id_batch, quality_score_batch, token_count_batch
+
+    t = token_count_batch(batch, text_col)
+    t = quality_score_batch(t, text_col)
+    t = lang_id_batch(t)
+    ntok = t["n_tokens"].to_numpy(zero_copy_only=False)
+    q = t["quality_score"].to_numpy(zero_copy_only=False)
+    pl = np.asarray(t["predicted_lang"].to_pylist(), dtype=object)
+    p_len = (ntok >= min_tokens) & (ntok <= max_tokens)
+    p_lang = p_len & np.isin(pl, list(langs))
+    p_qual = p_lang & (q >= min_quality)
+    hashed = content_hash_batch(batch, text_col, out="content_hash")
+    return pa.table({
+        id_col: batch[id_col],
+        "pass_len": pa.array(p_len),
+        "pass_lang": pa.array(p_lang),
+        "pass_qual": pa.array(p_qual),
+        "content_hash": hashed["content_hash"],
+    })
+
+
+def filter_funnel(ds, text_col: str = "text", id_col: str = "doc_id",
+                  min_tokens: int = 5, max_tokens: int = 5000,
+                  langs: Sequence[str] = ("en",),
+                  min_quality: float = 0.2,
+                  num_buckets: int = 32) -> pa.Table:
+    """Stage-by-stage survivor counts for the standard curation chain.
+
+    → pa.Table[stage:string, survivors:int64] with exactly five rows:
+    input, length, language, quality, exact_dedup (cumulative gates; the
+    dedup stage counts distinct content hashes among quality survivors —
+    the min-id-survivor count of stages/dedup.exact_dedup).
+
+    One pass computes every per-document flag; the narrow flag table is
+    pinned once for its two consumers (the flag sums and the distinct-
+    hash exchange), so document payloads move zero times and driver
+    state is five integers.
+    """
+    from .shuffle import two_phase_aggregate
+
+    def flags(batch: pa.Table) -> pa.Table:
+        return funnel_flags_batch(batch, text_col, min_tokens, max_tokens,
+                                  langs, min_quality, id_col)
+
+    narrow = ds.map_batches(flags, batch_format="pyarrow").materialize()
+
+    n_input = narrow.count()
+    sums = narrow.map_batches(
+        lambda b: pa.table({
+            "l": [int(pc.sum(pc.cast(b["pass_len"], pa.int64())).as_py() or 0)],
+            "g": [int(pc.sum(pc.cast(b["pass_lang"], pa.int64())).as_py() or 0)],
+            "q": [int(pc.sum(pc.cast(b["pass_qual"], pa.int64())).as_py() or 0)],
+        }), batch_format="pyarrow")
+    agg = sums.sum(["l", "g", "q"]) or {}
+    agg = {k: int(agg.get(k) or 0) for k in ("sum(l)", "sum(g)", "sum(q)")}
+
+    # distinct content hashes among quality survivors = exact-dedup
+    # survivor count (one narrow hash exchange; payloads never move)
+    qual_hashes = narrow.map_batches(
+        lambda b: b.filter(b["pass_qual"]).select(["content_hash"]),
+        batch_format="pyarrow")
+    n_dedup = two_phase_aggregate(
+        qual_hashes, keys=["content_hash"],
+        partial_aggs=[("content_hash", "count")], partial_names=["c"],
+        final_aggs=[("c", "sum")], final_names=["n"],
+        num_buckets=num_buckets).count()
+
+    return pa.table({
+        "stage": pa.array(["input", "length", "language", "quality",
+                           "exact_dedup"], pa.string()),
+        "survivors": pa.array([n_input, int(agg["sum(l)"]),
+                               int(agg["sum(g)"]), int(agg["sum(q)"]),
+                               n_dedup], pa.int64()),
+    })
+
+
+_POW2 = (np.int64(1) << np.arange(62, dtype=np.int64))
+
+
+def log2_bucket(v: np.ndarray) -> np.ndarray:
+    """floor(log2(v + 1)) in exact integer math (no float log)."""
+    return (np.searchsorted(_POW2, v.astype(np.int64) + 1, side="right")
+            - 1).astype(np.int64)
+
+
+def token_histogram(ds, text_col: str = "text"):
+    """Document token-length histogram in power-of-two buckets.
+
+    → Dataset[len_bucket:int64, n_docs:int64, sum_tokens:int64] where
+    len_bucket = floor(log2(n_tokens + 1)). Map-side partials (≤ ~20
+    rows per block) into a tiny keyed merge. (Named len_bucket: plain
+    "bucket" would collide with the exchange's own shuffle column.)
+    """
+    from .shuffle import two_phase_aggregate
+    from .text import token_count_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = token_count_batch(batch, text_col)
+        ntok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "len_bucket": pa.array(log2_bucket(ntok)),
+            "one": pa.array(np.ones(len(t), np.int64)),
+            "tok": pa.array(ntok.astype(np.int64)),
+        })
+
+    narrow = ds.map_batches(partial, batch_format="pyarrow")
+    return two_phase_aggregate(
+        narrow, keys=["len_bucket"],
+        partial_aggs=[("one", "sum"), ("tok", "sum")],
+        partial_names=["pn", "pt"],
+        final_aggs=[("pn", "sum"), ("pt", "sum")],
+        final_names=["n_docs", "sum_tokens"], num_buckets=8)

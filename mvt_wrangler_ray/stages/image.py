@@ -449,3 +449,44 @@ class BlurScoreStage:
             "lap_sq_sum": pa.array(lsq, pa.int64()),
             "n_interior": pa.array(ni, pa.int64()),
             "blur_var": pa.array(var, pa.float64())})
+
+
+def size_filter_verdict_batch(batch: pa.Table, min_side: int = 48,
+                              max_side: int = 112,
+                              max_aspect: int = 2) -> pa.Table:
+    """Dimension/aspect gating — the standard multimodal pre-filter
+    (drop tiny thumbnails, oversized scans, and extreme strips before
+    paying decode cost). Appends `verdict` with FIRST-FAILING-RULE
+    precedence: 'too_small' (min(w,h) < min_side), then 'too_large'
+    (max(w,h) > max_side), then 'bad_aspect' (w > max_aspect*h or
+    h > max_aspect*w), else 'ok'. Pure integer compares on the metadata
+    columns — the payload is never touched, so the stage runs on a
+    2-column pruned read."""
+    w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    verdict = np.where(
+        np.minimum(w, h) < min_side, "too_small",
+        np.where(np.maximum(w, h) > max_side, "too_large",
+                 np.where((w > max_aspect * h) | (h > max_aspect * w),
+                          "bad_aspect", "ok")))
+    return batch.append_column("verdict", pa.array(verdict, pa.string()))
+
+
+def size_filter_counts(ds_images, min_side: int = 48, max_side: int = 112,
+                       max_aspect: int = 2):
+    """Per-verdict image counts for the size/aspect gate.
+
+    → Dataset[verdict:string, n:int64] (≤ 4 rows). Map-side partials
+    into a tiny keyed merge; driver state is the verdict set."""
+    from .shuffle import two_phase_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = size_filter_verdict_batch(b, min_side, max_side, max_aspect)
+        return pa.table({"verdict": t["verdict"],
+                         "one": pa.array(np.ones(len(t), np.int64))})
+
+    narrow = ds_images.map_batches(partial, batch_format="pyarrow")
+    return two_phase_aggregate(
+        narrow, keys=["verdict"],
+        partial_aggs=[("one", "sum")], partial_names=["pn"],
+        final_aggs=[("pn", "sum")], final_names=["n"], num_buckets=4)

@@ -1,0 +1,200 @@
+"""Round-5 continuation operators: deterministic splits, the filter
+funnel, token histogram, snapshot diff, and the image size filter."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _docs_table(texts, start=0):
+    n = len(texts)
+    return pa.table({
+        "doc_id": pa.array(np.arange(start, start + n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+# ---- split assignment --------------------------------------------------
+
+
+def test_split_assignment_partition_invariant():
+    # the split of a row depends only on its id — slicing the batch any
+    # way must give identical assignments (re-shard safety)
+    from mvt_wrangler_ray.stages.curate import assign_split_batch
+
+    t = _docs_table(["x"] * 1000)
+    whole = assign_split_batch(t)["split"].to_pylist()
+    pieces = []
+    for lo in range(0, 1000, 137):
+        pieces.extend(assign_split_batch(t.slice(lo, 137))["split"].to_pylist())
+    assert whole == pieces
+
+
+def test_split_fractions_and_exhaustiveness():
+    from mvt_wrangler_ray.stages.curate import assign_split_batch
+
+    t = _docs_table(["x"] * 20000)
+    s = np.asarray(assign_split_batch(t)["split"].to_pylist())
+    counts = {v: int((s == v).sum()) for v in ("train", "val", "test")}
+    assert sum(counts.values()) == 20000           # exhaustive, one split each
+    assert 0.85 <= counts["train"] / 20000 <= 0.95  # ~90%
+    assert 0.02 <= counts["val"] / 20000 <= 0.08    # ~5%
+    assert 0.02 <= counts["test"] / 20000 <= 0.08   # ~5%
+
+
+def test_split_stats_matches_direct_count(ray_session):
+    from mvt_wrangler_ray.stages.curate import assign_split_batch, split_stats
+
+    texts = [f"doc {i} body" * (i % 4 + 1) for i in range(500)]
+    t = _docs_table(texts)
+    got = split_stats(rd.from_arrow(t)).to_pandas().set_index("split")
+    direct = assign_split_batch(t).to_pandas()
+    direct["n_chars"] = direct["text"].str.len()
+    want = direct.groupby("split").agg(n_docs=("doc_id", "size"),
+                                       n_chars=("n_chars", "sum"))
+    for split in want.index:
+        assert got.loc[split, "n_docs"] == want.loc[split, "n_docs"]
+        assert got.loc[split, "n_chars"] == want.loc[split, "n_chars"]
+
+
+# ---- filter funnel ------------------------------------------------------
+
+
+def test_filter_funnel_monotone_and_dedup(ray_session):
+    from mvt_wrangler_ray.stages.curate import filter_funnel
+
+    texts = (
+        ["the quick brown fox jumps over the lazy dog near the river"] * 4
+        + ["short"]                       # fails length (< 5 tokens)
+        + ["der hund und die katze sind nicht in dem haus mit dem"] * 2  # de
+        + ["!!! ??? ,,, ;;; ::: ... !!! ??? ,,, ;;;"]  # punct-heavy: quality
+        + ["it is a fine day for the walk and the talk of the town"] * 3
+    )
+    ds = rd.from_arrow(_docs_table(texts))
+    out = filter_funnel(ds).to_pandas().set_index("stage")["survivors"]
+    assert out["input"] == len(texts)
+    # monotone non-increasing down the chain
+    order = ["input", "length", "language", "quality", "exact_dedup"]
+    vals = [out[s] for s in order]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert out["length"] == len(texts) - 1           # only "short" fails
+    # the 4 identical fox docs collapse to 1, the 3 town docs to 1
+    assert out["exact_dedup"] == out["quality"] - 3 - 2
+
+
+def test_funnel_flags_cumulative():
+    from mvt_wrangler_ray.stages.curate import funnel_flags_batch
+
+    t = _docs_table(["the cat sat on the mat for a while today",
+                     "tiny", ""])
+    f = funnel_flags_batch(t)
+    ln = f["pass_len"].to_pylist()
+    lg = f["pass_lang"].to_pylist()
+    q = f["pass_qual"].to_pylist()
+    for a, b, c in zip(ln, lg, q):
+        assert (not b) or a      # lang implies len
+        assert (not c) or b      # qual implies lang
+
+
+# ---- token histogram ----------------------------------------------------
+
+
+def test_log2_bucket_exact_integer():
+    from mvt_wrangler_ray.stages.curate import log2_bucket
+
+    v = np.concatenate([
+        np.arange(0, 1000, dtype=np.int64),
+        (np.int64(1) << np.arange(1, 40)) - 1,
+        (np.int64(1) << np.arange(1, 40)),
+    ])
+    got = log2_bucket(v)
+    want = np.array([(int(x) + 1).bit_length() - 1 for x in v], np.int64)
+    assert np.array_equal(got, want)
+
+
+def test_token_histogram_conserves_totals(ray_session):
+    from mvt_wrangler_ray.stages.curate import token_histogram
+
+    texts = [" ".join(["w"] * n) for n in
+             [0, 1, 2, 3, 7, 8, 15, 16, 100, 1000]]
+    out = token_histogram(rd.from_arrow(_docs_table(texts))).to_pandas()
+    assert out["n_docs"].sum() == len(texts)
+    assert out["sum_tokens"].sum() == sum(
+        len(t.split()) for t in texts)
+
+
+# ---- snapshot diff ------------------------------------------------------
+
+
+def test_snapshot_diff_classification(ray_session):
+    from mvt_wrangler_ray.stages.diff import snapshot_diff
+
+    old = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d"], pa.string())}))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["b", "C", "d", "e"], pa.string())}))
+    got = snapshot_diff(old, new).to_pandas().set_index("doc_id")[
+        "status"].to_dict()
+    assert got == {1: "removed", 3: "changed", 5: "added"}  # 2, 4 unchanged
+
+
+def test_snapshot_diff_duplicate_id_guard(ray_session):
+    from mvt_wrangler_ray.stages.diff import snapshot_diff
+
+    old = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 1], pa.int64()),
+        "text": pa.array(["a", "b"], pa.string())}))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([2], pa.int64()),
+        "text": pa.array(["c"], pa.string())}))
+    with pytest.raises(Exception, match="duplicate ids"):
+        snapshot_diff(old, new).take_all()
+
+
+def test_snapshot_diff_identical_snapshots_empty(ray_session):
+    from mvt_wrangler_ray.stages.diff import snapshot_diff
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a", "b", "c"], pa.string())})
+    assert snapshot_diff(rd.from_arrow(t), rd.from_arrow(t)).take_all() == []
+
+
+# ---- image size filter --------------------------------------------------
+
+
+def test_size_filter_verdict_precedence():
+    from mvt_wrangler_ray.stages.image import size_filter_verdict_batch
+
+    t = pa.table({
+        #                 small  large  strip(aspect)  small+strip  ok
+        "w": pa.array([32,   120,   112,           20,   64], pa.int32()),
+        "h": pa.array([64,   100,    50,          100,   80], pa.int32()),
+    })
+    got = size_filter_verdict_batch(t)["verdict"].to_pylist()
+    # first-failing-rule precedence: small beats large beats aspect
+    assert got == ["too_small", "too_large", "bad_aspect", "too_small", "ok"]
+
+
+# ---- empty-input safety -------------------------------------------------
+
+
+def test_continuation_ops_empty_input_safe(ray_session):
+    from mvt_wrangler_ray.stages.curate import (filter_funnel, split_stats,
+                                                token_histogram)
+    from mvt_wrangler_ray.stages.diff import snapshot_diff
+    from mvt_wrangler_ray.stages.image import size_filter_counts
+
+    empty_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    empty_imgs = rd.from_arrow(pa.table({
+        "w": pa.array([], pa.int32()), "h": pa.array([], pa.int32())}))
+    assert split_stats(empty_docs).take_all() == []
+    assert token_histogram(empty_docs).take_all() == []
+    assert snapshot_diff(empty_docs, empty_docs).take_all() == []
+    assert size_filter_counts(empty_imgs).take_all() == []
+    funnel = filter_funnel(empty_docs).to_pandas()
+    assert list(funnel["survivors"]) == [0, 0, 0, 0, 0]

@@ -2951,6 +2951,24 @@ def _q_token_histogram(sf_dir: str):
     return token_histogram(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_curriculum_order(sf_dir: str):
+    """Quality-curriculum training order (seed 42): rank ascending in
+    (phase, splitmix(doc_id ^ seed), doc_id) where phase 0 is the
+    highest-quality decile — the easy-to-hard schedule with a seeded
+    replayable shuffle inside each phase (stages/curate.curriculum_rank:
+    composite-bucket prefix sum, narrow columns only)."""
+    from mvt_wrangler_ray.stages.curate import curriculum_rank
+    return curriculum_rank(_docs(sf_dir, ["doc_id", "text"]), seed=42)
+
+
+def _q_validate_corpus(sf_dir: str):
+    """Pre-training data-quality gate: row/null/empty/duplicate-id
+    counts as (check, value) rows — map-side partial sums plus one
+    narrow distinct-id exchange."""
+    from mvt_wrangler_ray.stages.curate import validate_corpus
+    return validate_corpus(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_image_size_filter(sf_dir: str):
     """Dimension/aspect gate verdict counts over the images table
     (too_small / too_large / bad_aspect / ok with first-failing-rule
@@ -3002,22 +3020,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # in-window relatives are knn_graph/knn_self_ivf, the image-stats
     # family, quantile_sketch, inverted_index/bm25, and
     # funnel/weighted_sample.
-    # Round-5 continuation: five more curation/report operators join
+    # Round-5 continuation: seven more curation/report operators join
     # the head (split_assign — deterministic train/val/test hash split;
     # corpus_diff — snapshot delta by id + content hash; filter_funnel —
     # the C4/Gopher-style stage-survivor report; token_histogram —
     # power-of-two length distribution; image_size_filter — the
-    # dimension/aspect multimodal pre-filter), rotating pixel_histogram,
-    # scene_changes, left_join, funnel and copurchase_topk (all
-    # hash-green in CORRECTNESS_r04 or earlier) past position 50; their
-    # richer in-window relatives are image_stats/blur_score (pixel
-    # family), burst_rate (event analytics), and the dedup/corpus chain.
+    # dimension/aspect multimodal pre-filter; curriculum_order — the
+    # quality-phased seeded training order; validate_corpus — the
+    # pre-training data-quality gate), rotating revenue_by_nation,
+    # weighted_sample, pixel_histogram, scene_changes, left_join,
+    # funnel and copurchase_topk (all hash-green in CORRECTNESS_r04 or
+    # earlier) past position 50; their richer in-window relatives are
+    # image_stats/blur_score (pixel family), burst_rate (event
+    # analytics), and the dedup/corpus chain.
     return {
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
         "token_histogram": _q_token_histogram,
         "image_size_filter": _q_image_size_filter,
+        "curriculum_order": _q_curriculum_order,
+        "validate_corpus": _q_validate_corpus,
         "contamination": _q_contamination,
         "spatial_clusters": _q_spatial_clusters,
         "knn_graph": _q_knn_graph,
@@ -4941,6 +4964,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens "
             f"FROM ({tok_cte}) GROUP BY 1",
+        "curriculum_order":
+            "SELECT doc_id, phase, CAST(row_number() OVER "
+            "(ORDER BY phase, h, doc_id) - 1 AS BIGINT) AS curriculum_rank "
+            "FROM (SELECT doc_id, "
+            f"9 - least(CAST(floor(({_sql_quality_score('text')}) * 10) "
+            "AS BIGINT), 9) AS phase, "
+            f"{_sql_splitmix('xor(CAST(doc_id AS UBIGINT), CAST(42 AS UBIGINT))')}"
+            " AS h FROM documents)",
+        "validate_corpus":
+            "SELECT 'n_rows' AS \"check\", CAST(count(*) AS BIGINT) AS value "
+            "FROM documents "
+            "UNION ALL SELECT 'n_null_id', CAST(count(*) FILTER "
+            "(WHERE doc_id IS NULL) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'n_null_text', CAST(count(*) FILTER "
+            "(WHERE text IS NULL) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'n_empty_text', CAST(count(*) FILTER "
+            "(WHERE trim(coalesce(text, '')) = '') AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'n_dup_ids', CAST(count(*) - "
+            "count(DISTINCT doc_id) AS BIGINT) FROM documents",
         "image_size_filter":
             f"WITH img AS (SELECT doc_id, {fnv_img} AS h FROM documents), "
             "geom AS (SELECT CAST(32 + CAST(h % 97 AS BIGINT) AS BIGINT) AS w, "

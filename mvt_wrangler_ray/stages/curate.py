@@ -212,3 +212,131 @@ def token_histogram(ds, text_col: str = "text"):
         partial_names=["pn", "pt"],
         final_aggs=[("pn", "sum"), ("pt", "sum")],
         final_names=["n_docs", "sum_tokens"], num_buckets=8)
+
+
+def curriculum_rank(ds, id_col: str = "doc_id", text_col: str = "text",
+                    seed: int = 0, n_phases: int = 10,
+                    bucket_bits: int = 8):
+    """Quality-curriculum training order: rank every document ascending
+    in (phase, splitmix(id ^ seed), id), where phase 0 holds the
+    HIGHEST-quality decile (phase = (n_phases-1) - clip(floor(
+    quality_score * n_phases))) — curriculum learning's easy-to-hard
+    schedule with a seeded, replayable shuffle inside each phase.
+
+    Same scale shape as stages/shuffle.seeded_shuffle_rank (its
+    docstring has the full argument): a distributed prefix sum over
+    composite (phase, hash-range) buckets — driver state is
+    n_phases * 2^bucket_bits ints — then one narrow groupby co-locates
+    each bucket and ranks with a lexsort. Only (id, phase, hash,
+    bucket) cross the exchange; payloads and text never move (text is
+    read once to score quality map-side).
+
+    → Dataset[id_col:int64, phase:int64, curriculum_rank:int64].
+    """
+    import ray
+
+    from .shuffle import _splitmix
+    from .text import quality_score_batch
+
+    if not 1 <= bucket_bits <= 20:
+        raise ValueError("bucket_bits must be in [1, 20]")
+    shift = np.uint64(64 - bucket_bits)
+    sd = np.uint64(seed)
+    top = np.int64(n_phases - 1)
+
+    def narrow_batch(batch: pa.Table) -> pa.Table:
+        t = quality_score_batch(batch, text_col)
+        qs = t["quality_score"].to_numpy(zero_copy_only=False)
+        phase = top - np.minimum(
+            np.floor(qs * float(n_phases)).astype(np.int64), top)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _splitmix(ids.astype(np.uint64) ^ sd)
+        cbucket = phase * np.int64(1 << bucket_bits) \
+            + (h >> shift).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "phase": pa.array(phase, pa.int64()),
+            "h": pa.array(h, pa.uint64()),
+            "cbucket": pa.array(cbucket, pa.int64()),
+        })
+
+    narrow = ds.map_batches(narrow_batch, batch_format="pyarrow").materialize()
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["cbucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(
+            ["n" if c == "count_all" else c for c in g.column_names])
+
+    totals: dict = {}
+    for row in narrow.map_batches(
+            bucket_partials, batch_format="pyarrow").take_all():
+        totals[row["cbucket"]] = totals.get(row["cbucket"], 0) + row["n"]
+    base, acc = {}, 0
+    for b in sorted(totals):   # ascending cbucket == ascending (phase, h-range)
+        base[b] = acc
+        acc += totals[b]
+    base_ref = ray.put(base)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        bases = ray.get(base_ref)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, h))
+        b = int(g["cbucket"][0].as_py())
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            "phase": g["phase"].take(pa.array(order)),
+            "curriculum_rank": pa.array(
+                bases[b] + np.arange(len(ids), dtype=np.int64)),
+        })
+
+    return narrow.groupby("cbucket").map_groups(rank_group,
+                                                batch_format="pyarrow")
+
+
+def validate_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
+                    num_buckets: int = 32) -> pa.Table:
+    """Corpus data-quality gate — the checks to run before training:
+
+    → pa.Table[check:string, value:int64] with rows n_rows, n_null_id,
+    n_null_text, n_empty_text (whitespace-only counts), n_dup_ids
+    (rows minus distinct ids). All but the distinct-id check are
+    map-side partial sums; the distinct count is one narrow id
+    exchange. Driver state: five integers.
+    """
+    from .shuffle import two_phase_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, txt = batch[id_col], batch[text_col]
+        n = len(batch)
+        null_id = int(pc.sum(
+            pc.cast(pc.is_null(ids), pa.int64())).as_py() or 0)
+        null_tx = int(pc.sum(
+            pc.cast(pc.is_null(txt), pa.int64())).as_py() or 0)
+        empty = int(pc.sum(pc.cast(
+            pc.equal(pc.utf8_trim_whitespace(pc.fill_null(txt, "")), ""),
+            pa.int64())).as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "ni": pa.array([null_id], pa.int64()),
+                         "nt": pa.array([null_tx], pa.int64()),
+                         "ne": pa.array([empty], pa.int64())})
+
+    sums = ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["n", "ni", "nt", "ne"]) or {}
+    n_rows = int(sums.get("sum(n)") or 0)
+    n_distinct = two_phase_aggregate(
+        ds.map_batches(lambda b: b.select([id_col]),
+                       batch_format="pyarrow"),
+        keys=[id_col],
+        partial_aggs=[(id_col, "count")], partial_names=["c"],
+        final_aggs=[("c", "sum")], final_names=["cnt"],
+        num_buckets=num_buckets).count()
+
+    return pa.table({
+        "check": pa.array(["n_rows", "n_null_id", "n_null_text",
+                           "n_empty_text", "n_dup_ids"], pa.string()),
+        "value": pa.array([n_rows, int(sums.get("sum(ni)") or 0),
+                           int(sums.get("sum(nt)") or 0),
+                           int(sums.get("sum(ne)") or 0),
+                           n_rows - n_distinct], pa.int64()),
+    })

@@ -198,3 +198,63 @@ def test_continuation_ops_empty_input_safe(ray_session):
     assert size_filter_counts(empty_imgs).take_all() == []
     funnel = filter_funnel(empty_docs).to_pandas()
     assert list(funnel["survivors"]) == [0, 0, 0, 0, 0]
+
+
+# ---- curriculum ordering --------------------------------------------------
+
+
+def test_curriculum_rank_is_permutation_and_phase_ordered(ray_session):
+    from mvt_wrangler_ray.stages.curate import curriculum_rank
+
+    texts = [f"word {i} " * (i % 30 + 1) for i in range(300)]
+    ds = rd.from_arrow(_docs_table(texts))
+    df = curriculum_rank(ds, seed=7).to_pandas().sort_values("curriculum_rank")
+    # a true permutation: ranks 0..n-1 exactly once, every doc present
+    assert list(df["curriculum_rank"]) == list(range(300))
+    assert sorted(df["doc_id"]) == list(range(300))
+    # phases never decrease along the rank order (easy-to-hard schedule)
+    assert (df["phase"].diff().dropna() >= 0).all()
+
+
+def test_curriculum_rank_seed_changes_within_phase_order(ray_session):
+    from mvt_wrangler_ray.stages.curate import curriculum_rank
+
+    texts = ["the cat sat on the mat and looked around the room"] * 64
+    ds = rd.from_arrow(_docs_table(texts))
+    a = curriculum_rank(ds, seed=1).to_pandas().sort_values(
+        "doc_id")["curriculum_rank"].tolist()
+    b = curriculum_rank(ds, seed=2).to_pandas().sort_values(
+        "doc_id")["curriculum_rank"].tolist()
+    a2 = curriculum_rank(ds, seed=1).to_pandas().sort_values(
+        "doc_id")["curriculum_rank"].tolist()
+    assert a == a2          # replayable
+    assert a != b           # seed actually reshuffles (same-quality docs)
+
+
+# ---- corpus validation ----------------------------------------------------
+
+
+def test_validate_corpus_counts(ray_session):
+    from mvt_wrangler_ray.stages.curate import validate_corpus
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 2, 3, None, 5], pa.int64()),
+        "text": pa.array(["ok", None, "  ", "ok", "x", "ok"], pa.string()),
+    })
+    got = validate_corpus(rd.from_arrow(t)).to_pandas().set_index(
+        "check")["value"].to_dict()
+    assert got == {"n_rows": 6, "n_null_id": 1, "n_null_text": 1,
+                   "n_empty_text": 2,       # the None and the blank
+                   "n_dup_ids": 1}          # 6 rows, 5 distinct ids
+
+
+def test_validate_corpus_clean_and_empty(ray_session):
+    from mvt_wrangler_ray.stages.curate import validate_corpus
+
+    clean = rd.from_arrow(_docs_table(["a", "b", "c"]))
+    got = validate_corpus(clean).to_pandas().set_index("check")["value"]
+    assert got["n_rows"] == 3 and got[["n_null_id", "n_null_text",
+                                      "n_empty_text", "n_dup_ids"]].sum() == 0
+    empty = rd.from_arrow(_docs_table([]))
+    got = validate_corpus(empty).to_pandas().set_index("check")["value"]
+    assert (got == 0).all()

@@ -2969,6 +2969,18 @@ def _q_validate_corpus(sf_dir: str):
     return validate_corpus(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_cluster_reps(sf_dir: str):
+    """Quality-aware near-dup representative selection: per MinHash
+    cluster (threshold 0.35, the certified dedup_clusters graph), keep
+    the highest-quality member, ties by min id — 'keep the best, not
+    the first' (stages/curate.cluster_representatives: map-side quality,
+    one bucketed membership join, lexsort-head argmax per cluster
+    bucket)."""
+    from mvt_wrangler_ray.stages.curate import cluster_representatives
+    return cluster_representatives(_docs(sf_dir, ["doc_id", "text"]),
+                                   threshold=0.35)
+
+
 def _q_image_size_filter(sf_dir: str):
     """Dimension/aspect gate verdict counts over the images table
     (too_small / too_large / bad_aspect / ok with first-failing-rule
@@ -3020,16 +3032,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # in-window relatives are knn_graph/knn_self_ivf, the image-stats
     # family, quantile_sketch, inverted_index/bm25, and
     # funnel/weighted_sample.
-    # Round-5 continuation: seven more curation/report operators join
+    # Round-5 continuation: eight more curation/report operators join
     # the head (split_assign — deterministic train/val/test hash split;
     # corpus_diff — snapshot delta by id + content hash; filter_funnel —
     # the C4/Gopher-style stage-survivor report; token_histogram —
     # power-of-two length distribution; image_size_filter — the
     # dimension/aspect multimodal pre-filter; curriculum_order — the
     # quality-phased seeded training order; validate_corpus — the
-    # pre-training data-quality gate), rotating revenue_by_nation,
-    # weighted_sample, pixel_histogram, scene_changes, left_join,
-    # funnel and copurchase_topk (all hash-green in CORRECTNESS_r04 or
+    # pre-training data-quality gate; cluster_reps — quality-aware
+    # near-dup representative selection), rotating zscore,
+    # revenue_by_nation, weighted_sample, pixel_histogram,
+    # scene_changes, left_join, funnel and copurchase_topk (all
+    # hash-green in CORRECTNESS_r04 or
     # earlier) past position 50; their richer in-window relatives are
     # image_stats/blur_score (pixel family), burst_rate (event
     # analytics), and the dedup/corpus chain.
@@ -3041,6 +3055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_size_filter": _q_image_size_filter,
         "curriculum_order": _q_curriculum_order,
         "validate_corpus": _q_validate_corpus,
+        "cluster_reps": _q_cluster_reps,
         "contamination": _q_contamination,
         "spatial_clusters": _q_spatial_clusters,
         "knn_graph": _q_knn_graph,
@@ -4706,6 +4721,23 @@ def _sql_minhash_near_dup(threshold: float = 0.5) -> str:
               f"FROM mh_pairs WHERE j >= {threshold!r}")
 
 
+def _sql_cluster_reps(threshold: float = 0.35) -> str:
+    """stages/curate.cluster_representatives: the dedup_clusters
+    component closure joined with the quality score, argmax per cluster
+    (row_number over (qs DESC, doc_id ASC)), member count."""
+    return ("WITH RECURSIVE "
+            + _sql_minhash_ctes("SELECT doc_id, text FROM documents")
+            + f", tp AS MATERIALIZED (SELECT id_a, id_b FROM mh_pairs WHERE j >= {threshold!r}), "
+            + _sql_components("tp", "comp")
+            + f", q AS (SELECT doc_id, {_sql_quality_score('text')} AS qs FROM documents)"
+            + " SELECT cluster_id, doc_id AS rep_id, n_members FROM ("
+            "SELECT comp.cluster_id, comp.doc_id, "
+            "CAST(count(*) OVER (PARTITION BY comp.cluster_id) AS BIGINT) AS n_members, "
+            "row_number() OVER (PARTITION BY comp.cluster_id "
+            "ORDER BY q.qs DESC, comp.doc_id ASC) AS rn "
+            "FROM comp JOIN q USING (doc_id)) WHERE rn = 1")
+
+
 def _sql_dedup_clusters(threshold: float = 0.35) -> str:
     return ("WITH RECURSIVE "
             + _sql_minhash_ctes("SELECT doc_id, text FROM documents")
@@ -4964,6 +4996,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens "
             f"FROM ({tok_cte}) GROUP BY 1",
+        "cluster_reps":
+            _sql_cluster_reps(),
         "curriculum_order":
             "SELECT doc_id, phase, CAST(row_number() OVER "
             "(ORDER BY phase, h, doc_id) - 1 AS BIGINT) AS curriculum_rank "

@@ -340,3 +340,78 @@ def validate_corpus(ds, id_col: str = "doc_id", text_col: str = "text",
                            int(sums.get("sum(ne)") or 0),
                            n_rows - n_distinct], pa.int64()),
     })
+
+
+def cluster_representatives(ds, threshold: float = 0.35,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            num_buckets: int = 32,
+                            clusters_ds=None):
+    """Quality-aware near-dup representative selection — keep the BEST
+    member of each duplicate cluster, not the first: for every near-dup
+    cluster (MinHash-LSH pairs → connected components), pick the member
+    with the highest quality score (ties → min id).
+
+    Min-id survivor selection (stages/dedup, clean_corpus) is cheap but
+    arbitrary; when near-dups differ (truncation, boilerplate, OCR
+    noise), the curation literature keeps the best-quality copy. This
+    operator does that selection with the same scale shape as the rest
+    of the dedup family: quality is scored map-side (narrow (id, qs)
+    rows), membership joins through one bucketed hash exchange, and the
+    per-cluster argmax is a vectorized lexsort head per cluster-hash
+    bucket.
+
+    `clusters_ds` injects a precomputed (id_col, cluster_id) Dataset
+    (e.g. from dedup.label_propagation_converged when the pair graph
+    exceeds driver capacity); by default the pair graph clusters via
+    union-find exactly like the certified dedup_clusters pipeline.
+
+    → Dataset[cluster_id:int64, rep_id:int64, n_members:int64].
+    """
+    import ray.data as rd
+
+    from .shuffle import add_bucket_column, bucketed_hash_join
+    from .text import quality_score_batch
+
+    if clusters_ds is None:
+        from .dedup import cluster_pairs, minhash_near_dups
+
+        pairs = minhash_near_dups(ds, threshold=threshold, col=text_col,
+                                  id_col=id_col)
+        if len(pairs) == 0:
+            return rd.from_arrow(pa.table({
+                "cluster_id": pa.array([], pa.int64()),
+                "rep_id": pa.array([], pa.int64()),
+                "n_members": pa.array([], pa.int64())}))
+        clusters_ds = rd.from_pandas(cluster_pairs(pairs))
+
+    def qnarrow(batch: pa.Table) -> pa.Table:
+        t = quality_score_batch(batch, text_col)
+        return t.select([id_col, "quality_score"])
+
+    quality = ds.map_batches(qnarrow, batch_format="pyarrow")
+    joined = bucketed_hash_join(quality, clusters_ds, id_col, id_col,
+                                num_buckets=num_buckets)
+
+    def head(g: pa.Table) -> pa.Table:
+        cl = g["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qs = g["quality_score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -qs, cl))
+        cl_s, id_s = cl[order], ids[order]
+        first = np.r_[True, cl_s[1:] != cl_s[:-1]] if len(cl_s) else \
+            np.zeros(0, bool)
+        idx = np.flatnonzero(first)
+        cnt = np.diff(np.r_[idx, len(cl_s)])
+        return pa.table({
+            "cluster_id": pa.array(cl_s[idx], pa.int64()),
+            "rep_id": pa.array(id_s[idx], pa.int64()),
+            "n_members": pa.array(cnt.astype(np.int64)),
+        })
+
+    bucketed = joined.map_batches(
+        lambda b: add_bucket_column(
+            b.drop_columns([c for c in ("bucket",) if c in b.column_names]),
+            ["cluster_id"], num_buckets),
+        batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(head, batch_format="pyarrow")

@@ -258,3 +258,47 @@ def test_validate_corpus_clean_and_empty(ray_session):
     empty = rd.from_arrow(_docs_table([]))
     got = validate_corpus(empty).to_pandas().set_index("check")["value"]
     assert (got == 0).all()
+
+
+# ---- quality-aware cluster representatives --------------------------------
+
+
+def test_cluster_representatives_picks_highest_quality(ray_session):
+    from mvt_wrangler_ray.stages.curate import cluster_representatives
+
+    # docs 0/1/2 are near-dups; doc 1 is longer (higher quality_score:
+    # the length term saturates at 200 chars). doc 3 is unrelated.
+    base = "the quick brown fox jumps over the lazy dog by the river today "
+    texts = [base * 2, base * 4, base * 2 + "and then some more words here",
+             "completely different content about mountains and weather " * 3]
+    ds = rd.from_arrow(_docs_table(texts))
+    out = cluster_representatives(ds, threshold=0.35).to_pandas()
+    assert len(out) == 1                      # one cluster (docs 0-2)
+    row = out.iloc[0]
+    assert row["n_members"] == 3
+    assert row["rep_id"] == 1                 # the longest, not min id 0
+
+
+def test_cluster_representatives_injected_clusters(ray_session):
+    from mvt_wrangler_ray.stages.curate import cluster_representatives
+
+    texts = ["short one here now", "a much longer document " * 12,
+             "tiny words", "another long rich document " * 12]
+    ds = rd.from_arrow(_docs_table(texts))
+    clusters = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "cluster_id": pa.array([0, 0, 2, 2], pa.int64())}))
+    out = cluster_representatives(ds, clusters_ds=clusters).to_pandas(
+    ).sort_values("cluster_id").reset_index(drop=True)
+    assert out["rep_id"].tolist() == [1, 3]   # quality argmax per cluster
+    assert out["n_members"].tolist() == [2, 2]
+
+
+def test_cluster_representatives_no_pairs_empty(ray_session):
+    from mvt_wrangler_ray.stages.curate import cluster_representatives
+
+    texts = ["alpha beta gamma delta", "completely unrelated words here",
+             "third document about other topics entirely"]
+    out = cluster_representatives(
+        rd.from_arrow(_docs_table(texts)), threshold=0.9).take_all()
+    assert out == []

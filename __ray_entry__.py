@@ -2981,6 +2981,21 @@ def _q_cluster_reps(sf_dir: str):
                                    threshold=0.35)
 
 
+def _q_clean_images(sf_dir: str):
+    """Composed image-corpus curation (the image-axis clean_corpus):
+    size/aspect gate on metadata columns → decode + recomputed phash →
+    Hamming-band near-dup pairs among gate survivors → drop the higher
+    id of each verified pair via one bucketed anti join
+    (pipelines/images.clean_images over the planted-retouched-copy
+    table). Returns the surviving image ids — row-level certified."""
+    from mvt_wrangler_ray.pipelines.images import clean_images
+    from mvt_wrangler_ray.sources.images import images_from_documents_retouched
+
+    survivors, _stats = clean_images(images_from_documents_retouched(sf_dir))
+    return survivors.map_batches(lambda b: b.select(["doc_id"]),
+                                 batch_format="pyarrow")
+
+
 def _q_image_size_filter(sf_dir: str):
     """Dimension/aspect gate verdict counts over the images table
     (too_small / too_large / bad_aspect / ok with first-failing-rule
@@ -3032,7 +3047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # in-window relatives are knn_graph/knn_self_ivf, the image-stats
     # family, quantile_sketch, inverted_index/bm25, and
     # funnel/weighted_sample.
-    # Round-5 continuation: eight more curation/report operators join
+    # Round-5 continuation: nine more curation/report operators join
     # the head (split_assign — deterministic train/val/test hash split;
     # corpus_diff — snapshot delta by id + content hash; filter_funnel —
     # the C4/Gopher-style stage-survivor report; token_histogram —
@@ -3040,8 +3055,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dimension/aspect multimodal pre-filter; curriculum_order — the
     # quality-phased seeded training order; validate_corpus — the
     # pre-training data-quality gate; cluster_reps — quality-aware
-    # near-dup representative selection), rotating zscore,
-    # revenue_by_nation, weighted_sample, pixel_histogram,
+    # near-dup representative selection; clean_images — the composed
+    # image-curation chain), rotating inverted_index,
+    # zscore, revenue_by_nation, weighted_sample, pixel_histogram,
     # scene_changes, left_join, funnel and copurchase_topk (all
     # hash-green in CORRECTNESS_r04 or
     # earlier) past position 50; their richer in-window relatives are
@@ -3056,6 +3072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_order": _q_curriculum_order,
         "validate_corpus": _q_validate_corpus,
         "cluster_reps": _q_cluster_reps,
+        "clean_images": _q_clean_images,
         "contamination": _q_contamination,
         "spatial_clusters": _q_spatial_clusters,
         "knn_graph": _q_knn_graph,
@@ -4998,6 +5015,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({tok_cte}) GROUP BY 1",
         "cluster_reps":
             _sql_cluster_reps(),
+        "clean_images":
+            "WITH " + _sql_image_near_dup_ctes(7)
+            + ", sz AS (SELECT doc_id FROM geom "
+            "WHERE least(w, hh) >= 48 AND greatest(w, hh) <= 112 "
+            "AND w <= 2 * hh AND hh <= 2 * w) "
+            "SELECT doc_id FROM sz WHERE doc_id NOT IN ("
+            "SELECT id_b FROM img_pairs "
+            "WHERE id_a IN (SELECT doc_id FROM sz) "
+            "AND id_b IN (SELECT doc_id FROM sz))",
         "curriculum_order":
             "SELECT doc_id, phase, CAST(row_number() OVER "
             "(ORDER BY phase, h, doc_id) - 1 AS BIGINT) AS curriculum_rank "

@@ -302,3 +302,51 @@ def test_cluster_representatives_no_pairs_empty(ray_session):
     out = cluster_representatives(
         rd.from_arrow(_docs_table(texts)), threshold=0.9).take_all()
     assert out == []
+
+
+# ---- composed image curation ----------------------------------------------
+
+
+def test_clean_images_stats_and_planted_copy_drop(ray_session):
+    from mvt_wrangler_ray.pipelines.images import clean_images
+    from mvt_wrangler_ray.sources.images import synth_images_table
+
+    # synth table with planted near-dups: replicate the retouched-copy
+    # convention by duplicating payloads for every 5th image
+    import pyarrow.compute as pc
+
+    base = synth_images_table(200)
+    # make ids 5k+4 exact copies of 5k+3 (hamming 0 -> always verified)
+    df = base.to_pandas()
+    for i in range(4, 200, 5):
+        for col in ("bytes", "w", "h", "fmt", "phash"):
+            df.at[i, col] = df.at[i - 1, col]
+    df["doc_id"] = np.arange(200, dtype=np.int64)
+    ds = rd.from_pandas(df)
+
+    survivors, stats = clean_images(ds)
+    assert stats["input"] == 200
+    assert stats["after_size_gate"] <= 200
+    assert stats["output"] == stats["after_size_gate"] - stats["near_dup_dropped"]
+    # every dropped id is the higher member of a verified pair
+    assert stats["near_dup_dropped"] <= stats["near_dup_pairs"] or \
+        stats["near_dup_pairs"] == 0
+    got_ids = set(survivors.to_pandas()["doc_id"])
+    assert len(got_ids) == stats["output"]
+    # no surviving copy whose base also survived the size gate
+    # (exact copies share w/h, so base survives iff copy survives)
+    for i in range(4, 200, 5):
+        if i in got_ids:
+            assert (i - 1) not in got_ids or True  # copy dropped, base kept
+            # the copy must NOT survive if its base is in
+            assert not ((i - 1) in got_ids and i in got_ids)
+
+
+def test_clean_images_empty_input(ray_session):
+    from mvt_wrangler_ray.pipelines.images import clean_images
+    from mvt_wrangler_ray.sources.images import synth_images_table
+
+    empty = rd.from_arrow(synth_images_table(0))
+    survivors, stats = clean_images(empty)
+    assert stats["input"] == 0 and stats["output"] == 0
+    assert survivors.take_all() == []

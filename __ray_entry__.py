@@ -2996,6 +2996,25 @@ def _q_clean_images(sf_dir: str):
                                  batch_format="pyarrow")
 
 
+def _q_split_leakage(sf_dir: str):
+    """Test-set leakage audit: MinHash near-dup pairs partitioned by
+    the train/val/test splits of their two ends (split_assign's hash) —
+    cross-split rows are eval documents effectively memorized via a
+    train near-dup (stages/curate.split_leakage; one vectorized pass
+    over the bounded certified pair list, no join)."""
+    from mvt_wrangler_ray.stages.curate import split_leakage
+    return split_leakage(_docs(sf_dir, ["doc_id", "text"]), threshold=0.35)
+
+
+def _q_vocab_coverage(sf_dir: str):
+    """Top-50 global vocabulary with cumulative corpus coverage — the
+    tokenizer-vocab sizing report (stages/curate.vocab_coverage: word
+    explode, two-phase counts, distributed (n DESC, word) sort + limit;
+    cumulative sum over the 50 returned rows only)."""
+    from mvt_wrangler_ray.stages.curate import vocab_coverage
+    return vocab_coverage(_docs(sf_dir, ["doc_id", "text"]), k=50)
+
+
 def _q_image_size_filter(sf_dir: str):
     """Dimension/aspect gate verdict counts over the images table
     (too_small / too_large / bad_aspect / ok with first-failing-rule
@@ -3047,7 +3066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # in-window relatives are knn_graph/knn_self_ivf, the image-stats
     # family, quantile_sketch, inverted_index/bm25, and
     # funnel/weighted_sample.
-    # Round-5 continuation: nine more curation/report operators join
+    # Round-5 continuation: eleven more curation/report operators join
     # the head (split_assign — deterministic train/val/test hash split;
     # corpus_diff — snapshot delta by id + content hash; filter_funnel —
     # the C4/Gopher-style stage-survivor report; token_histogram —
@@ -3056,7 +3075,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # quality-phased seeded training order; validate_corpus — the
     # pre-training data-quality gate; cluster_reps — quality-aware
     # near-dup representative selection; clean_images — the composed
-    # image-curation chain), rotating inverted_index,
+    # image-curation chain; split_leakage — the near-dup test-set
+    # leakage audit; vocab_coverage — the tokenizer-vocab sizing
+    # report), rotating path_length, pmi_pairs, inverted_index,
     # zscore, revenue_by_nation, weighted_sample, pixel_histogram,
     # scene_changes, left_join, funnel and copurchase_topk (all
     # hash-green in CORRECTNESS_r04 or
@@ -3073,6 +3094,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_corpus": _q_validate_corpus,
         "cluster_reps": _q_cluster_reps,
         "clean_images": _q_clean_images,
+        "split_leakage": _q_split_leakage,
+        "vocab_coverage": _q_vocab_coverage,
         "contamination": _q_contamination,
         "spatial_clusters": _q_spatial_clusters,
         "knn_graph": _q_knn_graph,
@@ -5024,6 +5047,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_b FROM img_pairs "
             "WHERE id_a IN (SELECT doc_id FROM sz) "
             "AND id_b IN (SELECT doc_id FROM sz))",
+        "split_leakage":
+            "WITH RECURSIVE "
+            + _sql_minhash_ctes("SELECT doc_id, text FROM documents")
+            + ", sp AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' "
+            "WHEN b < 95 THEN 'val' ELSE 'test' END AS split FROM "
+            "(SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 100 "
+            "AS b FROM documents)) "
+            "SELECT least(a.split, b.split) AS split_a, "
+            "greatest(a.split, b.split) AS split_b, "
+            "CAST(count(*) AS BIGINT) AS n_pairs "
+            "FROM mh_pairs p JOIN sp a ON p.id_a = a.doc_id "
+            "JOIN sp b ON p.id_b = b.doc_id "
+            "WHERE p.j >= 0.35 GROUP BY 1, 2",
+        "vocab_coverage":
+            "WITH words AS (SELECT unnest(string_split_regex(lower(text), "
+            "'\\s+')) AS word FROM documents), "
+            "counts AS (SELECT word, CAST(count(*) AS BIGINT) AS n "
+            "FROM words WHERE word <> '' GROUP BY 1), "
+            "total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts), "
+            "top AS (SELECT word, n, CAST(row_number() OVER "
+            "(ORDER BY n DESC, word ASC) AS BIGINT) AS rank "
+            "FROM counts QUALIFY rank <= 50) "
+            "SELECT rank, word, n, "
+            "CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE) / "
+            "CAST((SELECT t FROM total) AS DOUBLE) AS cum_frac FROM top",
         "curriculum_order":
             "SELECT doc_id, phase, CAST(row_number() OVER "
             "(ORDER BY phase, h, doc_id) - 1 AS BIGINT) AS curriculum_rank "

@@ -415,3 +415,91 @@ def cluster_representatives(ds, threshold: float = 0.35,
             ["cluster_id"], num_buckets),
         batch_format="pyarrow")
     return bucketed.groupby("bucket").map_groups(head, batch_format="pyarrow")
+
+
+def split_leakage(ds, threshold: float = 0.35, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  train_pct: int = 90, val_pct: int = 5) -> pa.Table:
+    """Test-set leakage audit: near-duplicate pairs that CROSS
+    train/val/test split boundaries. A held-out document with a near-dup
+    in train is effectively memorized — this is the check to run after
+    split_assign and before trusting any eval number.
+
+    Pairs come from the certified MinHash near-dup pipeline; each end's
+    split is a pure function of its id (split_bucket), so the audit
+    needs no join — one vectorized pass over the bounded pair list.
+
+    → pa.Table[split_a:string, split_b:string, n_pairs:int64] with
+    split_a <= split_b lexicographically; same-split rows included so
+    the table partitions the whole pair set (cross-split rows are the
+    leakage).
+    """
+    from .dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(ds, threshold=threshold, col=text_col,
+                              id_col=id_col)
+    if len(pairs) == 0:
+        return pa.table({"split_a": pa.array([], pa.string()),
+                         "split_b": pa.array([], pa.string()),
+                         "n_pairs": pa.array([], pa.int64())})
+
+    def splits_of(ids: np.ndarray) -> np.ndarray:
+        b = split_bucket(ids.astype(np.int64))
+        return np.where(b < np.uint64(train_pct), "train",
+                        np.where(b < np.uint64(train_pct + val_pct),
+                                 "val", "test"))
+
+    sa = splits_of(pairs["id_a"].to_numpy())
+    sb = splits_of(pairs["id_b"].to_numpy())
+    swap = sa > sb
+    lo = np.where(swap, sb, sa)
+    hi = np.where(swap, sa, sb)
+    key = np.char.add(np.char.add(lo.astype(str), "|"), hi.astype(str))
+    uniq, counts = np.unique(key, return_counts=True)
+    parts = [k.split("|") for k in uniq]
+    return pa.table({
+        "split_a": pa.array([p[0] for p in parts], pa.string()),
+        "split_b": pa.array([p[1] for p in parts], pa.string()),
+        "n_pairs": pa.array(counts.astype(np.int64)),
+    })
+
+
+def vocab_coverage(ds, text_col: str = "text", k: int = 50) -> pa.Table:
+    """Top-k global vocabulary with cumulative corpus coverage — the
+    report that sizes a tokenizer vocabulary (what fraction of all
+    token occurrences the top-k types cover).
+
+    Tokenization mirrors the certified top_terms convention
+    (lower().split(), empties dropped). Shape: word explode →
+    two-phase counts → distributed (n DESC, word ASC) sort + limit k;
+    the cumulative sum runs over the k returned rows only (driver
+    state: k rows + one exact int64 total).
+
+    → pa.Table[rank:int64, word:string, n:int64, cum_frac:float64].
+    """
+    from .shuffle import two_phase_aggregate
+
+    def explode(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b[text_col].to_pylist():
+            out.extend((t or "").lower().split())
+        return pa.table({"word": pa.array(out, pa.string())})
+
+    counts = two_phase_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        keys=["word"],
+        partial_aggs=[("word", "count")], partial_names=["pc"],
+        final_aggs=[("pc", "sum")], final_names=["n"],
+        num_buckets=32).materialize()
+
+    total = counts.sum("n") or 0
+    top = counts.sort(["n", "word"], descending=[True, False]).limit(k)
+    df = top.to_pandas()
+    cum = df["n"].to_numpy(dtype=np.int64).cumsum()
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
+        "word": pa.array(df["word"], pa.string()),
+        "n": pa.array(df["n"].to_numpy(), pa.int64()),
+        "cum_frac": pa.array(cum.astype(np.float64) / np.float64(total),
+                             pa.float64()),
+    })

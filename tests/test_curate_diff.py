@@ -350,3 +350,61 @@ def test_clean_images_empty_input(ray_session):
     survivors, stats = clean_images(empty)
     assert stats["input"] == 0 and stats["output"] == 0
     assert survivors.take_all() == []
+
+
+# ---- split leakage audit ----------------------------------------------------
+
+
+def test_split_leakage_partitions_pairs(ray_session):
+    from mvt_wrangler_ray.stages.curate import split_leakage
+    from mvt_wrangler_ray.stages.dedup import minhash_near_dups
+
+    # 40 docs in 20 near-identical pairs (i, i+1000 share text)
+    texts = [f"document number {i} about the weather in the mountains "
+             f"and the rivers nearby with plenty of shared words" for i in
+             range(20)]
+    t = pa.table({
+        "doc_id": pa.array(list(range(20)) + [i + 1000 for i in range(20)],
+                           pa.int64()),
+        "text": pa.array(texts + texts, pa.string())})
+    ds = rd.from_arrow(t)
+    out = split_leakage(ds, threshold=0.9).to_pandas()
+    n_pairs = len(minhash_near_dups(ds, threshold=0.9))
+    assert out["n_pairs"].sum() == n_pairs      # partitions the pair set
+    assert (out["split_a"] <= out["split_b"]).all()
+
+
+def test_split_leakage_no_pairs_empty(ray_session):
+    from mvt_wrangler_ray.stages.curate import split_leakage
+
+    ds = rd.from_arrow(_docs_table(
+        ["alpha beta gamma", "totally different words here",
+         "third unrelated document text"]))
+    assert len(split_leakage(ds, threshold=0.95)) == 0
+
+
+# ---- vocabulary coverage ----------------------------------------------------
+
+
+def test_vocab_coverage_exact_small_case(ray_session):
+    from mvt_wrangler_ray.stages.curate import vocab_coverage
+
+    ds = rd.from_arrow(_docs_table(["a a a b b c", "a b d", ""]))
+    out = vocab_coverage(ds, k=3).to_pandas()
+    # counts: a=4, b=3, c=1, d=1 (total 9); top-3 ties broken by word asc
+    assert out["word"].tolist() == ["a", "b", "c"]
+    assert out["n"].tolist() == [4, 3, 1]
+    assert out["rank"].tolist() == [1, 2, 3]
+    assert np.allclose(out["cum_frac"], [4 / 9, 7 / 9, 8 / 9])
+    # cumulative coverage is monotone and <= 1
+    assert (out["cum_frac"].diff().dropna() > 0).all()
+    assert out["cum_frac"].iloc[-1] <= 1.0
+
+
+def test_vocab_coverage_k_larger_than_vocab(ray_session):
+    from mvt_wrangler_ray.stages.curate import vocab_coverage
+
+    out = vocab_coverage(rd.from_arrow(_docs_table(["x y", "y"])),
+                         k=50).to_pandas()
+    assert len(out) == 2
+    assert out["cum_frac"].iloc[-1] == 1.0

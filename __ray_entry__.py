@@ -3015,6 +3015,26 @@ def _q_vocab_coverage(sf_dir: str):
     return vocab_coverage(_docs(sf_dir, ["doc_id", "text"]), k=50)
 
 
+def _q_quality_calibrate(sf_dir: str):
+    """Percentile-calibrated quality gate: the threshold keeping the
+    top 60% by quality score via the mergeable fixed-bin histogram
+    (exact-dyadic [0,1] domain), plus the exact survivor count at that
+    threshold (stages/curate.quality_calibrate — scored narrow table
+    pinned once for both consumers)."""
+    from mvt_wrangler_ray.stages.curate import quality_calibrate
+    return quality_calibrate(_docs(sf_dir, ["doc_id", "text"]),
+                             keep_rate=0.6)
+
+
+def _q_truncation_report(sf_dir: str):
+    """Packing-loss per candidate sequence length (128/512/2048):
+    kept/lost token sums and truncated-doc counts under a truncate-at-L
+    loader (stages/curate.truncation_report — map-side partials into a
+    tiny keyed merge)."""
+    from mvt_wrangler_ray.stages.curate import truncation_report
+    return truncation_report(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_image_size_filter(sf_dir: str):
     """Dimension/aspect gate verdict counts over the images table
     (too_small / too_large / bad_aspect / ok with first-failing-rule
@@ -3066,7 +3086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # in-window relatives are knn_graph/knn_self_ivf, the image-stats
     # family, quantile_sketch, inverted_index/bm25, and
     # funnel/weighted_sample.
-    # Round-5 continuation: eleven more curation/report operators join
+    # Round-5 continuation: thirteen more curation/report operators join
     # the head (split_assign — deterministic train/val/test hash split;
     # corpus_diff — snapshot delta by id + content hash; filter_funnel —
     # the C4/Gopher-style stage-survivor report; token_histogram —
@@ -3077,7 +3097,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # near-dup representative selection; clean_images — the composed
     # image-curation chain; split_leakage — the near-dup test-set
     # leakage audit; vocab_coverage — the tokenizer-vocab sizing
-    # report), rotating path_length, pmi_pairs, inverted_index,
+    # report; quality_calibrate — the percentile-calibrated quality
+    # gate; truncation_report — packing loss per candidate seq_len),
+    # rotating triangles, dwithin_pairs, path_length, pmi_pairs,
+    # inverted_index,
     # zscore, revenue_by_nation, weighted_sample, pixel_histogram,
     # scene_changes, left_join, funnel and copurchase_topk (all
     # hash-green in CORRECTNESS_r04 or
@@ -3096,6 +3119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_images": _q_clean_images,
         "split_leakage": _q_split_leakage,
         "vocab_coverage": _q_vocab_coverage,
+        "quality_calibrate": _q_quality_calibrate,
+        "truncation_report": _q_truncation_report,
         "contamination": _q_contamination,
         "spatial_clusters": _q_spatial_clusters,
         "knn_graph": _q_knn_graph,
@@ -5072,6 +5097,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT rank, word, n, "
             "CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE) / "
             "CAST((SELECT t FROM total) AS DOUBLE) AS cum_frac FROM top",
+        "quality_calibrate":
+            "WITH x AS (SELECT " + _sql_quality_score("text")
+            + " AS v FROM documents), "
+            "b AS (SELECT CAST(least(greatest(floor((v - 0.0) / "
+            "0.000244140625), 0), 4095) AS BIGINT) AS bin FROM x), "
+            "h AS (SELECT bin, count(*) AS n FROM b GROUP BY 1), "
+            "c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum FROM h), "
+            "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h), "
+            "t AS (SELECT 0.4 AS q, CAST(ceil(0.4 * total) AS BIGINT) "
+            "AS target FROM tot), "
+            "sel AS (SELECT t.q, t.target, min(c.bin) AS bin FROM t "
+            "JOIN c ON c.cum >= t.target GROUP BY 1, 2), "
+            "thr AS (SELECT s.q, 0.0 + 0.000244140625 * (s.bin + "
+            "CAST(s.target - (c.cum - c.n) AS DOUBLE) / c.n) AS threshold "
+            "FROM sel s JOIN c ON c.bin = s.bin) "
+            "SELECT thr.q AS q, thr.threshold AS threshold, "
+            "CAST((SELECT count(*) FROM x WHERE v >= thr.threshold) "
+            "AS BIGINT) AS n_kept, (SELECT total FROM tot) AS n_total "
+            "FROM thr",
+        "truncation_report":
+            "WITH tok AS (SELECT CAST(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE length(regexp_split_to_array(trim(text), '\\s+')) END "
+            "AS BIGINT) AS n_tokens FROM documents), "
+            "ls AS (SELECT unnest([128, 512, 2048]) AS seq_len) "
+            "SELECT CAST(seq_len AS BIGINT) AS seq_len, "
+            "CAST(sum(least(n_tokens, seq_len)) AS BIGINT) AS kept_tokens, "
+            "CAST(sum(greatest(n_tokens - seq_len, 0)) AS BIGINT) "
+            "AS lost_tokens, "
+            "CAST(count(*) FILTER (WHERE n_tokens > seq_len) AS BIGINT) "
+            "AS n_truncated "
+            "FROM tok, ls GROUP BY 1",
         "curriculum_order":
             "SELECT doc_id, phase, CAST(row_number() OVER "
             "(ORDER BY phase, h, doc_id) - 1 AS BIGINT) AS curriculum_rank "

@@ -503,3 +503,93 @@ def vocab_coverage(ds, text_col: str = "text", k: int = 50) -> pa.Table:
         "cum_frac": pa.array(cum.astype(np.float64) / np.float64(total),
                              pa.float64()),
     })
+
+
+def quality_calibrate(ds, keep_rate: float = 0.6, text_col: str = "text",
+                      num_bins: int = 4096) -> pa.Table:
+    """Percentile-calibrated quality threshold: instead of a hand-picked
+    quality cutoff, compute the threshold that keeps the top
+    ``keep_rate`` fraction by quality score, then count the actual
+    survivors at that threshold — the calibration pass a curation
+    pipeline runs per-corpus before gating.
+
+    Shape: quality scored map-side into a narrow (quality_score) table
+    pinned once for its two consumers; the threshold comes from the
+    mergeable fixed-bin histogram (stages/sketch.histogram_quantiles at
+    q = 1 - keep_rate over the exact-dyadic [0, 1] domain — no sort, no
+    wide shuffle), the survivor count is one exact vectorized compare
+    pass. Driver state: the ≤ num_bins histogram + four scalars.
+
+    → pa.Table[q:float64, threshold:float64, n_kept:int64,
+    n_total:int64] (one row).
+    """
+    from .sketch import histogram_quantiles
+    from .text import quality_score_batch
+
+    def qnarrow(batch: pa.Table) -> pa.Table:
+        t = quality_score_batch(batch, text_col)
+        return t.select(["quality_score"])
+
+    scored = ds.map_batches(qnarrow, batch_format="pyarrow").materialize()
+    q = 1.0 - keep_rate
+    hq = histogram_quantiles(scored, "quality_score", 0.0, 1.0,
+                             num_bins=num_bins, qs=(q,))
+    n_total = scored.count()
+    if len(hq) == 0:
+        return pa.table({"q": pa.array([q], pa.float64()),
+                         "threshold": pa.array([0.0], pa.float64()),
+                         "n_kept": pa.array([0], pa.int64()),
+                         "n_total": pa.array([0], pa.int64())})
+    thr = float(hq["est"].iloc[0])
+
+    def count_kept(b: pa.Table) -> pa.Table:
+        x = b["quality_score"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array([int((x >= thr).sum())], pa.int64())})
+
+    kept = scored.map_batches(count_kept, batch_format="pyarrow").sum("k") or 0
+    return pa.table({
+        "q": pa.array([q], pa.float64()),
+        "threshold": pa.array([thr], pa.float64()),
+        "n_kept": pa.array([int(kept)], pa.int64()),
+        "n_total": pa.array([n_total], pa.int64()),
+    })
+
+
+def truncation_report(ds, text_col: str = "text",
+                      seq_lens: Sequence[int] = (128, 512, 2048)):
+    """Packing-loss report per candidate sequence length: for each
+    seq_len, how many tokens a truncate-at-L loader keeps vs loses and
+    how many documents get truncated — the report that picks seq_len
+    next to token_histogram.
+
+    → Dataset[seq_len:int64, kept_tokens:int64, lost_tokens:int64,
+    n_truncated:int64]. Map-side partials (|seq_lens| rows per block)
+    into a tiny keyed merge.
+    """
+    from .shuffle import two_phase_aggregate
+    from .text import token_count_batch
+
+    lens = np.asarray(sorted(seq_lens), np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ntok = token_count_batch(batch, text_col)["n_tokens"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out_l, kept, lost, ntr = [], [], [], []
+        for L in lens:
+            out_l.append(L)
+            kept.append(int(np.minimum(ntok, L).sum()))
+            lost.append(int(np.maximum(ntok - L, 0).sum()))
+            ntr.append(int((ntok > L).sum()))
+        return pa.table({"seq_len": pa.array(out_l, pa.int64()),
+                         "k": pa.array(kept, pa.int64()),
+                         "l": pa.array(lost, pa.int64()),
+                         "t": pa.array(ntr, pa.int64())})
+
+    narrow = ds.map_batches(partial, batch_format="pyarrow")
+    return two_phase_aggregate(
+        narrow, keys=["seq_len"],
+        partial_aggs=[("k", "sum"), ("l", "sum"), ("t", "sum")],
+        partial_names=["pk", "pl", "pt"],
+        final_aggs=[("pk", "sum"), ("pl", "sum"), ("pt", "sum")],
+        final_names=["kept_tokens", "lost_tokens", "n_truncated"],
+        num_buckets=4)

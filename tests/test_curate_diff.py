@@ -408,3 +408,53 @@ def test_vocab_coverage_k_larger_than_vocab(ray_session):
                          k=50).to_pandas()
     assert len(out) == 2
     assert out["cum_frac"].iloc[-1] == 1.0
+
+
+# ---- quality calibration ----------------------------------------------------
+
+
+def test_quality_calibrate_keep_rate(ray_session):
+    from mvt_wrangler_ray.stages.curate import quality_calibrate
+    from mvt_wrangler_ray.stages.text import quality_score_batch
+
+    # near-continuous scores: distinct sub-saturation lengths so no
+    # single score carries a large tie mass (the documented tie
+    # contract: with heavy ties only n_kept is meaningful)
+    texts = ["x" * (i % 190 + 5) for i in range(400)]
+    t = _docs_table(texts)
+    out = quality_calibrate(rd.from_arrow(t), keep_rate=0.6).to_pandas()
+    row = out.iloc[0]
+    assert row["n_total"] == 400
+    # the kept fraction lands near the target for continuous-ish data
+    frac = row["n_kept"] / 400
+    assert 0.55 <= frac <= 0.65
+    # the threshold separates the corpus exactly as counted
+    qs = quality_score_batch(t)["quality_score"].to_numpy()
+    assert int((qs >= row["threshold"]).sum()) == row["n_kept"]
+
+
+def test_quality_calibrate_empty(ray_session):
+    from mvt_wrangler_ray.stages.curate import quality_calibrate
+
+    out = quality_calibrate(rd.from_arrow(_docs_table([]))).to_pandas()
+    assert out.iloc[0]["n_total"] == 0 and out.iloc[0]["n_kept"] == 0
+
+
+# ---- truncation report ------------------------------------------------------
+
+
+def test_truncation_report_conservation(ray_session):
+    from mvt_wrangler_ray.stages.curate import truncation_report
+
+    lens = [0, 5, 100, 128, 129, 600, 3000]
+    texts = [" ".join(["w"] * n) for n in lens]
+    out = truncation_report(rd.from_arrow(_docs_table(texts)),
+                            seq_lens=(128, 512)).to_pandas().set_index(
+        "seq_len")
+    total = sum(lens)
+    for L in (128, 512):
+        # kept + lost == total tokens (conservation)
+        assert out.loc[L, "kept_tokens"] + out.loc[L, "lost_tokens"] == total
+        assert out.loc[L, "n_truncated"] == sum(1 for n in lens if n > L)
+    # longer seq_len keeps at least as much
+    assert out.loc[512, "kept_tokens"] >= out.loc[128, "kept_tokens"]

@@ -82,3 +82,13 @@ def test_normalizer_lossy_id_cast_raises():
 def test_unsupported_extension_raises():
     with pytest.raises(ValueError, match="unsupported extension"):
         read_documents("/tmp/docs.xml")
+
+
+def test_gzip_jsonl_roundtrip(tmp_path, docs_df, ray_session):
+    import gzip
+
+    p = tmp_path / "docs.jsonl.gz"
+    with gzip.open(p, "wb") as f:
+        f.write(docs_df.to_json(orient="records", lines=True).encode())
+    got = _canon(read_documents(str(p)))
+    pd.testing.assert_frame_equal(got, docs_df)

@@ -5020,7 +5020,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' "
             "ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(length(text)) AS BIGINT) AS n_chars "
-            "FROM (SELECT text, ((doc_id * 2654435761) % 4294967296) % 100 "
+            "FROM (SELECT text, ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100 "
             "AS b FROM documents) GROUP BY 1",
         "corpus_diff":
             "WITH old AS (SELECT doc_id, md5(text) AS h FROM documents "
@@ -5077,7 +5077,7 @@ def oracle_sql() -> dict[str, str]:
             + _sql_minhash_ctes("SELECT doc_id, text FROM documents")
             + ", sp AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' "
             "WHEN b < 95 THEN 'val' ELSE 'test' END AS split FROM "
-            "(SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 100 "
+            "(SELECT doc_id, ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100 "
             "AS b FROM documents)) "
             "SELECT least(a.split, b.split) AS split_a, "
             "greatest(a.split, b.split) AS split_b, "
@@ -5262,7 +5262,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1",
         "sample":
             "SELECT doc_id FROM documents "
-            "WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10",
+            "WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100 < 10",
         "median_qty":
             "SELECT l_returnflag, "
             "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) "

@@ -458,3 +458,91 @@ def test_truncation_report_conservation(ray_session):
         assert out.loc[L, "n_truncated"] == sum(1 for n in lens if n > L)
     # longer seq_len keeps at least as much
     assert out.loc[512, "kept_tokens"] >= out.loc[128, "kept_tokens"]
+
+
+# ---- differential / property tests ------------------------------------------
+
+
+def test_diff_group_kernel_differential_hypothesis():
+    # the per-bucket diff kernel vs a dict-based reference over random
+    # two-snapshot tables (pure numpy, no Ray per example)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mvt_wrangler_ray.stages.diff import _diff_group
+
+    snap = st.dictionaries(st.integers(0, 30), st.sampled_from("abcd"),
+                           max_size=20)
+
+    @settings(max_examples=300, deadline=None)
+    @given(snap, snap)
+    def run(old, new):
+        ids, sides, hs = [], [], []
+        for i, h in old.items():
+            ids.append(i); sides.append(0); hs.append(h)
+        for i, h in new.items():
+            ids.append(i); sides.append(1); hs.append(h)
+        g = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "side": pa.array(sides, pa.int8()),
+                      "h": pa.array(hs, pa.string())})
+        got = {r["doc_id"]: r["status"]
+               for r in _diff_group(g, "doc_id").to_pylist()}
+        want = {}
+        for i in set(old) | set(new):
+            if i not in new:
+                want[i] = "removed"
+            elif i not in old:
+                want[i] = "added"
+            elif old[i] != new[i]:
+                want[i] = "changed"
+        assert got == want, (old, new, got, want)
+
+    run()
+
+
+def test_split_bucket_matches_duckdb_hypothesis():
+    # the split hash vs DuckDB integer arithmetic (the oracle's exact
+    # HUGEINT expression) over random id vectors — ids past 2^31
+    # included: this test CAUGHT the original BIGINT oracle overflowing
+    # at doc_id > ~3.47e9 (a real id range at 100 TB), which is why the
+    # registered oracles multiply in HUGEINT
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mvt_wrangler_ray.stages.curate import split_bucket
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.integers(0, 2**40), min_size=1, max_size=50))
+    def run(ids):
+        got = split_bucket(np.asarray(ids, np.int64)).astype(np.int64)
+        want = duckdb.sql(
+            "SELECT ((CAST(i AS HUGEINT) * 2654435761) % 4294967296) % 100 "
+            "AS b FROM (SELECT unnest($1) AS i)",
+            params=[ids]).df()["b"].to_numpy()
+        assert np.array_equal(got, want.astype(np.int64)), (ids, got, want)
+
+    run()
+
+
+def test_curriculum_rank_matches_bruteforce(ray_session):
+    from mvt_wrangler_ray.stages.curate import curriculum_rank
+    from mvt_wrangler_ray.stages.shuffle import _splitmix
+    from mvt_wrangler_ray.stages.text import quality_score_batch
+
+    rng = np.random.default_rng(3)
+    texts = ["".join(rng.choice(list("abc de,f.g1 "), size=int(n)))
+             for n in rng.integers(1, 300, size=200)]
+    t = _docs_table(texts)
+    got = curriculum_rank(rd.from_arrow(t), seed=5).to_pandas(
+    ).sort_values("doc_id").reset_index(drop=True)
+
+    qs = quality_score_batch(t)["quality_score"].to_numpy()
+    phase = np.int64(9) - np.minimum(np.floor(qs * 10.0).astype(np.int64), 9)
+    ids = np.arange(200, dtype=np.int64)
+    h = _splitmix(ids.astype(np.uint64) ^ np.uint64(5))
+    order = np.lexsort((ids, h, phase))
+    want_rank = np.empty(200, np.int64)
+    want_rank[order] = np.arange(200)
+    assert np.array_equal(got["curriculum_rank"].to_numpy(), want_rank)
+    assert np.array_equal(got["phase"].to_numpy(), phase)

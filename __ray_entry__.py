@@ -1506,6 +1506,20 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_segment_dedup(sf_dir: str):
+    """SEGMENT-level exact dedup with document reassembly — the C4 /
+    Lee et al. 2022 paragraph-dedup step adapted to the newline-free
+    corpus: split each doc into fixed 20-word segments, keep only the
+    corpus-wide FIRST occurrence of each segment content (min
+    (doc_id, seg_idx)), and reassemble every document from its
+    surviving segments → (doc_id, n_segs, n_kept, kept_text)
+    (stages/dedup.segment_dedup: narrow two-phase winner election +
+    one bucketed semi join; payloads move once)."""
+    from mvt_wrangler_ray.stages.dedup import segment_dedup
+
+    return segment_dedup(_docs(sf_dir, ["doc_id", "text"]), seg_words=20)
+
+
 def _q_knn_graph(sf_dir: str):
     """kNN-GRAPH construction over the embeddings table: each row's
     top-3 nearest OTHER rows by cosine, rank-ordered (ties by lowest
@@ -3108,6 +3122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # image_stats/blur_score (pixel family), burst_rate (event
     # analytics), and the dedup/corpus chain.
     return {
+        "segment_dedup": _q_segment_dedup,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -4417,6 +4432,36 @@ LEFT JOIN bstats b USING (doc_id)
 """
 
 
+_SQL_SEGMENT_DEDUP = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+  FROM documents WHERE trim(text) <> ''),
+segs AS (
+  SELECT doc_id, s AS seg_idx,
+    array_to_string(list_slice(a, s*20 + 1, LEAST((s+1)*20, len(a))), ' ')
+      AS seg_text
+  FROM arrs,
+    UNNEST(generate_series(0, CAST(ceil(len(a)/20.0) AS BIGINT) - 1)) t(s)),
+winners AS (
+  SELECT seg_text, min(doc_id * 1048576 + seg_idx) AS w
+  FROM segs GROUP BY seg_text),
+kept AS (
+  SELECT s.doc_id, s.seg_idx, s.seg_text
+  FROM segs s JOIN winners w
+    ON s.seg_text = w.seg_text AND s.doc_id * 1048576 + s.seg_idx = w.w),
+per_all AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM segs GROUP BY doc_id),
+per_kept AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+    string_agg(seg_text, ' ' ORDER BY seg_idx) AS kept_text
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(p.n_segs, 0) AS n_segs,
+  COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.kept_text, '') AS kept_text
+FROM documents d LEFT JOIN per_all p USING (doc_id)
+LEFT JOIN per_kept k USING (doc_id)
+"""
+
+
 def _sql_domain_dedup(cap: int = 3) -> str:
     return _sql_domain_cte() + f"""
 SELECT doc_id, domain FROM (
@@ -5362,6 +5407,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_dedup": _sql_domain_dedup(3),
         "domain_stats": _sql_domain_stats(),
         "url_dedup": _sql_url_dedup(),
+        "segment_dedup": _SQL_SEGMENT_DEDUP,
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 # ---- exact ------------------------------------------------------------
@@ -1499,3 +1500,183 @@ def incremental_dedup(incoming_ds, base_ds, col: str = "text",
                                    anti=True, num_buckets=num_buckets)
     return fresh.map_batches(lambda b: b.select([id_col]),
                              batch_format="pyarrow")
+
+
+_SEG_PACK_BITS = 20  # seg_idx packs into the low 20 bits of the winner key
+
+
+def segment_rows_batch(batch: pa.Table, seg_words: int = 20,
+                       col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Explode documents into fixed-width word segments (the unit of
+    C4/Lee-et-al paragraph-style dedup, adapted to the newline-free
+    corpus): lowercase + whitespace-split, consecutive runs of
+    ``seg_words`` tokens re-joined with single spaces (the last segment
+    may be shorter). Emits (doc_id, seg_idx, seg_text, packed) — packed
+    = doc_id·2^20 + seg_idx is the injective first-occurrence key the
+    dedup minimizes. Arrow-vectorized: the per-segment join is one
+    ``pc.binary_join`` over a ListArray sliced at segment boundaries; no
+    Python loop over tokens."""
+    from .retrieval import whitespace_tokens
+
+    lowered = pc.utf8_lower(batch[col])
+    flat, parent, dl = whitespace_tokens(lowered)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    n_segs = -(-dl // seg_words)  # ceil
+    if n_segs.size and int(n_segs.max()) >= (1 << _SEG_PACK_BITS):
+        raise ValueError(
+            f"document with {int(dl.max())} tokens exceeds the "
+            f"2^{_SEG_PACK_BITS} segment packing bound — raise seg_words")
+
+    # segment boundaries in the flat token stream: every seg_words
+    # tokens within a doc, plus each doc start
+    doc_start = np.zeros(len(dl) + 1, np.int64)
+    np.cumsum(dl, out=doc_start[1:])
+    total_segs = int(n_segs.sum())
+    seg_doc = np.repeat(np.arange(len(dl), dtype=np.int64), n_segs)
+    seg_first = np.zeros(len(n_segs) + 1, np.int64)
+    np.cumsum(n_segs, out=seg_first[1:])
+    seg_idx = np.arange(total_segs, dtype=np.int64) - seg_first[seg_doc]
+    offsets = np.empty(total_segs + 1, np.int64)
+    offsets[:total_segs] = doc_start[seg_doc] + seg_idx * seg_words
+    offsets[total_segs] = doc_start[-1]
+    if total_segs:
+        # segments tile the flat token stream contiguously (a segment
+        # ends exactly where the next begins, and each doc's last
+        # segment ends on the doc boundary), so the start offsets plus
+        # the stream length form a valid monotone ListArray offset set
+        seg_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            flat if isinstance(flat, pa.Array) else flat.combine_chunks())
+        seg_text = pc.binary_join(seg_lists, " ")
+    else:
+        seg_text = pa.array([], pa.string())
+
+    return pa.table({
+        id_col: pa.array(ids[seg_doc], pa.int64()),
+        "seg_idx": pa.array(seg_idx, pa.int64()),
+        "seg_text": seg_text,
+        "packed": pa.array(ids[seg_doc] * (1 << _SEG_PACK_BITS) + seg_idx,
+                           pa.int64()),
+    })
+
+
+def segment_dedup(ds, seg_words: int = 20, col: str = "text",
+                  id_col: str = "doc_id", num_buckets: int = 64):
+    """Segment-level exact dedup with document reassembly — the C4 /
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") paragraph-dedup shape over fixed ``seg_words`` word
+    windows: a segment survives iff it is the FIRST occurrence of its
+    content corpus-wide (min (doc_id, seg_idx)); each document is then
+    reassembled from its surviving segments in order.
+
+    → (doc_id, n_segs, n_kept, kept_text) — one row per input document
+    (zero-segment documents report 0/0/'').
+
+    Plan (100-TB shape): the winner election moves only narrow
+    (seg_hash, packed) rows through one two-phase min aggregate; the
+    payload-carrying segment rows move exactly once, through the
+    bucketed semi join against the winner keys (packed is injective, so
+    membership in the winner set IS survivorship); reassembly unions
+    the survivors with tiny per-doc meta rows and buckets by doc id —
+    no driver-resident state anywhere. The segmentation map runs twice
+    (winner branch + payload branch) by design: recomputing a tokenize
+    is cheaper at scale than pinning the exploded corpus."""
+    from .shuffle import (add_bucket_column, bucketed_key_semi_join,
+                          two_phase_aggregate)
+    from .text import md5_lower64
+
+    def seg_rows(b: pa.Table) -> pa.Table:
+        return segment_rows_batch(b, seg_words, col, id_col)
+
+    def seg_keys(b: pa.Table) -> pa.Table:
+        t = segment_rows_batch(b, seg_words, col, id_col)
+        h = np.fromiter((md5_lower64(s) for s in t["seg_text"].to_pylist()),
+                        np.uint64, len(t)).astype(np.int64)
+        return pa.table({"seg_hash": pa.array(h, pa.int64()),
+                         "packed": t["packed"]})
+    winners = two_phase_aggregate(
+        ds.map_batches(seg_keys, batch_format="pyarrow"),
+        keys=["seg_hash"],
+        partial_aggs=[("packed", "min")], partial_names=["w"],
+        final_aggs=[("w", "min")], final_names=["w"],
+        num_buckets=num_buckets)
+
+    survivors = bucketed_key_semi_join(
+        ds.map_batches(seg_rows, batch_format="pyarrow"),
+        winners.map_batches(lambda b: b.select(["w"]),
+                            batch_format="pyarrow"),
+        key="packed", right_key="w", num_buckets=num_buckets)
+
+    def meta_rows(b: pa.Table) -> pa.Table:
+        from .retrieval import whitespace_tokens
+
+        _f, _p, dl = whitespace_tokens(pc.utf8_lower(b[col]))
+        return pa.table({
+            id_col: b[id_col].combine_chunks().cast(pa.int64()),
+            "n_segs": pa.array(-(-dl // seg_words), pa.int64()),
+        })
+
+    meta = ds.map_batches(meta_rows, batch_format="pyarrow")
+
+    # union survivors (side 0) + meta (side 1) into one doc-id-bucketed
+    # exchange; each bucket reassembles its documents vectorized
+    def tag_s(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col], "seg_idx": b["seg_idx"],
+            "seg_text": b["seg_text"],
+            "n_segs": pa.nulls(len(b), pa.int64()),
+            "_side": pa.array(np.zeros(len(b), np.int8))})
+
+    def tag_m(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "seg_idx": pa.nulls(len(b), pa.int64()),
+            "seg_text": pa.nulls(len(b), pa.string()),
+            "n_segs": b["n_segs"],
+            "_side": pa.array(np.ones(len(b), np.int8))})
+
+    unioned = (survivors.map_batches(tag_s, batch_format="pyarrow")
+               .union(meta.map_batches(tag_m, batch_format="pyarrow")))
+    bucketed = unioned.map_batches(
+        lambda b: add_bucket_column(b, [id_col], num_buckets),
+        batch_format="pyarrow")
+
+    def assemble(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        m = g.filter(pa.array(side == 1))
+        s = g.filter(pa.array(side == 0))
+        mid = m[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        morder = np.argsort(mid, kind="stable")
+        mid = mid[morder]
+        nsegs = m["n_segs"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[morder]
+        sid = s[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sidx = s["seg_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sidx, sid))
+        stext = s["seg_text"].take(pa.array(order, pa.int64()))
+        sid = sid[order]
+        n_kept = np.zeros(len(mid), np.int64)
+        pos = np.searchsorted(mid, sid)
+        np.add.at(n_kept, pos, 1)
+        # join kept segments per doc: ListArray over survivor runs
+        kept_off = np.zeros(len(mid) + 1, np.int64)
+        np.cumsum(n_kept, out=kept_off[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(kept_off, pa.int64()),
+            stext.combine_chunks() if isinstance(stext, pa.ChunkedArray)
+            else stext)
+        kept_text = pc.binary_join(lists, " ")
+        return pa.table({
+            id_col: pa.array(mid, pa.int64()),
+            "n_segs": pa.array(nsegs, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "kept_text": kept_text,
+        })
+
+    out = bucketed.groupby("bucket").map_groups(assemble,
+                                                batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.drop_columns(
+            [c for c in ("bucket",) if c in b.column_names]),
+        batch_format="pyarrow")

@@ -1506,6 +1506,23 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_event_transitions(sf_dir: str):
+    """First-order MARKOV transition counts over the event log: per
+    user, order events by (ts, event_id) and count every consecutive
+    (prev_type → next_type) pair globally — the transition-matrix
+    numerator behind next-event prediction
+    (stages/events.event_transitions: user-hash buckets, one sort +
+    factorized bincount per bucket, tiny keyed merge)."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.events import event_transitions
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    return event_transitions(ev)
+
+
 def _q_segment_dedup(sf_dir: str):
     """SEGMENT-level exact dedup with document reassembly — the C4 /
     Lee et al. 2022 paragraph-dedup step adapted to the newline-free
@@ -3123,6 +3140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # analytics), and the dedup/corpus chain.
     return {
         "segment_dedup": _q_segment_dedup,
+        "event_transitions": _q_event_transitions,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -4432,6 +4450,18 @@ LEFT JOIN bstats b USING (doc_id)
 """
 
 
+_SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS prev_type, nxt AS next_type,
+  CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+"""
+
+
 _SQL_SEGMENT_DEDUP = r"""
 WITH arrs AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
@@ -5408,6 +5438,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _sql_domain_stats(),
         "url_dedup": _sql_url_dedup(),
         "segment_dedup": _SQL_SEGMENT_DEDUP,
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

@@ -327,3 +327,66 @@ def burst_counts(ds, window_seconds: float = 21_600.0,
 
     return bucketed.groupby("bucket").map_groups(
         bursts, batch_format="pyarrow")
+
+
+def event_transitions(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      order_col: str = "event_id", num_buckets: int = 64):
+    """First-order Markov transition counts over the event log: order
+    each user's events by (ts, order_col), count every consecutive
+    (prev_type → next_type) pair globally. Emits
+    (prev_type, next_type, n) — the transition-matrix numerator behind
+    next-event prediction and session modeling.
+
+    Plan: user-hash buckets (the sessionize-family shape); per bucket
+    ONE sort + shift + factorized bincount — no per-user Python; each
+    bucket emits its already-reduced (prev, next, n) partials, and one
+    tiny two-phase grouped sum (keys bounded by |event_type|²) merges
+    them. User event sequences never cross buckets, so the per-bucket
+    counts partition the global pair multiset exactly."""
+    from .shuffle import add_bucket_column, two_phase_aggregate
+
+    bucketed = ds.map_batches(
+        lambda b: add_bucket_column(b, [user_col], num_buckets),
+        batch_format="pyarrow")
+
+    def pair_counts(g: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            g, sort_keys=[(user_col, "ascending"), (ts_col, "ascending"),
+                          (order_col, "ascending")])
+        g = g.take(idx)
+        users = g[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        types = np.asarray(g[type_col].to_pandas(), dtype=object)
+        n = len(users)
+        empty = pa.table({"prev_type": pa.array([], pa.string()),
+                          "next_type": pa.array([], pa.string()),
+                          "pn": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        same = users[1:] == users[:-1]
+        prev = types[:-1][same]
+        nxt = types[1:][same]
+        if len(prev) == 0:
+            return empty
+        uniq, codes = np.unique(np.concatenate([prev, nxt]),
+                                return_inverse=True)
+        pc_, nc_ = codes[:len(prev)], codes[len(prev):]
+        combo = pc_ * len(uniq) + nc_
+        counts = np.bincount(combo, minlength=len(uniq) * len(uniq))
+        hot = np.nonzero(counts)[0]
+        return pa.table({
+            "prev_type": pa.array(uniq[hot // len(uniq)], pa.string()),
+            "next_type": pa.array(uniq[hot % len(uniq)], pa.string()),
+            "pn": pa.array(counts[hot], pa.int64())})
+
+    partials = bucketed.groupby("bucket").map_groups(
+        pair_counts, batch_format="pyarrow")
+    return two_phase_aggregate(
+        partials.map_batches(
+            lambda b: b.drop_columns(
+                [c for c in ("bucket",) if c in b.column_names]),
+            batch_format="pyarrow"),
+        keys=["prev_type", "next_type"],
+        partial_aggs=[("pn", "sum")], partial_names=["pn"],
+        final_aggs=[("pn", "sum")], final_names=["n"],
+        num_buckets=8)

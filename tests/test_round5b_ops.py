@@ -71,3 +71,58 @@ def test_segment_dedup_empty_and_single_word(ray_session):
     assert out.n_segs.tolist() == [0, 1, 1]
     assert out.n_kept.tolist() == [0, 1, 0]
     assert out.kept_text.tolist() == ["", "word", ""]
+
+
+# ---- event_transitions ---------------------------------------------------
+
+
+def test_event_transitions_tiny_exact(ray_session):
+    from mvt_wrangler_ray.stages.events import event_transitions
+
+    ev = pd.DataFrame({
+        "event_id": np.arange(7, dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 2, 2, 3, 1], np.int64),
+        "ts": pd.to_datetime([
+            "2025-01-01 00:00", "2025-01-01 00:01", "2025-01-01 00:02",
+            "2025-01-01 00:00", "2025-01-01 00:05",
+            "2025-01-01 00:00", "2025-01-01 00:03"]),
+        "event_type": ["view", "click", "view", "view", "purchase",
+                       "view", "click"],
+    })
+    out = (event_transitions(rd.from_pandas(ev))
+           .to_pandas().sort_values(["prev_type", "next_type"])
+           .reset_index(drop=True))
+    want = pd.DataFrame({
+        "prev_type": ["click", "view", "view", "view"],
+        "next_type": ["view", "click", "click", "purchase"],
+        "n": np.array([1, 1, 1, 1], np.int64),
+    }).sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    # user 1 sequence: view->click->view->click (ts order incl. id 6)
+    got = dict(zip(zip(out.prev_type, out.next_type), out.n))
+    assert got == {("view", "click"): 2, ("click", "view"): 1,
+                   ("view", "purchase"): 1}
+    del want
+
+
+def test_event_transitions_partition_invariant(ray_session):
+    from mvt_wrangler_ray.stages.events import event_transitions
+
+    rng = np.random.default_rng(3)
+    n = 400
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "ts": pd.to_datetime("2025-01-01") +
+        pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    one = (event_transitions(rd.from_pandas(ev).repartition(1))
+           .to_pandas().sort_values(["prev_type", "next_type"])
+           .reset_index(drop=True))
+    many = (event_transitions(rd.from_pandas(ev).repartition(17))
+            .to_pandas().sort_values(["prev_type", "next_type"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, many)
+    # conservation: total transitions = sum over users of (n_events - 1)
+    per_user = ev.groupby("user_id").size()
+    assert int(one.n.sum()) == int((per_user - 1).clip(lower=0).sum())

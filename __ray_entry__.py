@@ -1506,6 +1506,20 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_winnow_fingerprint(sf_dir: str):
+    """WINNOWING fingerprints (Schleimer et al. 2003 / MOSS) per
+    document: 3-token-gram md5 hashes, window-4 minimum selection with
+    the rightmost tie rule, distinct selected positions → (doc_id,
+    n_grams, n_fps, fp_xor) where fp_xor exactly certifies the selected
+    hash set. The guarantee: any shared 6-token run between two docs
+    shares a fingerprint (stages/text.winnow_fingerprints_batch, pure
+    map-side)."""
+    from mvt_wrangler_ray.stages.text import winnow_fingerprints_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        winnow_fingerprints_batch, batch_format="pyarrow")
+
+
 def _q_event_transitions(sf_dir: str):
     """First-order MARKOV transition counts over the event log: per
     user, order events by (ts, event_id) and count every consecutive
@@ -3141,6 +3155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "segment_dedup": _q_segment_dedup,
         "event_transitions": _q_event_transitions,
+        "winnow_fingerprint": _q_winnow_fingerprint,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -4450,6 +4465,46 @@ LEFT JOIN bstats b USING (doc_id)
 """
 
 
+def _sql_winnow_fingerprint(k: int = 3, w: int = 4) -> str:
+    """stages/text.winnow_fingerprints_batch in SQL: identical 3-gram
+    md5_number_lower hashes (UBIGINT order = the engine's unsigned
+    compare), per-window min via a ROWS frame (truncating at partition
+    end exactly like the engine's short-doc single window), rightmost
+    tie via max(pos) among window rows equal to the min, distinct
+    selected positions, xor-fold two's-complemented to BIGINT."""
+    fx = _sql_twos_comp("COALESCE(a.fx, 0)", "fp_xor")
+    return rf"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+  FROM documents WHERE trim(text) <> ''),
+grams AS (
+  SELECT doc_id, i AS pos,
+    md5_number_lower(a[i] || ' ' || a[i+1] || ' ' || a[i+2]) AS h,
+    len(a) - {k - 1} AS m
+  FROM arrs, UNNEST(generate_series(1, len(a) - {k - 1})) t(i)),
+wm AS (
+  SELECT doc_id, pos AS ws, m,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mn
+  FROM grams),
+sel AS (
+  SELECT w.doc_id, max(g.pos) AS selpos, w.mn AS h
+  FROM wm w JOIN grams g ON g.doc_id = w.doc_id
+    AND g.pos BETWEEN w.ws AND w.ws + {w - 1} AND g.h = w.mn
+  WHERE w.ws <= GREATEST(1, w.m - {w - 1})
+  GROUP BY w.doc_id, w.ws, w.mn),
+fps AS (SELECT DISTINCT doc_id, selpos, h FROM sel),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps, bit_xor(h) AS fx
+  FROM fps GROUP BY doc_id),
+gm AS (SELECT doc_id, CAST(max(m) AS BIGINT) AS n_grams
+  FROM grams GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(gm.n_grams, 0) AS n_grams,
+  COALESCE(a.n_fps, 0) AS n_fps,
+  {fx}
+FROM documents d LEFT JOIN gm USING (doc_id) LEFT JOIN agg a USING (doc_id)
+"""
+
+
 _SQL_EVENT_TRANSITIONS = """
 WITH seq AS (
   SELECT user_id, event_type,
@@ -5439,6 +5494,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _sql_url_dedup(),
         "segment_dedup": _SQL_SEGMENT_DEDUP,
         "event_transitions": _SQL_EVENT_TRANSITIONS,
+        "winnow_fingerprint": _sql_winnow_fingerprint(),
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

@@ -272,3 +272,63 @@ def redact_pii_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     for k, v in counts.items():
         out = out.append_column(k, v)
     return out
+
+
+def winnow_fingerprints_batch(batch: pa.Table, k: int = 3, w: int = 4,
+                              col: str = "text",
+                              id_col: str = "doc_id") -> pa.Table:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, the MOSS algorithm): hash every k-token gram (md5 64-bit fold
+    of the space-joined lowercased gram), slide a w-hash window, select
+    each window's minimum hash (rightmost position on ties), and keep
+    the distinct selected positions. Guarantees any shared run of
+    w+k-1 tokens yields a shared fingerprint — the local-dedup
+    primitive exact hashing lacks.
+
+    Emits (doc_id, n_grams, n_fps, fp_xor): the gram count, the
+    fingerprint count, and the xor-fold of the selected hashes (an
+    exact certification of the selected SET). Docs with < k tokens
+    report 0/0/0. Entirely map-side: no exchange.
+
+    Hash comparisons are UNSIGNED 64-bit (DuckDB md5_number_lower
+    UBIGINT order); fp_xor is two's-complemented to int64 at the end."""
+    from .retrieval import whitespace_tokens
+
+    flat, parent, dl = whitespace_tokens(pc.utf8_lower(batch[col]))
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = len(ids)
+    m_per_doc = np.maximum(dl - (k - 1), 0)
+
+    n_fps = np.zeros(n_docs, np.int64)
+    fp_xor = np.zeros(n_docs, np.uint64)
+    if len(parent) and m_per_doc.any():
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        # k-gram rows: position i valid iff tokens i..i+k-1 share a doc
+        valid = parent[: len(parent) - (k - 1)] == parent[k - 1:]
+        gi = np.nonzero(valid)[0]
+        h_all = np.fromiter(
+            (md5_lower64(" ".join(toks[i:i + k])) for i in gi),
+            np.uint64, len(gi))
+        gdoc = parent[gi]
+        doc_first = np.searchsorted(gdoc, np.arange(n_docs))
+        for d in range(n_docs):
+            m = int(m_per_doc[d])
+            if m == 0:
+                continue
+            h = h_all[doc_first[d]: doc_first[d] + m]
+            width = min(w, m)
+            sw = np.lib.stride_tricks.sliding_window_view(h, width)
+            sw = sw[: max(1, m - w + 1)]
+            rev = sw[:, ::-1]
+            j = rev.argmin(axis=1)          # first in reversed = rightmost
+            selpos = np.arange(len(sw)) + (width - 1 - j)
+            sel = np.unique(selpos)
+            n_fps[d] = len(sel)
+            fp_xor[d] = np.bitwise_xor.reduce(h[sel])
+
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "n_grams": pa.array(m_per_doc, pa.int64()),
+        "n_fps": pa.array(n_fps, pa.int64()),
+        "fp_xor": pa.array(fp_xor.astype(np.int64), pa.int64()),
+    })

@@ -126,3 +126,57 @@ def test_event_transitions_partition_invariant(ray_session):
     # conservation: total transitions = sum over users of (n_events - 1)
     per_user = ev.groupby("user_id").size()
     assert int(one.n.sum()) == int((per_user - 1).clip(lower=0).sum())
+
+
+# ---- winnow_fingerprint --------------------------------------------------
+
+
+def test_winnow_shared_run_guarantee(ray_session):
+    # the winnowing guarantee: any shared run of w+k-1 = 6 tokens
+    # yields at least one shared fingerprint hash
+    from mvt_wrangler_ray.stages.text import winnow_fingerprints_batch
+    import pyarrow as pa
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": [f"xx yy {shared} zz", f"aa {shared} bb cc dd"],
+    })
+    # recompute the selected hash SETS directly (fp_xor certifies them
+    # but cannot be intersected) — use tiny w so docs are short
+    from mvt_wrangler_ray.stages.text import md5_lower64
+
+    def fps(text, k=3, w=4):
+        toks = text.lower().split()
+        hs = [md5_lower64(" ".join(toks[i:i + k]))
+              for i in range(len(toks) - k + 1)]
+        m = len(hs)
+        sel = set()
+        width = min(w, m)
+        for ws in range(max(1, m - w + 1)):
+            win = hs[ws:ws + width]
+            mn = min(win)
+            sel.add(ws + max(i for i, h in enumerate(win) if h == mn))
+        return {hs[p] for p in sel}
+
+    a = fps(docs["text"][0].as_py())
+    b = fps(docs["text"][1].as_py())
+    assert a & b, "shared 6-token run must share a fingerprint"
+    out = winnow_fingerprints_batch(docs).to_pandas()
+    assert out.n_grams.tolist() == [7, 8]
+    assert (out.n_fps > 0).all()
+
+
+def test_winnow_short_docs(ray_session):
+    from mvt_wrangler_ray.stages.text import winnow_fingerprints_batch
+    import pyarrow as pa
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["one two", "one two three", "   "],
+    })
+    out = winnow_fingerprints_batch(docs).to_pandas()
+    # < k tokens → 0/0/0; exactly k tokens → one gram, one fingerprint
+    assert out.n_grams.tolist() == [0, 1, 0]
+    assert out.n_fps.tolist() == [0, 1, 0]
+    assert out.fp_xor[0] == 0 and out.fp_xor[2] == 0 and out.fp_xor[1] != 0

@@ -1506,6 +1506,20 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram
+    (md5 mod 1024) bag features, add-1-smoothed target (lang='en') vs
+    raw corpus multinomials; per document the log importance weight in
+    exact int64 nanonats plus its bigram count — the data-selection
+    score for target-matched resampling
+    (stages/retrieval.dsir_weights: narrow bigram explode, B-bounded
+    count fold, lookup annotate, one per-doc two-phase sum)."""
+    from mvt_wrangler_ray.stages.retrieval import dsir_weights
+
+    return dsir_weights(_docs(sf_dir, ["doc_id", "text", "lang"]),
+                        target_col="lang", target_value="en")
+
+
 def _q_winnow_fingerprint(sf_dir: str):
     """WINNOWING fingerprints (Schleimer et al. 2003 / MOSS) per
     document: 3-token-gram md5 hashes, window-4 minimum selection with
@@ -3156,6 +3170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": _q_segment_dedup,
         "event_transitions": _q_event_transitions,
         "winnow_fingerprint": _q_winnow_fingerprint,
+        "dsir_weights": _q_dsir_weights,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -4465,6 +4480,39 @@ LEFT JOIN bstats b USING (doc_id)
 """
 
 
+def _sql_dsir_weights(B: int = 1024) -> str:
+    """stages/retrieval.dsir_weights in SQL: identical len-prefixed
+    bigram key, md5_number_lower mod B bucket, add-1 smoothing, and the
+    identical float expression tree
+    (ln(t+1) − ln(r+1)) + (ln(R+B) − ln(T+B)) per occurrence, quantized
+    floor(·1e9 + 0.5) to int64 nanonats before the order-free sum."""
+    return rf"""
+WITH arrs AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+    regexp_split_to_array(trim(text), '\s+') AS a
+  FROM documents WHERE trim(text) <> ''),
+bg AS (
+  SELECT doc_id, tgt,
+    CAST(md5_number_lower(
+      CAST(length(a[i]) AS VARCHAR) || ':' || a[i] || ':' || a[i+1])
+      % {B} AS BIGINT) AS b
+  FROM arrs, UNNEST(generate_series(1, len(a) - 1)) t(i)),
+r AS (SELECT b, count(*) AS r FROM bg GROUP BY b),
+t AS (SELECT b, count(*) AS t FROM bg WHERE tgt GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM bg) AS rr,
+               (SELECT count(*) FROM bg WHERE tgt) AS tt),
+contrib AS (
+  SELECT bg.doc_id,
+    CAST(floor((ln(COALESCE(t.t, 0) + 1) - ln(r.r + 1)
+                + (ln(tot.rr + {B}) - ln(tot.tt + {B}))) * 1e9 + 0.5)
+         AS BIGINT) AS lp
+  FROM bg JOIN r USING (b) LEFT JOIN t USING (b) CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(lp) AS BIGINT) AS weight_nano
+FROM contrib GROUP BY doc_id
+"""
+
+
 def _sql_winnow_fingerprint(k: int = 3, w: int = 4) -> str:
     """stages/text.winnow_fingerprints_batch in SQL: identical 3-gram
     md5_number_lower hashes (UBIGINT order = the engine's unsigned
@@ -5495,6 +5543,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup": _SQL_SEGMENT_DEDUP,
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "winnow_fingerprint": _sql_winnow_fingerprint(),
+        "dsir_weights": _sql_dsir_weights(),
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

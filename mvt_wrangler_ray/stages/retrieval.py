@@ -551,3 +551,110 @@ def tfidf_topk(ds_docs, k: int = 3, col: str = "text",
 
     return bucketed.groupby("bucket").map_groups(head,
                                                  batch_format="pyarrow")
+
+
+def dsir_weights(ds_docs, target_col: str = "lang",
+                 target_value: str = "en", hash_buckets: int = 1024,
+                 col: str = "text", id_col: str = "doc_id",
+                 num_buckets: int = 64):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-bigram bag
+    features; the log importance weight of a document under the
+    add-1-smoothed target/raw multinomials is
+
+        log w(doc) = Σ_grams [ ln(t[b]+1) − ln(r[b]+1) ]
+                     + n · [ ln(R+B) − ln(T+B) ]
+
+    where b = md5_64(bigram) mod B, t/r are target/raw per-bucket
+    occurrence counts and T/R their totals. Emitted per document with
+    ≥ 1 bigram as (doc_id, n_bigrams, weight_nano): the weight in
+    int64 NANONATS (each occurrence contributes
+    floor(lp·1e9 + 0.5) — order-independent, bit-equal to the SQL
+    oracle; callers exponentiate for resampling).
+
+    Plan: one narrow (doc_id, bucket, tgt) bigram explode, materialized
+    for its three consumers; the count vectors are B-bounded (map-side
+    bincount partials + one tiny keyed merge, driver fold ≤ B rows);
+    the annotate pass is a pure array lookup; per-doc totals are one
+    two-phase sum. Nothing driver-resident grows with the corpus."""
+    from .shuffle import two_phase_aggregate
+    from .text import md5_lower64
+
+    B = int(hash_buckets)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, parent, _dl = whitespace_tokens(batch[col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        tgt_doc = pc.equal(batch[target_col], target_value)
+        tgt_doc = pc.fill_null(tgt_doc, False).to_numpy(zero_copy_only=False)
+        if len(parent) < 2:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "tgt": pa.array([], pa.int8())})
+        adj = parent[1:] == parent[:-1]
+        idx = np.nonzero(adj)[0]
+        w1 = flat.take(pa.array(idx, pa.int64()))
+        w2 = flat.take(pa.array(idx + 1, pa.int64()))
+        bgkey = pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(w1), pa.string()), w1, w2, ":")
+        h = np.fromiter((md5_lower64(s) for s in bgkey.to_pylist()),
+                        np.uint64, len(idx))
+        docs_of = parent[idx]
+        return pa.table({
+            id_col: pa.array(ids[docs_of], pa.int64()),
+            "b": pa.array((h % np.uint64(B)).astype(np.int64), pa.int64()),
+            "tgt": pa.array(tgt_doc[docs_of].astype(np.int8), pa.int8()),
+        })
+
+    bg = ds_docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def hist(batch: pa.Table) -> pa.Table:
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        tg = batch["tgt"].to_numpy(zero_copy_only=False).astype(bool)
+        r = np.bincount(b, minlength=B)
+        t = np.bincount(b[tg], minlength=B)
+        hot = np.nonzero(r)[0]
+        return pa.table({"b": pa.array(hot, pa.int64()),
+                         "pr": pa.array(r[hot], pa.int64()),
+                         "pt": pa.array(t[hot], pa.int64())})
+
+    counts = two_phase_aggregate(
+        bg.map_batches(hist, batch_format="pyarrow"),
+        keys=["b"],
+        partial_aggs=[("pr", "sum"), ("pt", "sum")],
+        partial_names=["pr", "pt"],
+        final_aggs=[("pr", "sum"), ("pt", "sum")],
+        final_names=["r", "t"], num_buckets=8)
+    # bounded driver fold: ≤ B rows whatever the corpus size
+    ctab = counts.to_pandas()
+    r_vec = np.zeros(B, np.int64)
+    t_vec = np.zeros(B, np.int64)
+    r_vec[ctab["b"].to_numpy()] = ctab["r"].to_numpy()
+    t_vec[ctab["b"].to_numpy()] = ctab["t"].to_numpy()
+    R, T = int(r_vec.sum()), int(t_vec.sum())
+    const = math.log(R + B) - math.log(T + B)
+    # per-bucket contribution table (B doubles) — shipped in the closure
+    lp_by_bucket = np.floor(
+        ((_libm_log(t_vec + 1.0) - _libm_log(r_vec + 1.0)) + const)
+        * 1.0e9 + 0.5).astype(np.int64)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: batch[id_col],
+            "lp_int": pa.array(lp_by_bucket[b], pa.int64())})
+
+    per_doc = two_phase_aggregate(
+        bg.map_batches(annotate, batch_format="pyarrow"),
+        keys=[id_col],
+        partial_aggs=[("lp_int", "sum"), ("lp_int", "count")],
+        partial_names=["ps", "pn"],
+        final_aggs=[("ps", "sum"), ("pn", "sum")],
+        final_names=["weight_nano", "n_bigrams"],
+        num_buckets=num_buckets)
+    return per_doc.map_batches(
+        lambda b: pa.table({
+            id_col: b[id_col].combine_chunks().cast(pa.int64()),
+            "n_bigrams": b["n_bigrams"].combine_chunks().cast(pa.int64()),
+            "weight_nano": b["weight_nano"].combine_chunks().cast(pa.int64()),
+        }), batch_format="pyarrow")

@@ -180,3 +180,47 @@ def test_winnow_short_docs(ray_session):
     assert out.n_grams.tolist() == [0, 1, 0]
     assert out.n_fps.tolist() == [0, 1, 0]
     assert out.fp_xor[0] == 0 and out.fp_xor[2] == 0 and out.fp_xor[1] != 0
+
+
+# ---- dsir_weights ----------------------------------------------------------
+
+
+def test_dsir_targets_score_higher(ray_session):
+    # docs drawn from the target distribution must average a higher
+    # importance weight than off-target docs (the point of DSIR)
+    from mvt_wrangler_ray.stages.retrieval import dsir_weights
+
+    rng = np.random.default_rng(5)
+    tgt_vocab = np.array(["alpha", "beta", "gamma", "delta"])
+    raw_vocab = np.array(["one", "two", "three", "four", "five"])
+    rows = []
+    for i in range(80):
+        is_t = i % 4 == 0
+        v = tgt_vocab if is_t else raw_vocab
+        rows.append(("en" if is_t else "zz",
+                     " ".join(rng.choice(v, size=20))))
+    docs = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                         "lang": [r[0] for r in rows],
+                         "text": [r[1] for r in rows]})
+    out = dsir_weights(rd.from_pandas(docs)).to_pandas()
+    merged = out.merge(docs[["doc_id", "lang"]], on="doc_id")
+    w = merged.weight_nano / merged.n_bigrams
+    assert w[merged.lang == "en"].mean() > w[merged.lang != "en"].mean()
+
+
+def test_dsir_partition_invariant(ray_session):
+    from mvt_wrangler_ray.stages.retrieval import dsir_weights
+
+    rng = np.random.default_rng(17)
+    vocab = np.array(["aa", "bb", "cc", "dd", "ee"])
+    docs = pd.DataFrame({
+        "doc_id": np.arange(50, dtype=np.int64),
+        "lang": rng.choice(["en", "de"], 50),
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(2, 15)))
+                 for _ in range(50)],
+    })
+    one = (dsir_weights(rd.from_pandas(docs).repartition(1))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    many = (dsir_weights(rd.from_pandas(docs).repartition(11))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, many)

@@ -1506,6 +1506,18 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_bpe_pairs(sf_dir: str):
+    """BPE tokenizer-training pair counts (Sennrich et al. 2016, the
+    first merge iteration): adjacent character-pair frequencies within
+    words, corpus-wide, top-50 by (n desc, pair asc) — a deterministic
+    tie-broken head (stages/text.bpe_pair_counts: per-batch vocabulary
+    reduction before pair expansion, one tiny keyed merge, bounded
+    sort+limit)."""
+    from mvt_wrangler_ray.stages.text import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(sf_dir, ["text"]), k=50)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): hashed-bigram
     (md5 mod 1024) bag features, add-1-smoothed target (lang='en') vs
@@ -3171,6 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "dsir_weights": _q_dsir_weights,
+        "bpe_pairs": _q_bpe_pairs,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -4480,6 +4493,20 @@ LEFT JOIN bstats b USING (doc_id)
 """
 
 
+_SQL_BPE_PAIRS = r"""
+WITH arrs AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS a
+  FROM documents WHERE trim(text) <> ''),
+toks AS (
+  SELECT a[i] AS w FROM arrs, UNNEST(generate_series(1, len(a))) t(i)),
+pairs AS (
+  SELECT substr(w, j, 2) AS pair
+  FROM toks, UNNEST(generate_series(1, length(w) - 1)) s(j)),
+cnt AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pair)
+SELECT pair, n FROM cnt ORDER BY n DESC, pair ASC LIMIT 50
+"""
+
+
 def _sql_dsir_weights(B: int = 1024) -> str:
     """stages/retrieval.dsir_weights in SQL: identical len-prefixed
     bigram key, md5_number_lower mod B bucket, add-1 smoothing, and the
@@ -5544,6 +5571,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "winnow_fingerprint": _sql_winnow_fingerprint(),
         "dsir_weights": _sql_dsir_weights(),
+        "bpe_pairs": _SQL_BPE_PAIRS,
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

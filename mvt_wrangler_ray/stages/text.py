@@ -332,3 +332,44 @@ def winnow_fingerprints_batch(batch: pa.Table, k: int = 3, w: int = 4,
         "n_fps": pa.array(n_fps, pa.int64()),
         "fp_xor": pa.array(fp_xor.astype(np.int64), pa.int64()),
     })
+
+
+def bpe_pair_counts(ds, k: int = 50, col: str = "text"):
+    """Adjacent character-pair frequencies within words — the count
+    table a byte-pair-encoding tokenizer trainer (Sennrich et al. 2016)
+    builds for its first merge iteration. Returns the top-k (pair, n)
+    rows ordered by (n desc, pair asc) — a deterministic tie-broken
+    head, so the result is a well-defined SET.
+
+    Plan: map-side the batch reduces tokens to UNIQUE words ×
+    occurrence counts before pair expansion (the pair loop runs over
+    the batch vocabulary, not the token stream), partial (pair, n)
+    rows merge through one tiny two-phase grouped sum (keys bounded by
+    alphabet²), and the head is one distributed sort + limit over that
+    bounded table."""
+    from .shuffle import two_phase_aggregate
+
+    def partial_pairs(batch: pa.Table) -> pa.Table:
+        from .retrieval import whitespace_tokens
+
+        flat, _parent, _dl = whitespace_tokens(batch[col])
+        vc = pc.value_counts(flat)
+        counts: dict = {}
+        for rec in vc.to_pylist():
+            w, c = rec["values"], rec["counts"]
+            if w is None or len(w) < 2:
+                continue
+            for j in range(len(w) - 1):
+                p = w[j:j + 2]
+                counts[p] = counts.get(p, 0) + c
+        return pa.table({
+            "pair": pa.array(list(counts.keys()), pa.string()),
+            "pn": pa.array(list(counts.values()), pa.int64())})
+
+    merged = two_phase_aggregate(
+        ds.map_batches(partial_pairs, batch_format="pyarrow"),
+        keys=["pair"],
+        partial_aggs=[("pn", "sum")], partial_names=["pn"],
+        final_aggs=[("pn", "sum")], final_names=["n"],
+        num_buckets=8)
+    return merged.sort(["n", "pair"], descending=[True, False]).limit(k)

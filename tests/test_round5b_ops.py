@@ -224,3 +224,36 @@ def test_dsir_partition_invariant(ray_session):
     many = (dsir_weights(rd.from_pandas(docs).repartition(11))
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(one, many)
+
+
+# ---- bpe_pairs -------------------------------------------------------------
+
+
+def test_bpe_pairs_exact_counts(ray_session):
+    from mvt_wrangler_ray.stages.text import bpe_pair_counts
+
+    docs = pd.DataFrame({"text": ["aba ab", "ba a", "abab"]})
+    out = bpe_pair_counts(rd.from_pandas(docs), k=10).to_pandas()
+    got = dict(zip(out.pair, out.n))
+    # "aba": ab, ba; "ab": ab; "ba": ba; "abab": ab, ba, ab
+    assert got == {"ab": 4, "ba": 3}
+
+
+def test_bpe_pairs_tie_break_and_partition_invariance(ray_session):
+    from mvt_wrangler_ray.stages.text import bpe_pair_counts
+
+    rng = np.random.default_rng(23)
+    vocab = ["cat", "dog", "bird", "fish", "xx"]
+    docs = pd.DataFrame({
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(1, 20)))
+                 for _ in range(120)]})
+    one = bpe_pair_counts(rd.from_pandas(docs).repartition(1), k=5).to_pandas()
+    many = bpe_pair_counts(rd.from_pandas(docs).repartition(9), k=5).to_pandas()
+    pd.testing.assert_frame_equal(one.reset_index(drop=True),
+                                  many.reset_index(drop=True))
+    # ordered head: n non-increasing, ties by pair ascending
+    n = one.n.to_numpy()
+    assert (n[:-1] >= n[1:]).all()
+    for i in range(len(one) - 1):
+        if one.n[i] == one.n[i + 1]:
+            assert one.pair[i] < one.pair[i + 1]

@@ -1506,6 +1506,29 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+PIP_POLY2 = [
+    [60.0, 20.0], [120.0, 20.0], [120.0, 60.0], [60.0, 60.0], [60.0, 20.0],
+]
+
+
+def _q_spatial_antijoin(sf_dir: str):
+    """Spatial ANTI join: geotagged points falling in NONE of two mask
+    polygons (the non-convex PIP_POLY + the PIP_POLY2 rectangle) — the
+    exclusion-zone complement of pip_join
+    (stages/geospatial.spatial_anti_join: bbox prefilter + exact
+    crossing-number test per mask, masks broadcast in the closure, no
+    exchange)."""
+    from mvt_wrangler_ray.geo.geometry import parse_geojson_geometry
+    from mvt_wrangler_ray.stages.geospatial import spatial_anti_join
+
+    geoms = [parse_geojson_geometry({"type": "Polygon",
+                                     "coordinates": [p]})
+             for p in (PIP_POLY, PIP_POLY2)]
+    pts = _docs(sf_dir, ["doc_id"]).map_batches(_geotag_docs,
+                                                batch_format="pyarrow")
+    return spatial_anti_join(pts, geoms)
+
+
 def _q_bpe_pairs(sf_dir: str):
     """BPE tokenizer-training pair counts (Sennrich et al. 2016, the
     first merge iteration): adjacent character-pair frequencies within
@@ -3184,6 +3207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": _q_winnow_fingerprint,
         "dsir_weights": _q_dsir_weights,
         "bpe_pairs": _q_bpe_pairs,
+        "spatial_antijoin": _q_spatial_antijoin,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -5206,6 +5230,7 @@ def oracle_sql() -> dict[str, str]:
     txd, tyd = _sql_tile(DENSITY_ZOOM, "lon", "lat")
     geo = f"SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents"
     pip = _sql_pip("lon", "lat", PIP_POLY)
+    pip2 = _sql_pip("lon", "lat", PIP_POLY2)
     density = (f"SELECT x, y, count(*) AS n FROM ("
                f"SELECT {txd} AS x, {tyd} AS y FROM ({geo})) GROUP BY x, y")
 
@@ -5369,6 +5394,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM ({density}) ORDER BY n DESC, x ASC, y ASC LIMIT 20",
         "pip_join":
             f"SELECT doc_id FROM ({geo}) WHERE {pip}",
+        "spatial_antijoin":
+            f"SELECT doc_id FROM ({geo}) WHERE NOT {pip} AND NOT {pip2}",
         "expr_filter":
             "SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars > 300 "
             "AND regexp_matches(text, 'window')",

@@ -284,3 +284,40 @@ def within_distance_pairs(ds, id_col: str = "doc_id", lon_col: str = "lon",
         batch_format="pyarrow")
     return bucketed.groupby("bucket").map_groups(
         cell_pairs, batch_format="pyarrow")
+
+
+def spatial_anti_join(ds, geoms, lon_col: str = "lon",
+                      lat_col: str = "lat", keep_cols=("doc_id",)):
+    """Spatial ANTI join: keep only points that fall in NONE of the
+    mask polygons — the complement of the point-in-polygon semi join
+    (the "outside all exclusion zones" filter of geofencing and
+    training-data region scrubs).
+
+    Per batch: a vectorized bbox prefilter per mask narrows the exact
+    crossing-number test to candidates, and already-hit points are
+    skipped for later masks. The mask list ships once in the task
+    closure (small side broadcast); for mask sets too large to loop,
+    swap the prefilter for the STRtree candidate query
+    (filters.tile_candidates is the same two-phase shape at tile
+    granularity). No exchange: points stream through one map."""
+    import pyarrow as pa
+
+    from ..geo.geometry import points_in_polygon
+
+    geoms = list(geoms)
+    keep_cols = list(keep_cols)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        hit = np.zeros(len(batch), bool)
+        for g in geoms:
+            w, s, e, n = g.bbox
+            cand = (~hit & (lon >= w) & (lon <= e)
+                    & (lat >= s) & (lat <= n))
+            if cand.any():
+                sub = np.nonzero(cand)[0]
+                hit[sub[points_in_polygon(lon[sub], lat[sub], g)]] = True
+        return batch.filter(pa.array(~hit)).select(keep_cols)
+
+    return ds.map_batches(anti, batch_format="pyarrow")

@@ -257,3 +257,36 @@ def test_bpe_pairs_tie_break_and_partition_invariance(ray_session):
     for i in range(len(one) - 1):
         if one.n[i] == one.n[i + 1]:
             assert one.pair[i] < one.pair[i + 1]
+
+
+# ---- spatial_anti_join ----------------------------------------------------
+
+
+def test_spatial_anti_join_complements_semi(ray_session):
+    # anti(masks) ∪ union-of-semis == all points; intersection empty
+    from mvt_wrangler_ray.geo.geometry import (parse_geojson_geometry,
+                                               points_in_polygon)
+    from mvt_wrangler_ray.stages.geospatial import spatial_anti_join
+
+    rng = np.random.default_rng(41)
+    n = 500
+    pts = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lon": rng.uniform(-180, 180, n),
+        "lat": rng.uniform(-85, 85, n),
+    })
+    polys = [
+        [[-60.0, -40.0], [20.0, -40.0], [40.0, 10.0], [0.0, 0.0],
+         [-10.0, 45.0], [-60.0, 20.0], [-60.0, -40.0]],
+        [[60.0, 20.0], [120.0, 20.0], [120.0, 60.0], [60.0, 60.0],
+         [60.0, 20.0]],
+    ]
+    geoms = [parse_geojson_geometry({"type": "Polygon", "coordinates": [p]})
+             for p in polys]
+    out = spatial_anti_join(rd.from_pandas(pts), geoms).to_pandas()
+    inside = np.zeros(n, bool)
+    for g in geoms:
+        inside |= points_in_polygon(pts.lon.to_numpy(), pts.lat.to_numpy(), g)
+    want = set(pts.doc_id[~inside])
+    assert set(out.doc_id) == want
+    assert 0 < len(out) < n  # both regions non-trivial at this density

@@ -1506,6 +1506,49 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_dup_caption_conflict(sf_dir: str):
+    """Mislabeled-duplicate detection for image+caption training sets:
+    near-duplicate IMAGE pairs (the image_near_dup pipeline: decode →
+    recomputed phash → banded Hamming ≤ 7) whose CAPTIONS disagree —
+    the pairs a multimodal curator must reconcile before training
+    (keep one caption, merge, or drop). The planted retouched copies
+    (doc_id%5==4 reuses doc_id-1's payload) carry their OWN doc's
+    caption, so every planted pair is a conflict by construction.
+    Pairs annotate via the broadcast candidate-column lut
+    (dedup._broadcast_candidate_column) — captions never shuffle."""
+    import ray
+
+    from mvt_wrangler_ray.sources.images import images_from_documents_retouched
+    from mvt_wrangler_ray.stages.events import broadcast_semi_join
+    from mvt_wrangler_ray.stages.text import md5_lower64
+
+    pairs = _q_image_near_dup(sf_dir)  # small pandas pairs table, sorted
+    if len(pairs) == 0:
+        return pairs
+
+    # fetch caption hashes for candidate-pair ids only: broadcast the id
+    # set, semi-join the (distributed) caption source, fold the narrow
+    # survivors — captions themselves never shuffle or materialize
+    def cap_hashes(b: pa.Table) -> pa.Table:
+        h = np.fromiter((md5_lower64(s or "") for s in
+                         b["caption"].to_pylist()),
+                        np.uint64, len(b)).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "cap_hash": pa.array(h, pa.int64())})
+
+    need = ray.put(set(np.unique(np.concatenate(
+        [pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()])).tolist()))
+    caps = broadcast_semi_join(
+        images_from_documents_retouched(sf_dir).map_batches(
+            cap_hashes, batch_format="pyarrow"),
+        "doc_id", need).to_pandas()
+    lut = dict(zip(caps["doc_id"], caps["cap_hash"]))
+    keep = np.fromiter(
+        (lut[a] != lut[b] for a, b in zip(pairs["id_a"], pairs["id_b"])),
+        bool, len(pairs))
+    return pairs[keep].reset_index(drop=True)
+
+
 PIP_POLY2 = [
     [60.0, 20.0], [120.0, 20.0], [120.0, 60.0], [60.0, 60.0], [60.0, 20.0],
 ]
@@ -3208,6 +3251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "bpe_pairs": _q_bpe_pairs,
         "spatial_antijoin": _q_spatial_antijoin,
+        "dup_caption_conflict": _q_dup_caption_conflict,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -3809,6 +3853,19 @@ WHERE {ham} <= {max_hamming})
 def _sql_image_near_dup(max_hamming: int = 7) -> str:
     return ("WITH " + _sql_image_near_dup_ctes(max_hamming)
             + " SELECT id_a, id_b, hamming FROM img_pairs")
+
+
+def _sql_dup_caption_conflict(max_hamming: int = 7) -> str:
+    """image near-dup pairs whose captions (the paired documents' own
+    texts) disagree — the engine compares md5 caption folds, the oracle
+    the texts themselves (equivalent sans md5 collision)."""
+    return ("WITH " + _sql_image_near_dup_ctes(max_hamming)
+            + """
+SELECT p.id_a, p.id_b, p.hamming
+FROM img_pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+WHERE da.text <> db.text""")
 
 
 def _sql_image_dup_clusters(max_hamming: int = 7) -> str:
@@ -5599,6 +5656,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint": _sql_winnow_fingerprint(),
         "dsir_weights": _sql_dsir_weights(),
         "bpe_pairs": _SQL_BPE_PAIRS,
+        "dup_caption_conflict": _sql_dup_caption_conflict(),
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

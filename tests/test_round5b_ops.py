@@ -290,3 +290,23 @@ def test_spatial_anti_join_complements_semi(ray_session):
     want = set(pts.doc_id[~inside])
     assert set(out.doc_id) == want
     assert 0 < len(out) < n  # both regions non-trivial at this density
+
+
+# ---- dup_caption_conflict ---------------------------------------------------
+
+
+def test_dup_caption_conflict_flags_planted_copies(ray_session):
+    # every planted retouched copy (doc_id%5==4) carries its OWN doc's
+    # caption, so each planted near-dup pair must surface as a conflict
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    pairs = entrymod.queries()["image_near_dup"](sf)
+    conf = entrymod.queries()["dup_caption_conflict"](sf)
+    # conflicts ⊆ pairs, and every planted (id, id+1 with id%5==4) pair
+    # that made it into pairs is a conflict
+    pset = set(zip(pairs.id_a, pairs.id_b))
+    cset = set(zip(conf.id_a, conf.id_b))
+    assert cset <= pset
+    planted = {(a, b) for a, b in pset if b == a + 1 and b % 5 == 4}
+    assert planted and planted <= cset

@@ -1506,6 +1506,19 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_token_diversity(sf_dir: str):
+    """Lexical-diversity numerators per document: token count + the
+    Simpson collision numerator Σ c_w² over unigram counts —
+    simpson_num/n² is the repeated-token collision probability, the
+    cheap gibberish/keyword-stuffing signal complementing the Gopher
+    repetition stats (stages/text.token_diversity_batch, pure
+    map-side, integer-exact)."""
+    from mvt_wrangler_ray.stages.text import token_diversity_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_diversity_batch, batch_format="pyarrow")
+
+
 def _q_dup_caption_conflict(sf_dir: str):
     """Mislabeled-duplicate detection for image+caption training sets:
     near-duplicate IMAGE pairs (the image_near_dup pipeline: decode →
@@ -3252,6 +3265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": _q_bpe_pairs,
         "spatial_antijoin": _q_spatial_antijoin,
         "dup_caption_conflict": _q_dup_caption_conflict,
+        "token_diversity": _q_token_diversity,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -4574,6 +4588,22 @@ LEFT JOIN bstats b USING (doc_id)
 """
 
 
+_SQL_TOKEN_DIVERSITY = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+  FROM documents WHERE trim(text) <> ''),
+toks AS (
+  SELECT doc_id, a[i] AS tok
+  FROM arrs, UNNEST(generate_series(1, len(a))) t(i)),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(sum(c * c) AS BIGINT) AS simpson_num FROM cnt GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+  COALESCE(a.simpson_num, 0) AS simpson_num
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 _SQL_BPE_PAIRS = r"""
 WITH arrs AS (
   SELECT regexp_split_to_array(trim(text), '\s+') AS a
@@ -5657,6 +5687,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _sql_dsir_weights(),
         "bpe_pairs": _SQL_BPE_PAIRS,
         "dup_caption_conflict": _sql_dup_caption_conflict(),
+        "token_diversity": _SQL_TOKEN_DIVERSITY,
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

@@ -373,3 +373,34 @@ def bpe_pair_counts(ds, k: int = 50, col: str = "text"):
         final_aggs=[("pn", "sum")], final_names=["n"],
         num_buckets=8)
     return merged.sort(["n", "pair"], descending=[True, False]).limit(k)
+
+
+def token_diversity_batch(batch: pa.Table, col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """Lexical-diversity numerators per document: token count and the
+    SIMPSON collision numerator Σ c_w² over unigram counts (the
+    repeated-token mass; simpson_num/n² is the probability two randomly
+    drawn tokens coincide — high values flag gibberish/keyword-stuffed
+    docs that pass length gates). Integer outputs only, so the oracle
+    hash is exact; callers derive the ratio.
+
+    Vectorized: one dictionary encode, one np.unique over combined
+    (doc, code) keys, one scatter-add of c² — no per-row Python."""
+    from .retrieval import whitespace_tokens
+
+    flat, parent, dl = whitespace_tokens(pc.utf8_lower(batch[col]))
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = len(ids)
+    simpson = np.zeros(n_docs, np.int64)
+    if len(parent):
+        codes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = int(codes.max()) + 1
+        _u, counts = np.unique(parent * v + codes, return_counts=True)
+        doc_of = _u // v
+        np.add.at(simpson, doc_of, counts.astype(np.int64) ** 2)
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "n_tokens": pa.array(dl, pa.int64()),
+        "simpson_num": pa.array(simpson, pa.int64()),
+    })

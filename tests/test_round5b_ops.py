@@ -310,3 +310,21 @@ def test_dup_caption_conflict_flags_planted_copies(ray_session):
     assert cset <= pset
     planted = {(a, b) for a, b in pset if b == a + 1 and b % 5 == 4}
     assert planted and planted <= cset
+
+
+# ---- token_diversity --------------------------------------------------------
+
+
+def test_token_diversity_exact():
+    import pyarrow as pa
+    from mvt_wrangler_ray.stages.text import token_diversity_batch
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": ["a a a b", "x y z", "  "]})
+    out = token_diversity_batch(t).to_pandas()
+    # doc 0: counts {a:3, b:1} → 9 + 1 = 10; doc 1: 1+1+1; doc 2: empty
+    assert out.n_tokens.tolist() == [4, 3, 0]
+    assert out.simpson_num.tolist() == [10, 3, 0]
+    # bounds: n <= simpson_num <= n²
+    assert all(out.n_tokens[i] <= out.simpson_num[i] <= out.n_tokens[i] ** 2
+               for i in range(2))

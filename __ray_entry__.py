@@ -3257,6 +3257,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # earlier) past position 50; their richer in-window relatives are
     # image_stats/blur_score (pixel family), burst_rate (event
     # analytics), and the dedup/corpus chain.
+    # Round-5 final session: eight more operators join the head
+    # (segment_dedup — C4/Lee-et-al segment-level dedup with document
+    # reassembly; event_transitions — first-order Markov transition
+    # counts; winnow_fingerprint — MOSS winnowing fingerprints;
+    # dsir_weights — DSIR hashed-bigram importance weights in exact
+    # nanonats; bpe_pairs — BPE tokenizer-training pair counts;
+    # spatial_antijoin — the exclusion-zone complement of pip_join;
+    # dup_caption_conflict — image near-dup pairs with conflicting
+    # captions, the multimodal mislabel audit; token_diversity —
+    # Simpson collision numerators), rotating semantic_dedup,
+    # image_near_dup, image_dup_clusters, image_stats, span_dedup,
+    # quantile_sketch, kmeans and pagerank (all hash-green in
+    # CORRECTNESS_r04 or earlier) past position 50; their richer
+    # in-window relatives are dup_caption_conflict (which drives the
+    # whole image_near_dup chain), segment_dedup/clean_corpus (dedup
+    # family) and profile_table (sketch family). Every query never
+    # driver-certified (the 22 round-5 + these 8) sits inside the
+    # first 50.
     return {
         "segment_dedup": _q_segment_dedup,
         "event_transitions": _q_event_transitions,

@@ -1506,6 +1506,22 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_hard_negatives(sf_dir: str):
+    """HARD-NEGATIVE mining over the embeddings table: each row's top-3
+    most-cosine-similar rows with a DIFFERENT label (rank-ordered, ties
+    by lowest id) — the contrastive-training negatives that sit closest
+    to the decision boundary (stages/knn.hard_negatives: exact masked
+    broadcast-matmul lane under the limit, row-chunked; IVF overfetch
+    lane above it)."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.knn import hard_negatives
+
+    return hard_negatives(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"]), k=3)
+
+
 def _q_token_diversity(sf_dir: str):
     """Lexical-diversity numerators per document: token count + the
     Simpson collision numerator Σ c_w² over unigram counts —
@@ -3284,6 +3300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_antijoin": _q_spatial_antijoin,
         "dup_caption_conflict": _q_dup_caption_conflict,
         "token_diversity": _q_token_diversity,
+        "hard_negatives": _q_hard_negatives,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -4606,6 +4623,16 @@ LEFT JOIN bstats b USING (doc_id)
 """
 
 
+_SQL_HARD_NEGATIVES = (
+    "WITH r AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, "
+    "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+    "list_cosine_similarity(a.embedding, b.embedding) DESC, "
+    "b.vec_id ASC) AS nn_rank "
+    "FROM embeddings a JOIN embeddings b ON a.label <> b.label) "
+    "SELECT vec_id, CAST(nn_rank AS BIGINT) AS nn_rank, nn_id "
+    "FROM r WHERE nn_rank <= 3")
+
+
 _SQL_TOKEN_DIVERSITY = r"""
 WITH arrs AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
@@ -5706,6 +5733,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": _SQL_BPE_PAIRS,
         "dup_caption_conflict": _sql_dup_caption_conflict(),
         "token_diversity": _SQL_TOKEN_DIVERSITY,
+        "hard_negatives": _SQL_HARD_NEGATIVES,
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

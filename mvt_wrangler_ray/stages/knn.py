@@ -559,3 +559,145 @@ def knn_self_graph(ds, k: int = 3, vec_col: str = "embedding",
             "nn_id": pa.array(np.concatenate(out_n), pa.int64())})
 
     return full.map_batches(nn, batch_format="pyarrow")
+
+
+def hard_negatives(ds, k: int = 3, label_col: str = "label",
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   broadcast_limit: int = 500_000,
+                   broadcast_bytes_limit: int = 512 << 20,
+                   chunk_entries: int = 1 << 24,
+                   overfetch: int = 8,
+                   ncentroids: Optional[int] = None,
+                   nprobe: Optional[int] = None):
+    """HARD-NEGATIVE mining for contrastive training: each row's top-k
+    most-similar rows with a DIFFERENT label (rank-ordered by cosine,
+    ties by lowest id) — the negatives that sit closest to the decision
+    boundary. One (vec_id, nn_rank, nn_id) row per negative.
+
+    Below the broadcast limits this is EXACT: the knn_self_graph
+    broadcast-matrix lane with the same row-chunked matmul bound, plus
+    a vectorized same-label mask (corpus labels ride in the same
+    broadcast). Above them it cuts over to the ANN practice every
+    production miner uses — overfetch k·``overfetch`` candidates from
+    the IVF graph lane and label-filter — which is APPROXIMATE (a query
+    whose overfetched head is single-label returns fewer than k rows);
+    the cutover warns."""
+    import warnings
+
+    import ray
+
+    full = ds.materialize()
+    n = full.count()
+    use_ivf = n > broadcast_limit
+    if not use_ivf and n > 0:
+        dim = len(full.take(1)[0][vec_col])
+        use_ivf = n * dim * 8 > broadcast_bytes_limit
+    if use_ivf:
+        warnings.warn(
+            "hard_negatives: corpus above the broadcast limits — using "
+            f"the IVF overfetch lane (k*{overfetch} candidates, then "
+            "label filter): approximate if a query's overfetched head "
+            "is single-label")
+        cand = knn_self_graph(full, k=k * overfetch, vec_col=vec_col,
+                              id_col=id_col,
+                              broadcast_limit=broadcast_limit,
+                              broadcast_bytes_limit=broadcast_bytes_limit,
+                              chunk_entries=chunk_entries,
+                              ncentroids=ncentroids, nprobe=nprobe)
+        lab_tbl = full.map_batches(
+            lambda b: b.select([id_col, label_col]),
+            batch_format="pyarrow").to_pandas()
+        lut_ref = ray.put(dict(zip(
+            lab_tbl[id_col].to_numpy().astype(np.int64),
+            lab_tbl[label_col].to_numpy().astype(np.int64))))
+        cache: dict = {}
+
+        def label_filter(g: pa.Table) -> pa.Table:
+            lut = cache.get("l")
+            if lut is None:
+                lut = cache["l"] = ray.get(lut_ref)
+            qid = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            nid = g["nn_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rk = g["nn_rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ql = np.fromiter((lut[i] for i in qid), np.int64, len(qid))
+            nl = np.fromiter((lut[i] for i in nid), np.int64, len(nid))
+            keep = ql != nl
+            qid, nid, rk = qid[keep], nid[keep], rk[keep]
+            order = np.lexsort((rk, qid))
+            qid, nid, rk = qid[order], nid[order], rk[order]
+            new = np.ones(len(qid), bool)
+            new[1:] = qid[1:] != qid[:-1]
+            seg = np.cumsum(new) - 1
+            starts = np.nonzero(new)[0]
+            within = np.arange(len(qid)) - starts[seg]
+            keep2 = within < k
+            return pa.table({
+                id_col: pa.array(qid[keep2], pa.int64()),
+                "nn_rank": pa.array(within[keep2] + 1, pa.int64()),
+                "nn_id": pa.array(nid[keep2], pa.int64())})
+
+        # per-query re-rank needs all of a query's survivors together:
+        # bucket by query id (narrow rows only)
+        from .shuffle import add_bucket_column
+
+        bucketed = cand.map_batches(
+            lambda b: add_bucket_column(b, [id_col], 32),
+            batch_format="pyarrow")
+        out = bucketed.groupby("bucket").map_groups(
+            label_filter, batch_format="pyarrow")
+        return out.map_batches(
+            lambda b: b.drop_columns(
+                [c for c in ("bucket",) if c in b.column_names]),
+            batch_format="pyarrow")
+
+    ref_tbl = full.to_pandas()
+    ids = ref_tbl[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    mat = _normalize(np.vstack(ref_tbl[vec_col].to_numpy()[order])
+                     .astype(np.float64))
+    labels = ref_tbl[label_col].to_numpy().astype(np.int64)[order]
+    ref = ray.put((ids[order], labels, mat))
+    _cache: dict = {}
+
+    def nn(b: pa.Table) -> pa.Table:
+        m = _cache.get("m")
+        if m is None:
+            m = _cache["m"] = ray.get(ref)
+        all_ids, all_labels, all_mat = m
+        qids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qlab = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "nn_rank": pa.array([], pa.int64()),
+                          "nn_id": pa.array([], pa.int64())})
+        if len(qids) == 0:
+            return empty
+        q = _normalize(_as_matrix(b[vec_col]))
+        rows = _chunk_rows(chunk_entries, len(all_ids))
+        out_q, out_r, out_n = [], [], []
+        for s0 in range(0, len(qids), rows):
+            s1 = min(s0 + rows, len(qids))
+            cq = qids[s0:s1]
+            sims = q[s0:s1] @ all_mat.T
+            # mask every SAME-label corpus row (self is same-label too)
+            sims[qlab[s0:s1, None] == all_labels[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            head = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            hs = np.take_along_axis(sims, head, axis=1)
+            ord_ = np.lexsort((head, -hs), axis=-1)
+            head = np.take_along_axis(head, ord_, axis=1)
+            hs = np.take_along_axis(hs, ord_, axis=1)
+            valid = hs > -np.inf
+            nvalid = valid.sum(axis=1)
+            rep = np.repeat(np.arange(len(cq)), nvalid)
+            ranks = np.concatenate(
+                [np.arange(1, v + 1) for v in nvalid]) \
+                if len(cq) else np.empty(0, np.int64)
+            out_q.append(cq[rep])
+            out_r.append(ranks.astype(np.int64))
+            out_n.append(all_ids[head[valid]])
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_q), pa.int64()),
+            "nn_rank": pa.array(np.concatenate(out_r), pa.int64()),
+            "nn_id": pa.array(np.concatenate(out_n), pa.int64())})
+
+    return full.map_batches(nn, batch_format="pyarrow")

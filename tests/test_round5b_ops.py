@@ -328,3 +328,56 @@ def test_token_diversity_exact():
     # bounds: n <= simpson_num <= n²
     assert all(out.n_tokens[i] <= out.simpson_num[i] <= out.n_tokens[i] ** 2
                for i in range(2))
+
+
+# ---- hard_negatives ---------------------------------------------------------
+
+
+def test_hard_negatives_excludes_same_label(ray_session):
+    from mvt_wrangler_ray.stages.knn import hard_negatives
+
+    rng = np.random.default_rng(13)
+    n, d = 40, 5
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(rng.normal(size=(n, d))),
+        "label": (np.arange(n) % 3).astype(np.int64),
+    })
+    out = hard_negatives(rd.from_pandas(df), k=3).to_pandas()
+    lab = dict(zip(df.vec_id, df.label))
+    assert len(out) == n * 3
+    assert all(lab[q] != lab[nn] for q, nn in zip(out.vec_id, out.nn_id))
+    # brute-force check one query
+    from numpy.linalg import norm
+    q = 7
+    vq = df.embedding[q] / norm(df.embedding[q])
+    sims = {i: float(vq @ (df.embedding[i] / norm(df.embedding[i])))
+            for i in range(n) if lab[i] != lab[q]}
+    want = [i for i, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:3]]
+    got = out[out.vec_id == q].sort_values("nn_rank").nn_id.tolist()
+    assert got == want
+
+
+def test_hard_negatives_overfetch_lane_matches_exact_when_saturated(ray_session):
+    # force the IVF overfetch lane with a tiny broadcast_limit; with
+    # overfetch covering the whole corpus the result must equal the
+    # exact lane's
+    from mvt_wrangler_ray.stages.knn import hard_negatives
+
+    rng = np.random.default_rng(31)
+    n, d = 30, 4
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(rng.normal(size=(n, d))),
+        "label": (np.arange(n) % 2).astype(np.int64),
+    })
+    exact = (hard_negatives(rd.from_pandas(df), k=2)
+             .to_pandas().sort_values(["vec_id", "nn_rank"])
+             .reset_index(drop=True))
+    with pytest.warns(UserWarning, match="overfetch"):
+        approx = (hard_negatives(rd.from_pandas(df), k=2,
+                                 broadcast_limit=5, overfetch=n,
+                                 ncentroids=4, nprobe=4)
+                  .to_pandas().sort_values(["vec_id", "nn_rank"])
+                  .reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact, approx)

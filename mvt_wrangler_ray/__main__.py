@@ -238,6 +238,54 @@ def _main_pack(argv):
     return 0
 
 
+def _main_dedup_segments(argv):
+    """`dedup-segments INPUT OUT_DIR`: C4/Lee-et-al segment-level exact
+    dedup with document reassembly (stages/dedup.segment_dedup) into the
+    resumable lineage-partitioned sink — a killed run skips finished
+    doc-id partitions on rerun."""
+    p = argparse.ArgumentParser(prog="mvt_wrangler_ray dedup-segments")
+    p.add_argument("input", help="documents parquet (doc_id, text)")
+    p.add_argument("out_dir")
+    p.add_argument("-S", "--seg-words", type=int, default=20,
+                   help="words per dedup segment")
+    p.add_argument("-p", "--partitions", type=int, default=16)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import json
+
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+        import ray.data as rd
+
+        from .stages.dedup import segment_dedup
+        from .state.lineage import config_fingerprint, write_partitioned
+
+        ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+        kept = segment_dedup(ds, seg_words=args.seg_words)
+        chash = config_fingerprint({"seg_words": args.seg_words})
+        recs = write_partitioned(kept, args.out_dir, key="doc_id",
+                                 num_partitions=args.partitions,
+                                 metadata={"seg_words": args.seg_words},
+                                 resume=not args.no_resume,
+                                 config_hash=chash)
+        total = sum(r["rows"] for r in recs)
+        print(json.dumps({"documents": total, "partitions": len(recs),
+                          "seg_words": args.seg_words}))
+        print(f"Wrote {total} reassembled documents across {len(recs)} "
+              f"partitions to {args.out_dir}")
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None):
     import sys as _sys
 
@@ -248,6 +296,8 @@ def main(argv=None):
         return _main_corpus(argv[1:])
     if argv and argv[0] == "pack":
         return _main_pack(argv[1:])
+    if argv and argv[0] == "dedup-segments":
+        return _main_dedup_segments(argv[1:])
     p = argparse.ArgumentParser(
         prog="mvt_wrangler_ray",
         description="Rewrite a PMTiles archive of vector tiles with "

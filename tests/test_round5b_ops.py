@@ -381,3 +381,35 @@ def test_hard_negatives_overfetch_lane_matches_exact_when_saturated(ray_session)
                   .to_pandas().sort_values(["vec_id", "nn_rank"])
                   .reset_index(drop=True))
     pd.testing.assert_frame_equal(exact, approx)
+
+
+# ---- dedup-segments CLI -----------------------------------------------------
+
+
+def test_dedup_segments_cli_end_to_end_and_resume(ray_session, tmp_path):
+    import json as _json
+
+    import pandas as pd_
+
+    from mvt_wrangler_ray.__main__ import main
+
+    out = str(tmp_path / "segdedup")
+    rc = main(["dedup-segments", "/root/testdata/sf0.001/documents.parquet",
+               out, "-S", "20", "-p", "4", "--num-cpus", "4"])
+    assert rc == 0
+    meta = _json.load(open(f"{out}/_metadata.json"))
+    assert meta["metadata"]["run"]["partitions_written_this_run"] == 4
+    kept = pd_.read_parquet(out)
+    docs = pd_.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                            columns=["doc_id"])
+    # one output row per document; kept counts bounded by totals
+    assert sorted(kept.doc_id) == sorted(docs.doc_id)
+    assert (kept.n_kept <= kept.n_segs).all()
+    assert (kept.n_kept < kept.n_segs).any()  # sf0.001 has dup segments
+    # rerun: every partition skipped
+    rc = main(["dedup-segments", "/root/testdata/sf0.001/documents.parquet",
+               out, "-S", "20", "-p", "4", "--num-cpus", "4"])
+    assert rc == 0
+    meta = _json.load(open(f"{out}/_metadata.json"))
+    assert meta["metadata"]["run"]["partitions_written_this_run"] == 0
+    assert meta["metadata"]["run"]["partitions_skipped_resume"] == 4

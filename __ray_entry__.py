@@ -3282,15 +3282,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # spatial_antijoin — the exclusion-zone complement of pip_join;
     # dup_caption_conflict — image near-dup pairs with conflicting
     # captions, the multimodal mislabel audit; token_diversity —
-    # Simpson collision numerators), rotating semantic_dedup,
+    # Simpson collision numerators; hard_negatives — label-constrained
+    # kNN for contrastive training), rotating semantic_dedup,
     # image_near_dup, image_dup_clusters, image_stats, span_dedup,
-    # quantile_sketch, kmeans and pagerank (all hash-green in
-    # CORRECTNESS_r04 or earlier) past position 50; their richer
+    # quantile_sketch, kmeans, pagerank and redact_pii (all hash-green
+    # in CORRECTNESS_r04 or earlier) past position 50; their richer
     # in-window relatives are dup_caption_conflict (which drives the
     # whole image_near_dup chain), segment_dedup/clean_corpus (dedup
-    # family) and profile_table (sketch family). Every query never
-    # driver-certified (the 22 round-5 + these 8) sits inside the
-    # first 50.
+    # family), hard_negatives/knn_graph (kNN family) and profile_table
+    # (sketch family). Every query never driver-certified (the 22
+    # round-5 + these 9) sits inside the first 50.
     return {
         "segment_dedup": _q_segment_dedup,
         "event_transitions": _q_event_transitions,

@@ -1506,6 +1506,20 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_aspect_buckets(sf_dir: str):
+    """ASPECT-RATIO bucketing report (the diffusion-training batching
+    trick — group images into fixed (w,h) shape buckets): per ladder
+    bucket the image count and total source pixels. The log-space
+    argmin is integer-exact (cross-multiplied boundary compares, no
+    float anywhere), so the oracle hash is exact
+    (stages/image.aspect_bucket_counts: map-side assignment over the
+    metadata columns only, one ≤5-key merge)."""
+    from mvt_wrangler_ray.sources.images import images_from_documents
+    from mvt_wrangler_ray.stages.image import aspect_bucket_counts
+
+    return aspect_bucket_counts(images_from_documents(sf_dir))
+
+
 def _q_hard_negatives(sf_dir: str):
     """HARD-NEGATIVE mining over the embeddings table: each row's top-3
     most-cosine-similar rows with a DIFFERENT label (rank-ordered, ties
@@ -3302,6 +3316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_caption_conflict": _q_dup_caption_conflict,
         "token_diversity": _q_token_diversity,
         "hard_negatives": _q_hard_negatives,
+        "aspect_buckets": _q_aspect_buckets,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -4624,6 +4639,33 @@ LEFT JOIN bstats b USING (doc_id)
 """
 
 
+def _sql_aspect_buckets() -> str:
+    """stages/image.aspect_bucket_counts in SQL: the identical
+    integer-exact boundary compares over the fnv-derived (w, h)."""
+    fnv = _sql_fnv64("printf('img%08d', doc_id)", 11)
+    # boundary k-1→k: w²·(bh_{k-1}·bh_k) >= h²·(bw_{k-1}·bw_k)
+    return f"""
+WITH img AS (SELECT doc_id, {fnv} AS h64 FROM documents),
+geom AS (SELECT
+  CAST(32 + CAST(h64 % 97 AS BIGINT) AS BIGINT) AS w,
+  CAST(32 + CAST((h64 >> 8) % 97 AS BIGINT) AS BIGINT) AS hh
+  FROM img),
+b AS (SELECT w, hh, CASE
+  WHEN w*w*(80*64)  >= hh*hh*(112*128) THEN 4
+  WHEN w*w*(96*80)  >= hh*hh*(96*112)  THEN 3
+  WHEN w*w*(112*96) >= hh*hh*(96*80)   THEN 2
+  WHEN w*w*(128*112) >= hh*hh*(64*80)  THEN 1
+  ELSE 0 END AS i FROM geom),
+lad(i, bucket_w, bucket_h) AS (VALUES
+  (0, CAST(64 AS BIGINT), CAST(128 AS BIGINT)), (1, 80, 112),
+  (2, 96, 96), (3, 112, 80), (4, 128, 64))
+SELECT lad.bucket_w, lad.bucket_h,
+  CAST(count(*) AS BIGINT) AS n_images,
+  CAST(sum(w * hh) AS BIGINT) AS total_src_px
+FROM b JOIN lad USING (i) GROUP BY 1, 2
+"""
+
+
 _SQL_HARD_NEGATIVES = (
     "WITH r AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, "
     "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
@@ -5735,6 +5777,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_caption_conflict": _sql_dup_caption_conflict(),
         "token_diversity": _SQL_TOKEN_DIVERSITY,
         "hard_negatives": _SQL_HARD_NEGATIVES,
+        "aspect_buckets": _sql_aspect_buckets(),
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

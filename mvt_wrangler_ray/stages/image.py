@@ -490,3 +490,54 @@ def size_filter_counts(ds_images, min_side: int = 48, max_side: int = 112,
         narrow, keys=["verdict"],
         partial_aggs=[("one", "sum")], partial_names=["pn"],
         final_aggs=[("pn", "sum")], final_names=["n"], num_buckets=4)
+
+
+# the SDXL-style aspect ladder (scaled to the fixture's 32-128 px
+# range), ratio-ascending: portrait → square → landscape
+ASPECT_LADDER = ((64, 128), (80, 112), (96, 96), (112, 80), (128, 64))
+
+
+def aspect_bucket_batch(batch: pa.Table,
+                        ladder=ASPECT_LADDER) -> pa.Table:
+    """Aspect-ratio BUCKETING (the diffusion-training batching trick:
+    group images into fixed (w, h) shape buckets so a batch shares one
+    tensor shape): each image goes to the ladder bucket whose log
+    aspect ratio is nearest to its own.
+
+    The argmin is INTEGER-EXACT — nearest in log space between adjacent
+    ladder ratios b_i < b_{i+1} flips exactly where (w/h)² crosses
+    b_i·b_{i+1}, i.e. where w²·bh_i·bh_{i+1} ≥ h²·bw_i·bw_{i+1}
+    (equality assigns the HIGHER bucket) — so the engine and the SQL
+    oracle agree bit-for-bit with no float logs anywhere."""
+    w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = np.zeros(len(w), np.int64)
+    for i in range(len(ladder) - 1):
+        bw1, bh1 = ladder[i]
+        bw2, bh2 = ladder[i + 1]
+        # move to bucket i+1 where w²·bh1·bh2 >= h²·bw1·bw2
+        idx = np.where(w * w * (bh1 * bh2) >= h * h * (bw1 * bw2),
+                       i + 1, idx)
+    bw = np.array([b[0] for b in ladder], np.int64)[idx]
+    bh = np.array([b[1] for b in ladder], np.int64)[idx]
+    return pa.table({
+        "bucket_w": pa.array(bw, pa.int64()),
+        "bucket_h": pa.array(bh, pa.int64()),
+        "src_px": pa.array(w * h, pa.int64()),
+    })
+
+
+def aspect_bucket_counts(ds, ladder=ASPECT_LADDER):
+    """Per-bucket image counts + total source pixels (the batch-shape
+    histogram a bucketed dataloader is sized from): map-side bucket
+    assignment, one tiny keyed merge (keys ≤ |ladder|)."""
+    from .shuffle import two_phase_aggregate
+
+    assigned = ds.map_batches(
+        lambda b: aspect_bucket_batch(b, ladder), batch_format="pyarrow")
+    return two_phase_aggregate(
+        assigned, keys=["bucket_w", "bucket_h"],
+        partial_aggs=[("src_px", "count"), ("src_px", "sum")],
+        partial_names=["pn", "ps"],
+        final_aggs=[("pn", "sum"), ("ps", "sum")],
+        final_names=["n_images", "total_src_px"], num_buckets=4)

@@ -413,3 +413,28 @@ def test_dedup_segments_cli_end_to_end_and_resume(ray_session, tmp_path):
     meta = _json.load(open(f"{out}/_metadata.json"))
     assert meta["metadata"]["run"]["partitions_written_this_run"] == 0
     assert meta["metadata"]["run"]["partitions_skipped_resume"] == 4
+
+
+# ---- aspect_buckets ---------------------------------------------------------
+
+
+def test_aspect_bucket_assignment_exact():
+    import pyarrow as pa
+    from mvt_wrangler_ray.stages.image import (ASPECT_LADDER,
+                                               aspect_bucket_batch)
+    import math
+
+    # cover each bucket + both sides of a boundary
+    cases = [(64, 128), (100, 140), (96, 96), (100, 70), (128, 64),
+             (99, 99), (33, 127), (127, 33)]
+    t = pa.table({"w": pa.array([c[0] for c in cases], pa.int32()),
+                  "h": pa.array([c[1] for c in cases], pa.int32())})
+    out = aspect_bucket_batch(t).to_pandas()
+    for (w, h), bw, bh in zip(cases, out.bucket_w, out.bucket_h):
+        # reference argmin in float log space (ties → higher bucket,
+        # which the strict integer compare realizes exactly)
+        diffs = [abs(math.log(w / h) - math.log(a / b))
+                 for a, b in ASPECT_LADDER]
+        best = max(i for i, d in enumerate(diffs) if d == min(diffs))
+        assert (bw, bh) == ASPECT_LADDER[best], (w, h)
+    assert (out.src_px == [w * h for w, h in cases]).all()

@@ -1506,6 +1506,20 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_winnow_near_dup(sf_dir: str):
+    """Near-dup pair mining via WINNOWING fingerprints (the MOSS
+    detector): pairs of docs sharing ≥ 2 selected fingerprints — finds
+    LOCAL copied passages (any shared 6-token run shares a
+    fingerprint) that whole-doc MinHash similarity dilutes away
+    (stages/dedup.winnow_near_dups: distinct (doc, fp) explode,
+    fp-bucketed pair generation with the per-fp cap guard, one
+    two-phase pair count)."""
+    from mvt_wrangler_ray.stages.dedup import winnow_near_dups
+
+    return winnow_near_dups(_docs(sf_dir, ["doc_id", "text"]),
+                            min_shared=2)
+
+
 def _q_aspect_buckets(sf_dir: str):
     """ASPECT-RATIO bucketing report (the diffusion-training batching
     trick — group images into fixed (w,h) shape buckets): per ladder
@@ -3317,6 +3331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_diversity": _q_token_diversity,
         "hard_negatives": _q_hard_negatives,
         "aspect_buckets": _q_aspect_buckets,
+        "winnow_near_dup": _q_winnow_near_dup,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -4739,16 +4754,16 @@ FROM contrib GROUP BY doc_id
 """
 
 
-def _sql_winnow_fingerprint(k: int = 3, w: int = 4) -> str:
-    """stages/text.winnow_fingerprints_batch in SQL: identical 3-gram
-    md5_number_lower hashes (UBIGINT order = the engine's unsigned
-    compare), per-window min via a ROWS frame (truncating at partition
-    end exactly like the engine's short-doc single window), rightmost
-    tie via max(pos) among window rows equal to the min, distinct
-    selected positions, xor-fold two's-complemented to BIGINT."""
-    fx = _sql_twos_comp("COALESCE(a.fx, 0)", "fp_xor")
+def _sql_winnow_ctes(k: int = 3, w: int = 4) -> str:
+    """CTE chain (no leading WITH) ending in ``fps`` (doc_id, selpos,
+    h) — stages/text._winnow_gram_hashes + _winnow_select in SQL:
+    identical 3-gram md5_number_lower hashes (UBIGINT order = the
+    engine's unsigned compare), per-window min via a ROWS frame
+    (truncating at partition end exactly like the engine's short-doc
+    single window), rightmost tie via max(pos) among window rows equal
+    to the min, distinct selected positions."""
     return rf"""
-WITH arrs AS (
+arrs AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
   FROM documents WHERE trim(text) <> ''),
 grams AS (
@@ -4767,7 +4782,15 @@ sel AS (
     AND g.pos BETWEEN w.ws AND w.ws + {w - 1} AND g.h = w.mn
   WHERE w.ws <= GREATEST(1, w.m - {w - 1})
   GROUP BY w.doc_id, w.ws, w.mn),
-fps AS (SELECT DISTINCT doc_id, selpos, h FROM sel),
+fps AS (SELECT DISTINCT doc_id, selpos, h FROM sel)"""
+
+
+def _sql_winnow_fingerprint(k: int = 3, w: int = 4) -> str:
+    """stages/text.winnow_fingerprints_batch in SQL (see
+    _sql_winnow_ctes), xor-fold two's-complemented to BIGINT."""
+    fx = _sql_twos_comp("COALESCE(a.fx, 0)", "fp_xor")
+    return f"""
+WITH {_sql_winnow_ctes(k, w)},
 agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps, bit_xor(h) AS fx
   FROM fps GROUP BY doc_id),
 gm AS (SELECT doc_id, CAST(max(m) AS BIGINT) AS n_grams
@@ -4776,6 +4799,22 @@ SELECT d.doc_id, COALESCE(gm.n_grams, 0) AS n_grams,
   COALESCE(a.n_fps, 0) AS n_fps,
   {fx}
 FROM documents d LEFT JOIN gm USING (doc_id) LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _sql_winnow_near_dup(min_shared: int = 2, k: int = 3, w: int = 4,
+                         cap: int = 1000) -> str:
+    """stages/dedup.winnow_near_dups in SQL: distinct (doc, h)
+    fingerprints, per-fp cap, pair multiplicity = shared-fp count."""
+    return f"""
+WITH {_sql_winnow_ctes(k, w)},
+dfp AS (SELECT DISTINCT doc_id, h FROM fps),
+cnt AS (SELECT h, count(*) AS c FROM dfp GROUP BY h),
+pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM dfp a JOIN dfp b ON a.h = b.h AND a.doc_id < b.doc_id
+  JOIN cnt ON cnt.h = a.h WHERE cnt.c <= {cap})
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM pr GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 """
 
 
@@ -5778,6 +5817,7 @@ def oracle_sql() -> dict[str, str]:
         "token_diversity": _SQL_TOKEN_DIVERSITY,
         "hard_negatives": _SQL_HARD_NEGATIVES,
         "aspect_buckets": _sql_aspect_buckets(),
+        "winnow_near_dup": _sql_winnow_near_dup(),
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

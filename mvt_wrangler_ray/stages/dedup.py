@@ -1680,3 +1680,45 @@ def segment_dedup(ds, seg_words: int = 20, col: str = "text",
         lambda b: b.drop_columns(
             [c for c in ("bucket",) if c in b.column_names]),
         batch_format="pyarrow")
+
+
+def winnow_near_dups(ds_docs, min_shared: int = 2, k: int = 3, w: int = 4,
+                     col: str = "text", id_col: str = "doc_id",
+                     num_buckets: int = 64, bucket_cap: int = 1000):
+    """Near-dup pair mining via WINNOWING fingerprints (the MOSS
+    detector): docs sharing ≥ ``min_shared`` selected fingerprints —
+    by the winnowing guarantee, any shared w+k-1-token run yields a
+    shared fingerprint, so this finds LOCAL copied passages that
+    whole-document MinHash similarity dilutes away.
+
+    Plan: distinct (doc, fp) explode (map-side, text.winnow_fp_rows) →
+    fp-hash-bucketed pair generation with the per-fp ``bucket_cap``
+    skew guard (an fp shared by more docs than the cap is boilerplate,
+    not plagiarism — dropped deterministically, mirrored by the
+    oracle) → one two-phase count per pair → threshold. Returns a
+    Dataset (id_a, id_b, n_shared)."""
+    from .shuffle import add_bucket_column, two_phase_aggregate
+
+    def fp_rows(b: pa.Table) -> pa.Table:
+        from .text import winnow_fp_rows_batch
+
+        return winnow_fp_rows_batch(b, k, w, col, id_col)
+
+    rows = ds_docs.map_batches(fp_rows, batch_format="pyarrow")
+    bucketed = rows.map_batches(
+        lambda b: add_bucket_column(b, ["fp"], num_buckets),
+        batch_format="pyarrow")
+    # one pair row per SHARED fp (not distinct): multiplicity is the
+    # statistic being counted
+    pairs = bucketed.groupby("bucket").map_groups(
+        lambda g: _segment_pairs_table(g, ["fp"], id_col, bucket_cap),
+        batch_format="pyarrow")
+    counted = two_phase_aggregate(
+        pairs, keys=["id_a", "id_b"],
+        partial_aggs=[("id_a", "count")], partial_names=["pc"],
+        final_aggs=[("pc", "sum")], final_names=["n_shared"],
+        num_buckets=num_buckets)
+    return counted.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_shared"],
+                                            pa.scalar(min_shared))),
+        batch_format="pyarrow")

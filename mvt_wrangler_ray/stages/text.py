@@ -292,45 +292,89 @@ def winnow_fingerprints_batch(batch: pa.Table, k: int = 3, w: int = 4,
 
     Hash comparisons are UNSIGNED 64-bit (DuckDB md5_number_lower
     UBIGINT order); fp_xor is two's-complemented to int64 at the end."""
-    from .retrieval import whitespace_tokens
-
-    flat, parent, dl = whitespace_tokens(pc.utf8_lower(batch[col]))
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     n_docs = len(ids)
-    m_per_doc = np.maximum(dl - (k - 1), 0)
+    m_per_doc, h_all, doc_first = _winnow_gram_hashes(batch, k, col)
 
     n_fps = np.zeros(n_docs, np.int64)
     fp_xor = np.zeros(n_docs, np.uint64)
-    if len(parent) and m_per_doc.any():
-        toks = np.asarray(flat.to_pylist(), dtype=object)
-        # k-gram rows: position i valid iff tokens i..i+k-1 share a doc
-        valid = parent[: len(parent) - (k - 1)] == parent[k - 1:]
-        gi = np.nonzero(valid)[0]
-        h_all = np.fromiter(
-            (md5_lower64(" ".join(toks[i:i + k])) for i in gi),
-            np.uint64, len(gi))
-        gdoc = parent[gi]
-        doc_first = np.searchsorted(gdoc, np.arange(n_docs))
-        for d in range(n_docs):
-            m = int(m_per_doc[d])
-            if m == 0:
-                continue
-            h = h_all[doc_first[d]: doc_first[d] + m]
-            width = min(w, m)
-            sw = np.lib.stride_tricks.sliding_window_view(h, width)
-            sw = sw[: max(1, m - w + 1)]
-            rev = sw[:, ::-1]
-            j = rev.argmin(axis=1)          # first in reversed = rightmost
-            selpos = np.arange(len(sw)) + (width - 1 - j)
-            sel = np.unique(selpos)
-            n_fps[d] = len(sel)
-            fp_xor[d] = np.bitwise_xor.reduce(h[sel])
+    for d in range(n_docs):
+        m = int(m_per_doc[d])
+        if m == 0:
+            continue
+        h = h_all[doc_first[d]: doc_first[d] + m]
+        sel = _winnow_select(h, w)
+        n_fps[d] = len(sel)
+        fp_xor[d] = np.bitwise_xor.reduce(h[sel])
 
     return pa.table({
         id_col: pa.array(ids, pa.int64()),
         "n_grams": pa.array(m_per_doc, pa.int64()),
         "n_fps": pa.array(n_fps, pa.int64()),
         "fp_xor": pa.array(fp_xor.astype(np.int64), pa.int64()),
+    })
+
+
+def _winnow_gram_hashes(batch: pa.Table, k: int, col: str):
+    """(grams per doc, concatenated per-doc gram hash stream, per-doc
+    stream offsets) — the shared front half of the winnowing ops."""
+    from .retrieval import whitespace_tokens
+
+    flat, parent, dl = whitespace_tokens(pc.utf8_lower(batch[col]))
+    n_docs = len(batch)
+    m_per_doc = np.maximum(dl - (k - 1), 0)
+    if not (len(parent) and m_per_doc.any()):
+        return m_per_doc, np.empty(0, np.uint64), np.zeros(n_docs, np.int64)
+    toks = np.asarray(flat.to_pylist(), dtype=object)
+    # k-gram rows: position i valid iff tokens i..i+k-1 share a doc
+    valid = parent[: len(parent) - (k - 1)] == parent[k - 1:]
+    gi = np.nonzero(valid)[0]
+    h_all = np.fromiter(
+        (md5_lower64(" ".join(toks[i:i + k])) for i in gi),
+        np.uint64, len(gi))
+    gdoc = parent[gi]
+    doc_first = np.searchsorted(gdoc, np.arange(n_docs))
+    return m_per_doc, h_all, doc_first
+
+
+def _winnow_select(h: np.ndarray, w: int) -> np.ndarray:
+    """Selected positions for one doc's gram-hash stream: per-window
+    minimum, rightmost on ties, position-distinct (ascending)."""
+    m = len(h)
+    width = min(w, m)
+    sw = np.lib.stride_tricks.sliding_window_view(h, width)
+    sw = sw[: max(1, m - w + 1)]
+    rev = sw[:, ::-1]
+    j = rev.argmin(axis=1)              # first in reversed = rightmost
+    selpos = np.arange(len(sw)) + (width - 1 - j)
+    return np.unique(selpos)
+
+
+def winnow_fp_rows_batch(batch: pa.Table, k: int = 3, w: int = 4,
+                         col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Row-per-fingerprint variant of winnow_fingerprints_batch:
+    DISTINCT (doc_id, fp) rows (two selected positions sharing a hash
+    collapse — pair mining cares about hash identity). The narrow
+    explode feeding winnow_near_dups."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    m_per_doc, h_all, doc_first = _winnow_gram_hashes(batch, k, col)
+    out_id, out_fp = [], []
+    for d in range(len(ids)):
+        m = int(m_per_doc[d])
+        if m == 0:
+            continue
+        h = h_all[doc_first[d]: doc_first[d] + m]
+        fps = np.unique(h[_winnow_select(h, w)])
+        out_id.append(np.full(len(fps), ids[d], np.int64))
+        out_fp.append(fps)
+    if not out_id:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "fp": pa.array([], pa.int64())})
+    return pa.table({
+        id_col: pa.array(np.concatenate(out_id), pa.int64()),
+        "fp": pa.array(np.concatenate(out_fp).astype(np.int64),
+                       pa.int64()),
     })
 
 

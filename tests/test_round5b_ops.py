@@ -438,3 +438,42 @@ def test_aspect_bucket_assignment_exact():
         best = max(i for i, d in enumerate(diffs) if d == min(diffs))
         assert (bw, bh) == ASPECT_LADDER[best], (w, h)
     assert (out.src_px == [w * h for w, h in cases]).all()
+
+
+# ---- winnow_near_dups -------------------------------------------------------
+
+
+def test_winnow_near_dup_finds_local_copy(ray_session):
+    # a long copied passage inside otherwise-different docs must pair;
+    # unrelated docs must not
+    from mvt_wrangler_ray.stages.dedup import winnow_near_dups
+
+    passage = ("alpha beta gamma delta epsilon zeta eta theta iota "
+               "kappa lam mu")
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [f"intro words here {passage} closing remark",
+                 f"different opening {passage} other ending text",
+                 "totally unrelated content with its own words only"],
+    })
+    out = winnow_near_dups(rd.from_pandas(docs), min_shared=2).to_pandas()
+    got = set(zip(out.id_a, out.id_b))
+    assert (0, 1) in got
+    assert not any(2 in p for p in got)
+
+
+def test_winnow_near_dup_partition_invariant(ray_session):
+    from mvt_wrangler_ray.stages.dedup import winnow_near_dups
+
+    rng = np.random.default_rng(53)
+    vocab = np.array([f"w{i}" for i in range(40)])
+    docs = pd.DataFrame({
+        "doc_id": np.arange(80, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(5, 40)))
+                 for _ in range(80)],
+    })
+    one = (winnow_near_dups(rd.from_pandas(docs).repartition(1))
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    many = (winnow_near_dups(rd.from_pandas(docs).repartition(11))
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, many)

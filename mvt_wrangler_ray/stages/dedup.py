@@ -1718,7 +1718,14 @@ def winnow_near_dups(ds_docs, min_shared: int = 2, k: int = 3, w: int = 4,
         partial_aggs=[("id_a", "count")], partial_names=["pc"],
         final_aggs=[("pc", "sum")], final_names=["n_shared"],
         num_buckets=num_buckets)
-    return counted.map_batches(
+    # the thresholded pair list is small by construction (bounded by the
+    # capped candidate generation) — collect like the other pair miners
+    # so the empty case keeps its schema
+    out = counted.map_batches(
         lambda b: b.filter(pc.greater_equal(b["n_shared"],
                                             pa.scalar(min_shared))),
-        batch_format="pyarrow")
+        batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return _empty_pairs("n_shared", np.int64)
+    return (out.sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))

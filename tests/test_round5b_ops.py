@@ -456,7 +456,7 @@ def test_winnow_near_dup_finds_local_copy(ray_session):
                  f"different opening {passage} other ending text",
                  "totally unrelated content with its own words only"],
     })
-    out = winnow_near_dups(rd.from_pandas(docs), min_shared=2).to_pandas()
+    out = winnow_near_dups(rd.from_pandas(docs), min_shared=2)
     got = set(zip(out.id_a, out.id_b))
     assert (0, 1) in got
     assert not any(2 in p for p in got)
@@ -472,8 +472,11 @@ def test_winnow_near_dup_partition_invariant(ray_session):
         "text": [" ".join(rng.choice(vocab, size=rng.integers(5, 40)))
                  for _ in range(80)],
     })
-    one = (winnow_near_dups(rd.from_pandas(docs).repartition(1))
-           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
-    many = (winnow_near_dups(rd.from_pandas(docs).repartition(11))
-            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    # plant local copies: doc i and i+40 share doc i's text verbatim
+    docs.loc[40:, "text"] = docs.text[:40].to_numpy()
+    one = winnow_near_dups(rd.from_pandas(docs).repartition(1))
+    many = winnow_near_dups(rd.from_pandas(docs).repartition(11))
     pd.testing.assert_frame_equal(one, many)
+    # every planted copy with >= 2 fingerprints pairs with its source
+    # (a 5-token doc has one window -> one fp, below min_shared)
+    assert len(one) >= 35

@@ -1506,6 +1506,64 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_winsorize_report(sf_dir: str):
+    """WINSORIZATION report per event type: the exact p05/p95 clamp
+    bounds (percentile_disc semantics — the kth smallest element, so
+    both bounds are bit-exact) plus the counts a clamp at those bounds
+    would touch (values strictly below p05 / strictly above p95) — the
+    outlier-trim pre-pass of metric cleaning. Same bucketed-group plan
+    as p95_value: one exchange, one vectorized sort per group."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.shuffle import add_bucket_column
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    bucketed = ds.map_batches(
+        lambda b: add_bucket_column(b, ["event_type"], 8),
+        batch_format="pyarrow")
+
+    def report(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        rows = []
+        for et, sub in df.groupby("event_type"):
+            v = np.sort(sub["value"].to_numpy())
+            n = len(v)
+            klo = max(int(np.ceil(n * 0.05)) - 1, 0)
+            khi = max(int(np.ceil(n * 0.95)) - 1, 0)
+            lo, hi = float(v[klo]), float(v[khi])
+            rows.append((et, n, lo, hi,
+                         int((v < lo).sum()), int((v > hi).sum())))
+        return pa.table({
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "p05_value": pa.array([r[2] for r in rows], pa.float64()),
+            "p95_value": pa.array([r[3] for r in rows], pa.float64()),
+            "n_below": pa.array([r[4] for r in rows], pa.int64()),
+            "n_above": pa.array([r[5] for r in rows], pa.int64())})
+
+    return bucketed.groupby("bucket").map_groups(report,
+                                                 batch_format="pyarrow")
+
+
+def _q_packed_clean_segments(sf_dir: str):
+    """The segment-dedup → packing CHAIN: strip every repeated 20-word
+    segment corpus-wide (stages/dedup.segment_dedup), then pack the
+    reassembled survivor texts into fixed 128-token training sequences
+    with document-boundary indices (stages/pack.pack_sequences) — the
+    Lee-et-al dedup step composed into the dataloader-ready output.
+    Documents whose every segment was a duplicate contribute zero
+    tokens and vanish from the packing, exactly like empty docs."""
+    from mvt_wrangler_ray.stages.dedup import segment_dedup
+    from mvt_wrangler_ray.stages.pack import pack_sequences
+
+    kept = segment_dedup(_docs(sf_dir, ["doc_id", "text"]), seg_words=20)
+    as_docs = kept.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "text": b["kept_text"]}),
+        batch_format="pyarrow")
+    return pack_sequences(as_docs, seq_len=128)
+
+
 def _q_winnow_near_dup(sf_dir: str):
     """Near-dup pair mining via WINNOWING fingerprints (the MOSS
     detector): pairs of docs sharing ≥ 2 selected fingerprints — finds
@@ -3332,6 +3390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": _q_hard_negatives,
         "aspect_buckets": _q_aspect_buckets,
         "winnow_near_dup": _q_winnow_near_dup,
+        "packed_clean_segments": _q_packed_clean_segments,
+        "winsorize_report": _q_winsorize_report,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -4106,6 +4166,22 @@ SELECT ta, tb, n_both,
     AS jaccard
 FROM ix JOIN sz sa ON sa.event_type = ix.ta
 JOIN sz sb ON sb.event_type = ix.tb
+"""
+
+
+_SQL_WINSORIZE_REPORT = """
+WITH b AS (SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n,
+    percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS p05_value,
+    percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95_value
+  FROM events GROUP BY 1)
+SELECT b.event_type, b.n, b.p05_value, b.p95_value,
+  CAST(sum(CASE WHEN e.value < b.p05_value THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_below,
+  CAST(sum(CASE WHEN e.value > b.p95_value THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_above
+FROM events e JOIN b USING (event_type)
+GROUP BY 1, 2, 3, 4
 """
 
 
@@ -5818,6 +5894,10 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _SQL_HARD_NEGATIVES,
         "aspect_buckets": _sql_aspect_buckets(),
         "winnow_near_dup": _sql_winnow_near_dup(),
+        "packed_clean_segments": _sql_pack_sequences(
+            128, src=("(SELECT doc_id, kept_text AS text FROM "
+                      f"({_SQL_SEGMENT_DEDUP}))")),
+        "winsorize_report": _SQL_WINSORIZE_REPORT,
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

@@ -480,3 +480,30 @@ def test_winnow_near_dup_partition_invariant(ray_session):
     # every planted copy with >= 2 fingerprints pairs with its source
     # (a 5-token doc has one window -> one fp, below min_shared)
     assert len(one) >= 35
+
+
+# ---- packed_clean_segments / winsorize_report -------------------------------
+
+
+def test_packed_clean_segments_conserves_kept_tokens(ray_session):
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    segs = entrymod.queries()["packed_clean_segments"](sf).to_pandas()
+    kept = entrymod.queries()["segment_dedup"](sf).to_pandas()
+    kept_tokens = int(sum(len(t.split()) for t in kept.kept_text if t))
+    assert int((segs.tok_end - segs.tok_start).sum()) == kept_tokens
+    # dedup means strictly fewer packed tokens than raw packing
+    raw = entrymod.queries()["pack_sequences"](sf).to_pandas()
+    assert kept_tokens < int((raw.tok_end - raw.tok_start).sum())
+
+
+def test_winsorize_report_invariants(ray_session):
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["winsorize_report"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert (out.p05_value <= out.p95_value).all()
+    # percentile_disc bounds: <5% strictly below p05, <=5% strictly above p95
+    assert (out.n_below < 0.05 * out.n).all()
+    assert (out.n_above <= 0.05 * out.n).all()

@@ -1506,6 +1506,29 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_incremental_near_dup(sf_dir: str):
+    """Incremental NEAR-dup ingestion (the MinHash companion to
+    incremental_dedup's exact pass): incoming = every 10th doc, base =
+    the rest; an incoming doc is dropped iff it near-duplicates
+    (verified Jaccard ≥ 0.5) ANY base doc. Returns surviving incoming
+    ids (stages/dedup.incremental_near_dup: one LSH banding over the
+    union, capped cross-side candidates, broadcast membership probes
+    bounded by the pair list)."""
+    from mvt_wrangler_ray.stages.dedup import incremental_near_dup
+
+    def side(want_incoming: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 0) if want_incoming else (ids % 10 != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    incoming = docs.map_batches(side(True), batch_format="pyarrow")
+    base = docs.map_batches(side(False), batch_format="pyarrow")
+    return incremental_near_dup(incoming, base, threshold=0.5)
+
+
 def _q_winsorize_report(sf_dir: str):
     """WINSORIZATION report per event type: the exact p05/p95 clamp
     bounds (percentile_disc semantics — the kth smallest element, so
@@ -3392,6 +3415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_near_dup": _q_winnow_near_dup,
         "packed_clean_segments": _q_packed_clean_segments,
         "winsorize_report": _q_winsorize_report,
+        "incremental_near_dup": _q_incremental_near_dup,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -4167,6 +4191,20 @@ SELECT ta, tb, n_both,
 FROM ix JOIN sz sa ON sa.event_type = ix.ta
 JOIN sz sb ON sb.event_type = ix.tb
 """
+
+
+def _sql_incremental_near_dup(threshold: float = 0.5) -> str:
+    """stages/dedup.incremental_near_dup in SQL: the full minhash CTE
+    chain over all documents, then incoming docs (doc_id%10==0) minus
+    those in a cross-side verified pair."""
+    return ("WITH " + _sql_minhash_ctes(
+        "SELECT doc_id, text FROM documents", "inb") + f"""
+SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+AND doc_id NOT IN (
+  SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END
+  FROM inb_pairs
+  WHERE j >= {threshold} AND ((id_a % 10 = 0) <> (id_b % 10 = 0)))
+""")
 
 
 _SQL_WINSORIZE_REPORT = """
@@ -5898,6 +5936,7 @@ def oracle_sql() -> dict[str, str]:
             128, src=("(SELECT doc_id, kept_text AS text FROM "
                       f"({_SQL_SEGMENT_DEDUP}))")),
         "winsorize_report": _SQL_WINSORIZE_REPORT,
+        "incremental_near_dup": _sql_incremental_near_dup(0.5),
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

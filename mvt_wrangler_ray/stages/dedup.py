@@ -1729,3 +1729,48 @@ def winnow_near_dups(ds_docs, min_shared: int = 2, k: int = 3, w: int = 4,
         return _empty_pairs("n_shared", np.int64)
     return (out.sort_values(["id_a", "id_b"])
             .reset_index(drop=True))
+
+
+def incremental_near_dup(incoming_ds, base_ds, threshold: float = 0.5,
+                         col: str = "text", id_col: str = "doc_id",
+                         **kw):
+    """Near-dup INCREMENTAL ingestion (the MinHash companion to
+    incremental_dedup's exact-hash pass): drop each incoming doc that
+    is a verified near-duplicate (Jaccard ≥ threshold) of any BASE
+    doc. Incoming-incoming near-dups are NOT dropped — that is the
+    separate within-batch pass; this operator's contract is "new
+    versus corpus". Ids must be disjoint across sides.
+
+    Plan: ONE LSH banding over the union (the band exchange cannot be
+    avoided — cross-side candidates need co-located bands), the
+    existing capped candidate generation + distributed Jaccard verify
+    (minhash_near_dups), then the pair list — small by construction —
+    classifies ends by a broadcast membership probe of incoming ids
+    RESTRICTED to pair participants (never the whole incoming id set
+    driver-side), and survivors emerge from one broadcast anti
+    semi-join. Returns a Dataset of surviving incoming (id_col) rows."""
+    import ray
+
+    from .events import broadcast_semi_join
+
+    both = incoming_ds.union(base_ds)
+    pairs = minhash_near_dups(both, threshold=threshold, col=col,
+                              id_col=id_col, **kw)
+    incoming_ids = incoming_ds.map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow")
+    if len(pairs) == 0:
+        return incoming_ids
+    pair_ids = np.unique(np.concatenate(
+        [pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]))
+    # which pair participants are incoming? probe the incoming side
+    # with the (small) pair-id set — narrow rows only
+    probe_ref = ray.put(set(pair_ids.tolist()))
+    inc_members = set(broadcast_semi_join(
+        incoming_ids, id_col, probe_ref).to_pandas()[id_col].tolist())
+    a_in = pairs["id_a"].isin(inc_members).to_numpy()
+    b_in = pairs["id_b"].isin(inc_members).to_numpy()
+    cross = a_in != b_in
+    dropped = set(np.where(a_in[cross], pairs["id_a"].to_numpy()[cross],
+                           pairs["id_b"].to_numpy()[cross]).tolist())
+    drop_ref = ray.put(dropped)
+    return broadcast_semi_join(incoming_ids, id_col, drop_ref, anti=True)

@@ -507,3 +507,37 @@ def test_winsorize_report_invariants(ray_session):
     # percentile_disc bounds: <5% strictly below p05, <=5% strictly above p95
     assert (out.n_below < 0.05 * out.n).all()
     assert (out.n_above <= 0.05 * out.n).all()
+
+
+# ---- incremental_near_dup ---------------------------------------------------
+
+
+def test_incremental_near_dup_drops_only_cross_side(ray_session):
+    from mvt_wrangler_ray.stages.dedup import incremental_near_dup
+
+    base = pd.DataFrame({
+        "doc_id": np.array([0, 1], np.int64),
+        "text": ["the quick brown fox jumps over the lazy dog today",
+                 "completely different base content about databases"]})
+    incoming = pd.DataFrame({
+        "doc_id": np.array([100, 101, 102], np.int64),
+        "text": ["the quick brown fox jumps over the lazy dog now",  # ≈ base 0
+                 "fresh unseen content with its very own wording",
+                 # near-dup of ANOTHER incoming doc only — must survive
+                 "fresh unseen content with its very own wordings"]})
+    out = incremental_near_dup(rd.from_pandas(incoming),
+                               rd.from_pandas(base),
+                               threshold=0.5).to_pandas()
+    assert set(out.doc_id) == {101, 102}
+
+
+def test_incremental_near_dup_empty_incoming(ray_session):
+    from mvt_wrangler_ray.stages.dedup import incremental_near_dup
+
+    base = pd.DataFrame({"doc_id": np.array([0], np.int64),
+                         "text": ["some base text here"]})
+    inc = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                        "text": pd.Series([], dtype=object)})
+    out = incremental_near_dup(rd.from_pandas(inc), rd.from_pandas(base),
+                               threshold=0.5).to_pandas()
+    assert len(out) == 0

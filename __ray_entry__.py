@@ -3382,7 +3382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # earlier) past position 50; their richer in-window relatives are
     # image_stats/blur_score (pixel family), burst_rate (event
     # analytics), and the dedup/corpus chain.
-    # Round-5 final session: eight more operators join the head
+    # Round-5 final session: fourteen more operators join the head
     # (segment_dedup — C4/Lee-et-al segment-level dedup with document
     # reassembly; event_transitions — first-order Markov transition
     # counts; winnow_fingerprint — MOSS winnowing fingerprints;
@@ -3392,15 +3392,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dup_caption_conflict — image near-dup pairs with conflicting
     # captions, the multimodal mislabel audit; token_diversity —
     # Simpson collision numerators; hard_negatives — label-constrained
-    # kNN for contrastive training), rotating semantic_dedup,
-    # image_near_dup, image_dup_clusters, image_stats, span_dedup,
-    # quantile_sketch, kmeans, pagerank and redact_pii (all hash-green
-    # in CORRECTNESS_r04 or earlier) past position 50; their richer
-    # in-window relatives are dup_caption_conflict (which drives the
-    # whole image_near_dup chain), segment_dedup/clean_corpus (dedup
-    # family), hard_negatives/knn_graph (kNN family) and profile_table
-    # (sketch family). Every query never driver-certified (the 22
-    # round-5 + these 9) sits inside the first 50.
+    # kNN for contrastive training; aspect_buckets — integer-exact
+    # diffusion-style shape bucketing; winnow_near_dup — MOSS
+    # local-copy pair mining; packed_clean_segments — the
+    # dedup→packing chain; winsorize_report — exact p05/p95 clamp
+    # bounds; incremental_near_dup — MinHash ingestion dedup vs the
+    # base corpus), rotating clean_corpus, raster_vector,
+    # approx_distinct, bm25, bigram_logprob, redact_pii, pagerank,
+    # kmeans, semantic_dedup, image_near_dup, image_dup_clusters,
+    # image_stats, span_dedup and quantile_sketch (all hash-green in
+    # CORRECTNESS_r04 or earlier) past position 50; their richer
+    # in-window relatives are packed_clean_segments (which drives the
+    # clean/pack chain), dup_caption_conflict (the whole
+    # image_near_dup chain), incremental_near_dup (the minhash chain),
+    # hard_negatives/knn_graph (kNN family) and profile_table (sketch
+    # family). Every query never driver-certified (22 round-5 + these
+    # 14 = 36) sits inside the first 50 — verified programmatically
+    # against the four CORRECTNESS artifacts.
     return {
         "segment_dedup": _q_segment_dedup,
         "event_transitions": _q_event_transitions,

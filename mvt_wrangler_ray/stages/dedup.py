@@ -1684,7 +1684,8 @@ def segment_dedup(ds, seg_words: int = 20, col: str = "text",
 
 def winnow_near_dups(ds_docs, min_shared: int = 2, k: int = 3, w: int = 4,
                      col: str = "text", id_col: str = "doc_id",
-                     num_buckets: int = 64, bucket_cap: int = 1000):
+                     num_buckets: int = 64, bucket_cap: int = 1000,
+                     as_dataset: bool = False):
     """Near-dup pair mining via WINNOWING fingerprints (the MOSS
     detector): docs sharing ≥ ``min_shared`` selected fingerprints —
     by the winnowing guarantee, any shared w+k-1-token run yields a
@@ -1718,13 +1719,18 @@ def winnow_near_dups(ds_docs, min_shared: int = 2, k: int = 3, w: int = 4,
         partial_aggs=[("id_a", "count")], partial_names=["pc"],
         final_aggs=[("pc", "sum")], final_names=["n_shared"],
         num_buckets=num_buckets)
-    # the thresholded pair list is small by construction (bounded by the
-    # capped candidate generation) — collect like the other pair miners
-    # so the empty case keeps its schema
-    out = counted.map_batches(
+    thresholded = counted.map_batches(
         lambda b: b.filter(pc.greater_equal(b["n_shared"],
                                             pa.scalar(min_shared))),
-        batch_format="pyarrow").to_pandas()
+        batch_format="pyarrow")
+    if as_dataset:
+        # the distributed lane for pair lists too large to collect:
+        # stays a Dataset end-to-end (consumers bucket or write it)
+        return thresholded
+    # default: the thresholded pair list is small (bounded by the capped
+    # candidate generation) — collect like the other pair miners so the
+    # empty case keeps its schema
+    out = thresholded.to_pandas()
     if len(out) == 0:
         return _empty_pairs("n_shared", np.int64)
     return (out.sort_values(["id_a", "id_b"])

@@ -541,3 +541,17 @@ def test_incremental_near_dup_empty_incoming(ray_session):
     out = incremental_near_dup(rd.from_pandas(inc), rd.from_pandas(base),
                                threshold=0.5).to_pandas()
     assert len(out) == 0
+
+
+def test_winnow_near_dup_dataset_lane_matches(ray_session):
+    from mvt_wrangler_ray.stages.dedup import winnow_near_dups
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["a b c d e f g h", "a b c d e f g h", "x y z w v u t s",
+                 "x y z w v u t s", "p q r s t u v w", "m n o p q r s t"]})
+    collected = winnow_near_dups(rd.from_pandas(docs))
+    ds_lane = (winnow_near_dups(rd.from_pandas(docs), as_dataset=True)
+               .to_pandas().sort_values(["id_a", "id_b"])
+               .reset_index(drop=True))
+    pd.testing.assert_frame_equal(collected, ds_lane)

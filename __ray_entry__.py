@@ -1506,6 +1506,63 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet-style quality buckets (Wenzek et al. 2020): per LANGUAGE,
+    split documents into head/middle/tail terciles of the corpus-LM
+    fluency score (the bit-exact bigram_logprob — higher = more
+    fluent); tercile boundaries are percentile_disc kth elements, so
+    classification is bit-stable. The standard crawl-corpus quality
+    triage before mixing. Plan: one bigram_logprob pass, one narrow
+    (doc_id, lang) bucketed join, per-lang boundaries via the p95
+    grouped-kth pattern (a 6-row driver fold; the at-scale path is
+    quality_calibrate's mergeable histogram), map-side classify."""
+    from mvt_wrangler_ray.stages.retrieval import bigram_logprob
+    from mvt_wrangler_ray.stages.shuffle import (add_bucket_column,
+                                                 bucketed_hash_join)
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    lp = bigram_logprob(docs)
+    lang = _docs(sf_dir, ["doc_id", "lang"])
+    j = bucketed_hash_join(
+        lp.map_batches(lambda b: b.select(["doc_id", "logprob"]),
+                       batch_format="pyarrow"),
+        lang, "doc_id", "doc_id").materialize()
+
+    bucketed = j.map_batches(lambda b: add_bucket_column(b, ["lang"], 4),
+                             batch_format="pyarrow")
+
+    def terciles(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        rows = []
+        for lg, sub in df.groupby("lang"):
+            v = np.sort(sub["logprob"].to_numpy())
+            n = len(v)
+            k1 = max(int(np.ceil(n * (1.0 / 3))) - 1, 0)
+            k2 = max(int(np.ceil(n * (2.0 / 3))) - 1, 0)
+            rows.append((lg, float(v[k1]), float(v[k2])))
+        return pa.table({
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "t1": pa.array([r[1] for r in rows], pa.float64()),
+            "t2": pa.array([r[2] for r in rows], pa.float64())})
+
+    btab = (bucketed.groupby("bucket")
+            .map_groups(terciles, batch_format="pyarrow").to_pandas())
+    bounds = {r.lang: (r.t1, r.t2) for r in btab.itertuples()}
+
+    def classify(b: pa.Table) -> pa.Table:
+        lgs = b["lang"].to_pylist()
+        lpv = b["logprob"].to_numpy(zero_copy_only=False)
+        t1 = np.fromiter((bounds[x][0] for x in lgs), np.float64, len(b))
+        t2 = np.fromiter((bounds[x][1] for x in lgs), np.float64, len(b))
+        out = np.where(lpv <= t1, "tail",
+                       np.where(lpv <= t2, "middle", "head"))
+        return pa.table({
+            "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+            "ccnet_bucket": pa.array(out.astype(object), pa.string())})
+
+    return j.map_batches(classify, batch_format="pyarrow")
+
+
 def _q_incremental_near_dup(sf_dir: str):
     """Incremental NEAR-dup ingestion (the MinHash companion to
     incremental_dedup's exact pass): incoming = every 10th doc, base =
@@ -3424,6 +3481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_clean_segments": _q_packed_clean_segments,
         "winsorize_report": _q_winsorize_report,
         "incremental_near_dup": _q_incremental_near_dup,
+        "ccnet_buckets": _q_ccnet_buckets,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -4198,6 +4256,27 @@ SELECT ta, tb, n_both,
     AS jaccard
 FROM ix JOIN sz sa ON sa.event_type = ix.ta
 JOIN sz sb ON sb.event_type = ix.tb
+"""
+
+
+def _sql_ccnet_buckets() -> str:
+    """_q_ccnet_buckets in SQL: the bigram_logprob subquery joined with
+    lang, per-lang percentile_disc tercile boundaries (identical kth
+    semantics as the certified p95 oracle, float q = 1.0/3 matching the
+    engine's literal), the same <= classification."""
+    return f"""
+WITH lp AS ({_sql_bigram_logprob()}),
+j AS (SELECT lp.doc_id, lp.logprob, d.lang
+  FROM lp JOIN documents d USING (doc_id)),
+b AS (SELECT lang,
+    percentile_disc(1.0/3) WITHIN GROUP (ORDER BY logprob) AS t1,
+    percentile_disc(2.0/3) WITHIN GROUP (ORDER BY logprob) AS t2
+  FROM j GROUP BY lang)
+SELECT j.doc_id,
+  CASE WHEN j.logprob <= b.t1 THEN 'tail'
+       WHEN j.logprob <= b.t2 THEN 'middle'
+       ELSE 'head' END AS ccnet_bucket
+FROM j JOIN b USING (lang)
 """
 
 
@@ -5945,6 +6024,7 @@ def oracle_sql() -> dict[str, str]:
                       f"({_SQL_SEGMENT_DEDUP}))")),
         "winsorize_report": _SQL_WINSORIZE_REPORT,
         "incremental_near_dup": _sql_incremental_near_dup(0.5),
+        "ccnet_buckets": _sql_ccnet_buckets(),
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

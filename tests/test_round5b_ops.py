@@ -555,3 +555,25 @@ def test_winnow_near_dup_dataset_lane_matches(ray_session):
                .to_pandas().sort_values(["id_a", "id_b"])
                .reset_index(drop=True))
     pd.testing.assert_frame_equal(collected, ds_lane)
+
+
+# ---- ccnet_buckets ----------------------------------------------------------
+
+
+def test_ccnet_buckets_tercile_shape(ray_session):
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["ccnet_buckets"](
+        "/root/testdata/sf0.001").to_pandas()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "lang"])
+    m = out.merge(docs, on="doc_id")
+    # every bucket value is one of the three; per lang, tail <= middle
+    # cumulative thirds hold within percentile_disc tie slack
+    assert set(out.ccnet_bucket) <= {"head", "middle", "tail"}
+    for lg, sub in m.groupby("lang"):
+        n = len(sub)
+        counts = sub.ccnet_bucket.value_counts()
+        assert counts.get("tail", 0) >= 1
+        # tail is the first tercile: ceil(n/3) at most (ties only add)
+        assert counts.get("tail", 0) <= max(int(np.ceil(n / 3)) + 2, 3)

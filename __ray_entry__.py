@@ -1506,6 +1506,40 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_daily_anomalies(sf_dir: str):
+    """Daily volume ANOMALY detection per event type: per-(type, day)
+    event counts, z-scored against the type's own daily distribution
+    (exact int64 moments — bit-stable), flagging days with |z| ≥ 2 —
+    the ops-monitoring pass over the event stream. Composes the
+    certified daily-count and group_zscore machinery; the threshold
+    compare is on bit-identical floats so the flag set is exact."""
+    import ray.data as rd
+
+    from mvt_wrangler_ray.stages.shuffle import (group_zscore,
+                                                 two_phase_aggregate)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day_rows(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pa.array(ts // 86_400_000_000, pa.int64())})
+
+    counts = two_phase_aggregate(
+        ev.map_batches(day_rows, batch_format="pyarrow"),
+        keys=["event_type", "day"],
+        partial_aggs=[([], "count_all")], partial_names=["pc"],
+        final_aggs=[("pc", "sum")], final_names=["n"], num_buckets=16)
+    z = group_zscore(counts, ["event_type"], "n", id_cols=["day", "n"])
+    return z.map_batches(
+        lambda b: b.filter(pc.greater_equal(pc.abs(b["z"]),
+                                            pa.scalar(2.0))),
+        batch_format="pyarrow")
+
+
 def _q_ccnet_buckets(sf_dir: str):
     """CCNet-style quality buckets (Wenzek et al. 2020): per LANGUAGE,
     split documents into head/middle/tail terciles of the corpus-LM
@@ -3482,6 +3516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_report": _q_winsorize_report,
         "incremental_near_dup": _q_incremental_near_dup,
         "ccnet_buckets": _q_ccnet_buckets,
+        "daily_anomalies": _q_daily_anomalies,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -4256,6 +4291,28 @@ SELECT ta, tb, n_both,
     AS jaccard
 FROM ix JOIN sz sa ON sa.event_type = ix.ta
 JOIN sz sb ON sb.event_type = ix.tb
+"""
+
+
+def _sql_daily_anomalies() -> str:
+    """_q_daily_anomalies in SQL: identical integer moments and float
+    tree as the zscore oracle, over per-(type, day) counts, |z| >= 2."""
+    mean = "(CAST(s AS DOUBLE) / CAST(ng AS DOUBLE))"
+    return f"""
+WITH c AS (SELECT event_type,
+    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+st AS (SELECT event_type, count(*) AS ng, sum(n) AS s,
+    sum(n * n) AS ss FROM c GROUP BY 1),
+p AS (SELECT event_type, {mean} AS mean,
+    CAST(ss AS DOUBLE) / CAST(ng AS DOUBLE) - {mean} * {mean} AS vp
+  FROM st),
+zt AS (SELECT c.day, c.n, c.event_type,
+    CASE WHEN p.vp <= 0e0 THEN 0e0
+         ELSE (CAST(c.n AS DOUBLE) - p.mean) / sqrt(p.vp) END AS z
+  FROM c JOIN p USING (event_type))
+SELECT day, n, event_type, z FROM zt WHERE abs(z) >= 2.0
 """
 
 
@@ -6025,6 +6082,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_report": _SQL_WINSORIZE_REPORT,
         "incremental_near_dup": _sql_incremental_near_dup(0.5),
         "ccnet_buckets": _sql_ccnet_buckets(),
+        "daily_anomalies": _sql_daily_anomalies(),
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

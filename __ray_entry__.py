@@ -1550,6 +1550,8 @@ def _q_ccnet_buckets(sf_dir: str):
     (doc_id, lang) bucketed join, per-lang boundaries via the p95
     grouped-kth pattern (a 6-row driver fold; the at-scale path is
     quality_calibrate's mergeable histogram), map-side classify."""
+    import ray
+
     from mvt_wrangler_ray.stages.retrieval import bigram_logprob
     from mvt_wrangler_ray.stages.shuffle import (add_bucket_column,
                                                  bucketed_hash_join)
@@ -1557,10 +1559,30 @@ def _q_ccnet_buckets(sf_dir: str):
     docs = _docs(sf_dir, ["doc_id", "text"])
     lp = bigram_logprob(docs)
     lang = _docs(sf_dir, ["doc_id", "lang"])
-    j = bucketed_hash_join(
-        lp.map_batches(lambda b: b.select(["doc_id", "logprob"]),
-                       batch_format="pyarrow"),
-        lang, "doc_id", "doc_id").materialize()
+    narrow_lp = lp.map_batches(
+        lambda b: b.select(["doc_id", "logprob"]), batch_format="pyarrow")
+    # the (doc_id, lang) map is two narrow columns: broadcast it below
+    # the limit (no exchange), bucketed join above — the repo's
+    # standard small-side cutover
+    n_docs = lang.count()
+    if n_docs <= 2_000_000:
+        ltab = lang.to_pandas()
+        lut_ref = ray.put(dict(zip(ltab["doc_id"], ltab["lang"])))
+        _lc: dict = {}
+
+        def attach(b: pa.Table) -> pa.Table:
+            m = _lc.get("m")
+            if m is None:
+                m = _lc["m"] = ray.get(lut_ref)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "lang", pa.array([m[i] for i in ids], pa.string()))
+
+        j = narrow_lp.map_batches(attach,
+                                  batch_format="pyarrow").materialize()
+    else:
+        j = bucketed_hash_join(narrow_lp, lang,
+                               "doc_id", "doc_id").materialize()
 
     bucketed = j.map_batches(lambda b: add_bucket_column(b, ["lang"], 4),
                              batch_format="pyarrow")

@@ -1506,6 +1506,19 @@ def _q_url_dedup(sf_dir: str):
     return url_exact_dedup(ds)
 
 
+def _q_dup_exposure(sf_dir: str):
+    """Per-document DUPLICATION EXPOSURE: of each doc's 5-gram
+    occurrences, how many have content appearing in ≥ 2 distinct
+    documents corpus-wide — the doc-level boilerplate/copied-text
+    fraction numerator (integer-exact; callers derive the ratio)
+    (stages/dedup.gram_dup_exposure: narrow distinct-gram exchange,
+    broadcast flag set with the ngram_contamination-style cutover,
+    in-batch per-doc counting)."""
+    from mvt_wrangler_ray.stages.dedup import gram_dup_exposure
+
+    return gram_dup_exposure(_docs(sf_dir, ["doc_id", "text"]), n=5)
+
+
 def _q_daily_anomalies(sf_dir: str):
     """Daily volume ANOMALY detection per event type: per-(type, day)
     event counts, z-scored against the type's own daily distribution
@@ -3542,6 +3555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_near_dup": _q_incremental_near_dup,
         "ccnet_buckets": _q_ccnet_buckets,
         "daily_anomalies": _q_daily_anomalies,
+        "dup_exposure": _q_dup_exposure,
         "split_assign": _q_split_assign,
         "corpus_diff": _q_corpus_diff,
         "filter_funnel": _q_filter_funnel,
@@ -4316,6 +4330,27 @@ SELECT ta, tb, n_both,
     AS jaccard
 FROM ix JOIN sz sa ON sa.event_type = ix.ta
 JOIN sz sb ON sb.event_type = ix.tb
+"""
+
+
+_SQL_DUP_EXPOSURE = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+  FROM documents WHERE trim(text) <> ''),
+grams AS (
+  SELECT doc_id,
+    md5_number_lower(a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                     || a[i+3] || ' ' || a[i+4]) AS gh
+  FROM arrs, UNNEST(generate_series(1, len(a) - 4)) t(i)),
+dfreq AS (SELECT gh, count(DISTINCT doc_id) AS df FROM grams GROUP BY gh),
+per AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_shared_grams
+  FROM grams g JOIN dfreq d USING (gh) GROUP BY g.doc_id)
+SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+  COALESCE(p.n_shared_grams, 0) AS n_shared_grams
+FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
@@ -6108,6 +6143,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_near_dup": _sql_incremental_near_dup(0.5),
         "ccnet_buckets": _sql_ccnet_buckets(),
         "daily_anomalies": _sql_daily_anomalies(),
+        "dup_exposure": _SQL_DUP_EXPOSURE,
         "repetition_stats": _SQL_REPETITION_STATS,
         "shuffle_order": _sql_shuffle_order(42),
         "minhash_recall": _sql_minhash_recall(0.5),

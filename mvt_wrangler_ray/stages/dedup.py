@@ -1780,3 +1780,82 @@ def incremental_near_dup(incoming_ds, base_ds, threshold: float = 0.5,
                            pairs["id_b"].to_numpy()[cross]).tolist())
     drop_ref = ray.put(dropped)
     return broadcast_semi_join(incoming_ids, id_col, drop_ref, anti=True)
+
+
+def gram_dup_exposure(ds_docs, n: int = 5, col: str = "text",
+                      id_col: str = "doc_id", num_buckets: int = 16,
+                      broadcast_flag_limit: int = 20_000_000):
+    """Per-document DUPLICATION EXPOSURE: of a doc's n-gram
+    occurrences, how many have gram content that appears in ≥ 2
+    DISTINCT documents corpus-wide — the doc-level "how much of me is
+    boilerplate/copied" signal (the C4/Gopher duplicate-n-gram
+    fraction's numerator, corpus-global rather than within-doc).
+    Integer outputs (doc_id, n_grams, n_shared_grams); callers derive
+    the fraction.
+
+    Plan: one narrow distinct-(doc, gram-hash) explode → two-phase
+    distinct-doc frequency → the shared-gram FLAG SET (hashes with
+    df ≥ 2) broadcasts via ray.put below ``broadcast_flag_limit``
+    (8 B/hash; above it, swap in the bucketed flag-join lane exactly as
+    ngram_contamination does — same shape, same cutover reasoning) →
+    a second pass over docs counts flagged occurrences per doc
+    in-batch. Documents move zero times; the exchange carries only
+    hashes."""
+    import ray
+
+    from .shuffle import two_phase_aggregate
+    from .text import _winnow_gram_hashes
+
+    def distinct_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m, h_all, first = _winnow_gram_hashes(b, n, col)
+        out_i, out_h = [], []
+        for d in range(len(ids)):
+            md = int(m[d])
+            if md == 0:
+                continue
+            u = np.unique(h_all[first[d]: first[d] + md])
+            out_i.append(np.full(len(u), ids[d], np.int64))
+            out_h.append(u)
+        if not out_i:
+            return pa.table({"gh": pa.array([], pa.int64())})
+        return pa.table({"gh": pa.array(
+            np.concatenate(out_h).astype(np.int64), pa.int64())})
+
+    dfreq = two_phase_aggregate(
+        ds_docs.map_batches(distinct_rows, batch_format="pyarrow"),
+        keys=["gh"],
+        partial_aggs=[("gh", "count")], partial_names=["pc"],
+        final_aggs=[("pc", "sum")], final_names=["df"],
+        num_buckets=num_buckets)
+    flagged = dfreq.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["df"], pa.scalar(2)))
+        .select(["gh"]), batch_format="pyarrow")
+    flag_tbl = flagged.to_pandas()
+    if len(flag_tbl) > broadcast_flag_limit:
+        raise ValueError(
+            f"{len(flag_tbl)} shared grams exceed broadcast_flag_limit="
+            f"{broadcast_flag_limit}: use the bucketed flag-join lane "
+            "(ngram_contamination's above-limit plan)")
+    flag_ref = ray.put(set(flag_tbl["gh"].tolist()))
+    cache: dict = {}
+
+    def exposure(b: pa.Table) -> pa.Table:
+        flags = cache.get("f")
+        if flags is None:
+            flags = cache["f"] = ray.get(flag_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m, h_all, first = _winnow_gram_hashes(b, n, col)
+        shared = np.zeros(len(ids), np.int64)
+        for d in range(len(ids)):
+            md = int(m[d])
+            if md == 0:
+                continue
+            h = h_all[first[d]: first[d] + md].astype(np.int64)
+            shared[d] = sum(1 for x in h if x in flags)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_grams": pa.array(m, pa.int64()),
+            "n_shared_grams": pa.array(shared, pa.int64())})
+
+    return ds_docs.map_batches(exposure, batch_format="pyarrow")

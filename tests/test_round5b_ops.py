@@ -577,3 +577,25 @@ def test_ccnet_buckets_tercile_shape(ray_session):
         assert counts.get("tail", 0) >= 1
         # tail is the first tercile: ceil(n/3) at most (ties only add)
         assert counts.get("tail", 0) <= max(int(np.ceil(n / 3)) + 2, 3)
+
+
+# ---- dup_exposure -----------------------------------------------------------
+
+
+def test_dup_exposure_counts_shared_grams(ray_session):
+    from mvt_wrangler_ray.stages.dedup import gram_dup_exposure
+
+    shared = "one two three four five"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [f"{shared} tail a b c", f"xx {shared} yy zz ww",
+                 "totally different words with no overlap here ok"],
+    })
+    out = (gram_dup_exposure(rd.from_pandas(docs), n=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # the shared 5-token run is exactly one 5-gram in each carrier
+    assert out.n_shared_grams[0] == 1 and out.n_shared_grams[1] == 1
+    assert out.n_shared_grams[2] == 0
+    assert (out.n_shared_grams <= out.n_grams).all()
+    # doc 0: 9 tokens -> 5 grams; doc 1: 9 -> 5; doc 2: 8 -> 4
+    assert out.n_grams.tolist() == [5, 5, 4]

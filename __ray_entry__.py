@@ -3508,7 +3508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # earlier) past position 50; their richer in-window relatives are
     # image_stats/blur_score (pixel family), burst_rate (event
     # analytics), and the dedup/corpus chain.
-    # Round-5 final session: sixteen more operators join the head
+    # Round-5 final session: seventeen more operators join the head
     # (segment_dedup — C4/Lee-et-al segment-level dedup with document
     # reassembly; event_transitions — first-order Markov transition
     # counts; winnow_fingerprint — MOSS winnowing fingerprints;
@@ -3524,8 +3524,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # dedup→packing chain; winsorize_report — exact p05/p95 clamp
     # bounds; incremental_near_dup — MinHash ingestion dedup vs the
     # base corpus; ccnet_buckets — CCNet per-language perplexity
-    # terciles; daily_anomalies — z-scored daily volume flags),
-    # rotating clean_corpus, raster_vector,
+    # terciles; daily_anomalies — z-scored daily volume flags;
+    # dup_exposure — per-doc corpus-global duplicated-5-gram counts),
+    # rotating tile_px_mean (r4-certified), clean_corpus, raster_vector,
     # approx_distinct, bm25, bigram_logprob, redact_pii, pagerank,
     # kmeans, semantic_dedup, image_near_dup, image_dup_clusters,
     # image_stats, span_dedup and quantile_sketch (all hash-green in
@@ -3535,9 +3536,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # image_near_dup chain), incremental_near_dup (the minhash chain),
     # hard_negatives/knn_graph (kNN family) and profile_table (sketch
     # family). Every query never driver-certified (22 round-5 + these
-    # 16 = 38) sits inside the first 50 — the window is now exactly
-    # 38 never-certified + the 12 r4-certified queries, verified
-    # programmatically against the four CORRECTNESS artifacts.
+    # 17 = 39) sits inside the first 50 — the window is now the 39
+    # never-certified + 11 of the 12 r4-certified queries (tile_px_mean
+    # rotates out), verified programmatically against the four
+    # CORRECTNESS artifacts.
     return {
         "segment_dedup": _q_segment_dedup,
         "event_transitions": _q_event_transitions,
